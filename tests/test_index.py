@@ -1,0 +1,106 @@
+"""Index-build invariants, mirroring xapian-check's structural checks
+(`xapian-core/bin/xapian-check.cc`, FIXTURES.md §5):
+
+- per-term tf == number of postings; cf == sum(wdf)
+- doclen == sum(wdf) per doc; total_doclen == sum(doclen)
+- positions sorted, count == wdf
+- content sha256 row invariant survives the pipeline
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SIMPLE_PARAGRAPHS
+from tests.oracle import BruteForceIndex
+
+
+def _brute(simple_corpus=None):
+    docs = {i + 1: t for i, t in enumerate(SIMPLE_PARAGRAPHS)}
+    return BruteForceIndex(docs)
+
+
+def test_global_stats(simple_index):
+    b = _brute()
+    assert simple_index.stats.doccount == b.N
+    assert simple_index.stats.total_doclen == b.total_len
+
+
+def test_doclens_match_bruteforce(simple_index):
+    got = {
+        r["docid"]: r["doclen"] for r in simple_index.doclens.collect()
+    }
+    b = _brute()
+    assert got == b.doclen
+
+
+def test_term_stats_match_bruteforce(simple_index):
+    b = _brute()
+    rows = simple_index.term_stats.collect()
+    got = {r["term"]: (r["tf"], r["cf"], r["wdf_max"]) for r in rows}
+    for term, posts in b.postings.items():
+        assert got[term][0] == len(posts), term
+        assert got[term][1] == sum(posts.values()), term
+        assert got[term][2] == max(posts.values()), term
+
+
+def test_postings_positions_consistent(simple_index):
+    rows = simple_index.postings.where(F.col("wdf") > 0).collect()
+    b = _brute()
+    for r in rows:
+        pos = r["positions"]
+        assert pos == sorted(pos)
+        assert len(pos) == r["wdf"]
+        assert pos == b.positions[(r["term"], r["docid"])]
+
+
+def test_boolean_prefix_terms(simple_index):
+    rows = simple_index.postings.where(F.col("term") == "Ltxt").collect()
+    assert len(rows) == len(SIMPLE_PARAGRAPHS)
+    assert all(r["wdf"] == 0 for r in rows)
+
+
+def test_doclen_denormalized(simple_index):
+    joined = (
+        simple_index.postings.alias("p")
+        .join(simple_index.doclens.alias("d"), "docid")
+        .where(F.col("p.doclen") != F.col("d.doclen"))
+        .count()
+    )
+    assert joined == 0
+
+
+def test_sha256_invariant(spark, simple_corpus):
+    """content sha256 equality end-to-end (BASELINE.json input_hint)."""
+    before = {
+        r["docid"]: hashlib.sha256(r["content"].encode()).hexdigest()
+        for r in simple_corpus.collect()
+    }
+    from xapian_spark.index.builder import build_index
+
+    idx = build_index(spark, simple_corpus, content_col="content",
+                      docid_col="docid")
+    after = {
+        r["docid"]: r["sha"]
+        for r in idx.docs.withColumn(
+            "sha", F.sha2(F.col("content"), 256)
+        ).collect()
+    }
+    assert before == after
+
+
+def test_write_read_roundtrip(tmp_path, spark, simple_index):
+    from xapian_spark.index.builder import read_index, write_index
+
+    path = str(tmp_path / "warehouse")
+    write_index(simple_index, path, term_buckets=4)
+    idx2 = read_index(spark, path)
+    assert idx2.stats == simple_index.stats
+    assert idx2.postings.count() == simple_index.postings.count()
+    a = sorted(
+        map(tuple, simple_index.postings.select("term", "docid", "wdf").collect())
+    )
+    c = sorted(map(tuple, idx2.postings.select("term", "docid", "wdf").collect()))
+    assert a == c

@@ -1,0 +1,218 @@
+"""Query engine: rank-identity + score-identity vs the brute-force oracle,
+boolean operator semantics, positional ops.
+
+Mirrors the shape of the reference's MSet golden tests
+(`api_weight.cc:91-130`, `api_anydb.cc`): exact docid order, scores @1e-9.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SIMPLE_PARAGRAPHS
+from tests.oracle import BruteForceIndex
+from xapian_spark.query import ast
+from xapian_spark.query.planner import Planner
+from xapian_spark.ranking.weights import BM25Weight, BoolWeight, CoordWeight
+
+
+@pytest.fixture(scope="module")
+def brute():
+    return BruteForceIndex({i + 1: t for i, t in enumerate(SIMPLE_PARAGRAPHS)})
+
+
+@pytest.fixture(scope="module")
+def planner(simple_index):
+    return Planner(simple_index)
+
+
+def run(planner, node, k=10):
+    return [
+        (r["docid"], r["score"])
+        for r in planner.search(node, k=k).collect()
+    ]
+
+
+def assert_mset(got, want):
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (d1, s1), (d2, s2) in zip(got, want):
+        assert s1 == pytest.approx(s2, abs=1e-9), (d1, s1, s2)
+
+
+def test_single_term(planner, brute):
+    got = run(planner, ast.Term("paragraph"))
+    assert_mset(got, brute.topk(["paragraph"]))
+    assert len(got) == 5  # 5 of the 6 paragraphs contain "paragraph"
+
+
+def test_or_two_terms(planner, brute):
+    node = ast.Or((ast.Term("search"), ast.Term("ranking")))
+    assert_mset(run(planner, node), brute.topk(["search", "ranking"]))
+
+
+def test_and_two_terms(planner, brute):
+    node = ast.And((ast.Term("search"), ast.Term("ranking")))
+    assert_mset(run(planner, node), brute.topk(["search", "ranking"], op="and"))
+
+
+def test_and_not(planner, brute):
+    node = ast.AndNot(ast.Term("paragraph"), ast.Term("cooking"))
+    got = run(planner, node)
+    want = [
+        (d, s)
+        for d, s in brute.topk(["paragraph"])
+        if d not in brute.postings["cooking"]
+    ]
+    assert_mset(got, want)
+
+
+def test_and_maybe(planner, brute):
+    node = ast.AndMaybe(ast.Term("paragraph"), ast.Term("ranking"))
+    scores_l = brute.bm25_scores(["paragraph"])
+    scores_r = brute.bm25_scores(["ranking"])
+    want = sorted(
+        (
+            (d, s + scores_r.get(d, 0.0))
+            for d, s in scores_l.items()
+        ),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    assert_mset(run(planner, node), want)
+
+
+def test_filter_only_left_weighted(planner, brute):
+    node = ast.Filter(ast.Term("paragraph"), ast.Term("ranking"))
+    scores_l = brute.bm25_scores(["paragraph"])
+    want = sorted(
+        (
+            (d, scores_l[d])
+            for d in scores_l
+            if d in brute.postings["ranking"]
+        ),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    assert_mset(run(planner, node), want)
+
+
+def test_xor(planner, brute):
+    node = ast.Xor((ast.Term("search"), ast.Term("ranking")))
+    s1 = brute.bm25_scores(["search"])
+    s2 = brute.bm25_scores(["ranking"])
+    docs = set(s1) ^ set(s2)
+    want = sorted(
+        ((d, s1.get(d, 0.0) + s2.get(d, 0.0)) for d in docs),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    assert_mset(run(planner, node), want)
+
+
+def test_max(planner, brute):
+    node = ast.Max((ast.Term("search"), ast.Term("ranking")))
+    s1 = brute.bm25_scores(["search"])
+    s2 = brute.bm25_scores(["ranking"])
+    docs = set(s1) | set(s2)
+    want = sorted(
+        ((d, max(s1.get(d, -1), s2.get(d, -1))) for d in docs),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    assert_mset(run(planner, node), want)
+
+
+def test_scale_weight(planner, brute):
+    node = ast.ScaleWeight(2.5, ast.Term("paragraph"))
+    want = [(d, 2.5 * s) for d, s in brute.topk(["paragraph"])]
+    assert_mset(run(planner, node), want)
+
+
+def test_exact_phrase(planner):
+    # "search engines" appears only in doc 1 in order
+    node = ast.Phrase((ast.Term("search"), ast.Term("engines")), window=2)
+    got = run(planner, node)
+    assert [d for d, _ in got] == [1]
+    # reversed order must not match
+    node = ast.Phrase((ast.Term("engines"), ast.Term("search")), window=2)
+    assert run(planner, node) == []
+
+
+def test_near(planner):
+    # doc 2: "... mentions search once and indexing twice"
+    node = ast.Near((ast.Term("search"), ast.Term("indexing")), window=10)
+    got = [d for d, _ in run(planner, node)]
+    assert 2 in got
+    node = ast.Near((ast.Term("search"), ast.Term("indexing")), window=2)
+    assert 2 not in [d for d, _ in run(planner, node)]
+
+
+def test_boolean_field_filter(planner, brute):
+    # lang boolean term: Ltxt matches everything; FILTER doesn't change scores
+    node = ast.Filter(ast.Term("paragraph"), ast.Term("Ltxt"))
+    assert_mset(run(planner, node), brute.topk(["paragraph"]))
+
+
+def test_wildcard_expansion(planner, brute):
+    # rank* -> {ranking} on this corpus (via synonym; single term)
+    node = ast.Wildcard("rank")
+    got = run(planner, node)
+    assert set(d for d, _ in got) == set(brute.postings["ranking"])
+
+
+def test_match_all(planner):
+    got = run(planner, ast.MatchAll())
+    assert [d for d, _ in got] == [1, 2, 3, 4, 5, 6]
+    assert all(s == 0.0 for _, s in got)
+
+
+def test_match_nothing(planner):
+    assert run(planner, ast.MatchNothing()) == []
+
+
+def test_unknown_term_matches_nothing(planner):
+    assert run(planner, ast.Term("zzzznotaterm")) == []
+    node = ast.Or((ast.Term("paragraph"), ast.Term("zzzznotaterm")))
+    assert len(run(planner, node)) == 5
+
+
+def test_coord_weight(simple_index):
+    p = Planner(simple_index, weight=CoordWeight())
+    node = ast.Or((ast.Term("search"), ast.Term("ranking")))
+    got = run(p, node)
+    b = BruteForceIndex({i + 1: t for i, t in enumerate(SIMPLE_PARAGRAPHS)})
+    want_docs = set(b.postings["search"]) | set(b.postings["ranking"])
+    for d, s in got:
+        expect = float(
+            (d in b.postings["search"]) + (d in b.postings["ranking"])
+        )
+        assert s == expect
+    assert set(d for d, _ in got) == want_docs
+
+
+def test_bool_weight(simple_index):
+    p = Planner(simple_index, weight=BoolWeight())
+    got = run(p, ast.Term("paragraph"))
+    assert all(s == 0.0 for _, s in got)
+    assert [d for d, _ in got] == sorted(d for d, _ in got)
+
+
+def test_value_range(planner):
+    # docs table has `path` strings doc/0..doc/5; filter via FILTER+range
+    node = ast.Filter(
+        ast.Term("paragraph"), ast.ValueRange("path", "doc/0", "doc/2")
+    )
+    got = [d for d, _ in run(planner, node)]
+    assert set(got).issubset({1, 2, 3})
+
+
+def test_wqf_repeated_term(planner, brute):
+    # repeated query term: wqf=2 -> (k3+1)*2/(k3+2) factor (k3=1 -> 4/3)
+    node = ast.Term("paragraph", wqf=2)
+    want = brute.topk(["paragraph", "paragraph"])
+    assert_mset(run(planner, node), want)
+
+
+def test_bm25_parameter_sweep(simple_index, brute):
+    """BM25 parameter grid, api_weight.cc:91-130 style."""
+    for k1, b in [(0.0, 0.5), (1.0, 0.0), (2.0, 0.8), (1.5, 1.0)]:
+        p = Planner(simple_index, weight=BM25Weight(k1=k1, b=b))
+        got = run(p, ast.Term("paragraph"))
+        want = brute.topk(["paragraph"], k1=k1, b=b)
+        assert_mset(got, want)

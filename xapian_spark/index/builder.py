@@ -1,0 +1,276 @@
+"""Distributed inverted-index build.
+
+Spark-first re-expression of the reference write path
+(`WritableDatabase::add_document` -> `Inverter` -> `merge_changes`;
+`xapian-core/backends/glass/glass_inverter.h:43-170`,
+`glass_postlist.h:86-97`):
+
+    corpus
+      -> deterministic dense docid (row_number over natural key)
+      -> Arrow-batched tokenizer UDF (text -> [(term, pos)])
+      -> posexplode -> groupBy(term, docid): wdf + sorted positions
+      -> doclen denormalized onto every posting row (kills the query-time
+         doclens join; the reference reads doclen from a co-resident
+         postlist, glass_postlist.h:53-56 — same locality idea)
+      -> term_stats (tf, cf, wdf_max) + global stats
+
+The *inversion* is Spark's shuffle itself: groupBy(term, docid) is the
+map-side-combined equivalent of the reference's in-memory `Inverter` maps,
+and the blocked layout (see blocks.py / merge.py) is the analogue of
+`merge_postlists` in xapian-compact (glass_compact.cc:80-340).
+
+Skew: term frequency is Zipfian — stopword-class terms ("the", "int",
+"license") produce hot keys.  groupBy(term, docid) is NOT skewed by term
+alone (docid spreads the key space).  The skew-sensitive stage is the
+per-term block layout, which merge.py handles by splitting each term's
+postings into bounded blocks (window row_number -> block_no) so no single
+task ever holds a whole hot term. AQE skew-join splitting is on as a
+backstop (session.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xapian_spark.ranking.weights import GlobalStats, TermStats
+from xapian_spark.text.tokenizer import tokenize_batch
+
+TOKENS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("term", T.StringType()),
+            T.StructField("pos", T.IntegerType()),
+        ]
+    )
+)
+
+
+def tokenizer_udf(mode: str = "xapian", stopwords: frozenset[str] | None = None):
+    """Arrow-batched pandas UDF: text -> array<struct<term,pos>>."""
+
+    def _tok(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            tokenize_batch(texts.tolist(), mode=mode, stopwords=stopwords)
+        )
+
+    return F.pandas_udf(_tok, TOKENS_TYPE)
+
+
+@dataclass
+class InvertedIndex:
+    """Logical handle over the index tables.
+
+    postings:   (term, docid, wdf, doclen, positions array<int>)
+    doclens:    (docid, doclen, uniqterms)
+    term_stats: (term, tf, cf, wdf_max)
+    stats:      GlobalStats
+    docs:       original corpus with docid (the `docdata` analogue)
+    blocked:    optional blocked postings table (see merge.py)
+    """
+
+    spark: SparkSession
+    postings: DataFrame
+    doclens: DataFrame
+    term_stats: DataFrame
+    stats: GlobalStats
+    docs: DataFrame
+    tokenizer_mode: str = "xapian"
+    blocked: DataFrame | None = None
+
+    def collect_term_stats(self, terms: list[str]) -> dict[str, TermStats]:
+        """Driver-side stats for a (small) query-term set — the analogue of
+        the reference's stats-gathering pass 1 (matcher.cc:314-337)."""
+        if not terms:
+            return {}
+        rows = self.term_stats.where(F.col("term").isin(terms)).collect()
+        return {
+            r["term"]: TermStats(
+                term=r["term"], tf=r["tf"], cf=r["cf"], wdf_max=r["wdf_max"]
+            )
+            for r in rows
+        }
+
+    def expand_wildcard(
+        self, pattern_head: str, limit: int | None = None, most_frequent: bool = False
+    ) -> list[str]:
+        """OP_WILDCARD expansion against the term dictionary
+        (queryinternal.cc:213-267): prefix match, optional limit."""
+        df = self.term_stats.where(F.col("term").startswith(pattern_head))
+        if most_frequent and limit:
+            df = df.orderBy(F.col("tf").desc(), F.col("term")).limit(limit)
+        rows = df.select("term").collect()
+        terms = sorted(r["term"] for r in rows)
+        if limit and not most_frequent and len(terms) > limit:
+            raise ValueError(
+                f"wildcard expands to {len(terms)} terms > limit {limit}"
+            )
+        return terms
+
+
+def assign_docids(docs: DataFrame, order_cols: list[str]) -> DataFrame:
+    """Deterministic dense 1-based docid by natural-key order.
+
+    A global sort (range shuffle) — the price of reproducible docids at any
+    parallelism, required for rank-identity across cluster sizes.
+    """
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    return docs.withColumn("docid", F.row_number().over(w).cast("long"))
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    content_col: str = "content",
+    docid_col: str | None = None,
+    order_cols: list[str] | None = None,
+    prefix_fields: dict[str, str] | None = None,
+    mode: str = "xapian",
+    stopwords: frozenset[str] | None = None,
+) -> InvertedIndex:
+    """Build the logical index tables from a corpus DataFrame.
+
+    prefix_fields: {column -> term prefix} indexed as boolean terms (wdf=0,
+    no positions), the omega `add_boolean_prefix` convention
+    (api_queryparser.cc:63-79).
+    """
+    if docid_col is None:
+        docs = assign_docids(docs, order_cols or docs.columns[:1])
+        docid_col = "docid"
+    docs = docs.withColumn("docid", F.col(docid_col).cast("long"))
+
+    tok = tokenizer_udf(mode=mode, stopwords=stopwords)
+    toks = docs.select("docid", tok(F.col(content_col)).alias("toks"))
+
+    flat = toks.select(
+        "docid",
+        F.explode("toks").alias("tp"),
+    ).select("docid", F.col("tp.term").alias("term"), F.col("tp.pos").alias("pos"))
+
+    postings = flat.groupBy("term", "docid").agg(
+        F.count(F.lit(1)).cast("int").alias("wdf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
+
+    if prefix_fields:
+        bool_parts = []
+        for col, prefix in prefix_fields.items():
+            bool_parts.append(
+                docs.select(
+                    F.concat(F.lit(prefix), F.lower(F.col(col))).alias("term"),
+                    "docid",
+                    F.lit(0).cast("int").alias("wdf"),
+                    F.lit(None).cast("array<int>").alias("positions"),
+                ).dropDuplicates(["term", "docid"])
+            )
+        for bp in bool_parts:
+            postings = postings.unionByName(bp)
+
+    # doclen = sum(wdf) per doc; docs with no terms keep doclen 0.
+    doclens = (
+        docs.select("docid")
+        .join(
+            postings.groupBy("docid").agg(
+                F.sum("wdf").cast("long").alias("doclen"),
+                F.count(F.lit(1)).cast("long").alias("uniqterms"),
+            ),
+            "docid",
+            "left",
+        )
+        .fillna({"doclen": 0, "uniqterms": 0})
+    )
+
+    # Denormalize doclen onto postings (query-time locality).
+    postings = postings.join(doclens.select("docid", "doclen"), "docid").select(
+        "term", "docid", "wdf", "doclen", "positions"
+    )
+
+    term_stats = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.sum("wdf").cast("long").alias("cf"),
+        F.max("wdf").cast("int").alias("wdf_max"),
+    )
+
+    row = doclens.agg(
+        F.count(F.lit(1)).alias("doccount"),
+        F.coalesce(F.sum("doclen"), F.lit(0)).alias("total_doclen"),
+        F.coalesce(F.min("doclen"), F.lit(0)).alias("doclen_lb"),
+        F.coalesce(F.max("doclen"), F.lit(0)).alias("doclen_ub"),
+    ).collect()[0]
+    stats = GlobalStats(
+        doccount=row["doccount"],
+        total_doclen=row["total_doclen"],
+        doclen_lower_bound=row["doclen_lb"],
+        doclen_upper_bound=row["doclen_ub"],
+    )
+
+    return InvertedIndex(
+        spark=spark,
+        postings=postings,
+        doclens=doclens,
+        term_stats=term_stats,
+        stats=stats,
+        docs=docs,
+        tokenizer_mode=mode,
+    )
+
+
+def persist_index(index: InvertedIndex, cache: bool = True) -> InvertedIndex:
+    """Cache the hot tables (repeated-query workloads / tests)."""
+    if cache:
+        index.postings = index.postings.persist()
+        index.doclens = index.doclens.persist()
+        index.term_stats = index.term_stats.persist()
+    return index
+
+
+def write_index(index: InvertedIndex, path: str, term_buckets: int = 16) -> None:
+    """Write the warehouse: postings range-partitioned+sorted by (term,docid)
+    — explicit term-hash-range layout so a 1000-executor query prunes to the
+    partitions holding its terms; stats as JSON manifest."""
+    os.makedirs(path, exist_ok=True)
+    (
+        index.postings.repartitionByRange(term_buckets, "term", "docid")
+        .sortWithinPartitions("term", "docid")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "postings"))
+    )
+    index.doclens.write.mode("overwrite").parquet(os.path.join(path, "doclens"))
+    index.term_stats.write.mode("overwrite").parquet(
+        os.path.join(path, "term_stats")
+    )
+    index.docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
+    manifest = {
+        "doccount": index.stats.doccount,
+        "total_doclen": index.stats.total_doclen,
+        "doclen_lower_bound": index.stats.doclen_lower_bound,
+        "doclen_upper_bound": index.stats.doclen_upper_bound,
+        "tokenizer_mode": index.tokenizer_mode,
+    }
+    with open(os.path.join(path, "stats.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+
+
+def read_index(spark: SparkSession, path: str) -> InvertedIndex:
+    with open(os.path.join(path, "stats.json")) as f:
+        m = json.load(f)
+    return InvertedIndex(
+        spark=spark,
+        postings=spark.read.parquet(os.path.join(path, "postings")),
+        doclens=spark.read.parquet(os.path.join(path, "doclens")),
+        term_stats=spark.read.parquet(os.path.join(path, "term_stats")),
+        docs=spark.read.parquet(os.path.join(path, "docs")),
+        stats=GlobalStats(
+            doccount=m["doccount"],
+            total_doclen=m["total_doclen"],
+            doclen_lower_bound=m["doclen_lower_bound"],
+            doclen_upper_bound=m["doclen_upper_bound"],
+        ),
+        tokenizer_mode=m.get("tokenizer_mode", "xapian"),
+    )

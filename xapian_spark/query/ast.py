@@ -1,0 +1,197 @@
+"""Query AST mirroring the reference Query::op surface
+(`xapian-core/include/xapian/query.h:76-275`).
+
+`describe()` follows the reference's Query description format so the parser
+golden tests from `api_queryparser.cc` can be ported directly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class Node:
+    def describe(self) -> str:
+        raise NotImplementedError
+
+    def __str__(self) -> str:
+        return f"Query({self.describe()})"
+
+
+@dataclass(frozen=True)
+class MatchAll(Node):
+    def describe(self) -> str:
+        return "<alldocuments>"
+
+
+@dataclass(frozen=True)
+class MatchNothing(Node):
+    def describe(self) -> str:
+        return ""
+
+
+@dataclass(frozen=True)
+class Term(Node):
+    term: str
+    pos: int = 0  # query position (0 = none)
+    wqf: int = 1
+
+    def describe(self) -> str:
+        s = self.term
+        if self.wqf != 1:
+            s += f"#{self.wqf}"
+        if self.pos:
+            s += f"@{self.pos}"
+        return s
+
+
+def _infix(op_name: str, subs: tuple[Node, ...]) -> str:
+    return "(" + f" {op_name} ".join(s.describe() for s in subs) + ")"
+
+
+@dataclass(frozen=True)
+class And(Node):
+    subs: tuple[Node, ...]
+
+    def describe(self) -> str:
+        return _infix("AND", self.subs)
+
+
+@dataclass(frozen=True)
+class Or(Node):
+    subs: tuple[Node, ...]
+
+    def describe(self) -> str:
+        return _infix("OR", self.subs)
+
+
+@dataclass(frozen=True)
+class AndNot(Node):
+    left: Node
+    right: Node
+
+    def describe(self) -> str:
+        return f"({self.left.describe()} AND_NOT {self.right.describe()})"
+
+
+@dataclass(frozen=True)
+class AndMaybe(Node):
+    left: Node
+    right: Node
+
+    def describe(self) -> str:
+        return f"({self.left.describe()} AND_MAYBE {self.right.describe()})"
+
+
+@dataclass(frozen=True)
+class Xor(Node):
+    subs: tuple[Node, ...]
+
+    def describe(self) -> str:
+        return _infix("XOR", self.subs)
+
+
+@dataclass(frozen=True)
+class Filter(Node):
+    """OP_FILTER: docs matching all; only `left` contributes weight
+    (query.h:118-126)."""
+
+    left: Node
+    right: Node
+
+    def describe(self) -> str:
+        return f"({self.left.describe()} FILTER {self.right.describe()})"
+
+
+@dataclass(frozen=True)
+class Max(Node):
+    subs: tuple[Node, ...]
+
+    def describe(self) -> str:
+        return _infix("MAX", self.subs)
+
+
+@dataclass(frozen=True)
+class Synonym(Node):
+    subs: tuple[Node, ...]
+
+    def describe(self) -> str:
+        return _infix("SYNONYM", self.subs)
+
+
+@dataclass(frozen=True)
+class ScaleWeight(Node):
+    factor: float
+    sub: Node
+
+    def describe(self) -> str:
+        return f"{self.factor} * {self.sub.describe()}"
+
+
+@dataclass(frozen=True)
+class Phrase(Node):
+    """OP_PHRASE: terms in order within `window` positions; exact phrase when
+    window == len(subs)."""
+
+    subs: tuple[Node, ...]
+    window: int
+
+    def describe(self) -> str:
+        return "(" + f" PHRASE {self.window} ".join(s.describe() for s in self.subs) + ")"
+
+
+@dataclass(frozen=True)
+class Near(Node):
+    """OP_NEAR: terms within `window`, any order, distinct positions."""
+
+    subs: tuple[Node, ...]
+    window: int
+
+    def describe(self) -> str:
+        return "(" + f" NEAR {self.window} ".join(s.describe() for s in self.subs) + ")"
+
+
+@dataclass(frozen=True)
+class Wildcard(Node):
+    pattern: str  # head before '*'
+    limit: int = 0
+    most_frequent: bool = False
+    combiner: str = "synonym"  # reference default: OP_SYNONYM
+
+    def describe(self) -> str:
+        return f"WILDCARD SYNONYM {self.pattern}"
+
+
+@dataclass(frozen=True)
+class ValueRange(Node):
+    """OP_VALUE_RANGE over a typed doc column (never weighted,
+    query.h:152-156)."""
+
+    field: str
+    lo: object = None
+    hi: object = None
+
+    def describe(self) -> str:
+        return f"VALUE_RANGE {self.field} {self.lo} {self.hi}"
+
+
+def leaf_terms(node: Node) -> list[Term]:
+    """All Term leaves, in-order (for single-scan planning + wqf counting)."""
+    out: list[Term] = []
+
+    def walk(nd: Node) -> None:
+        if isinstance(nd, Term):
+            out.append(nd)
+        elif isinstance(nd, (And, Or, Xor, Max, Synonym, Phrase, Near)):
+            for s in nd.subs:
+                walk(s)
+        elif isinstance(nd, (AndNot, AndMaybe, Filter)):
+            walk(nd.left)
+            walk(nd.right)
+        elif isinstance(nd, ScaleWeight):
+            walk(nd.sub)
+        # MatchAll/MatchNothing/Wildcard/ValueRange: no Term leaves here
+        # (wildcards are expanded before planning).
+
+    walk(node)
+    return out

@@ -1,0 +1,399 @@
+"""AST -> DataFrame plan builder (the match engine).
+
+Spark-first re-expression of the reference match pipeline
+(`Enquire::get_mset`, `xapian-core/matcher/matcher.cc:314-551`):
+
+- pass 1 (stats): one tiny driver-side collect of per-term stats for the
+  query's terms (matcher.cc:314-337 gathers the same numbers per shard).
+- pass 2 (match): ONE scan of the postings table filtered to the query's
+  terms (Catalyst pushes `term IN (...)` + column pruning into the Parquet
+  scan), aggregated into a per-doc term->(wdf, positions) map; every boolean
+  operator (AND/OR/AND_NOT/AND_MAYBE/FILTER/XOR/MAX/SYNONYM) then becomes a
+  pure column expression over that map — zero extra shuffles, zero joins,
+  whole-stage-codegen end to end.  The reference walks posting lists doc at
+  a time (DAAT, postlisttree.h:111-160); a set-at-a-time groupBy is the
+  idiomatic Spark equivalent with identical final semantics.
+- weights: per-term constants precomputed on the driver
+  (Weight::init, weight.h:245-275) and baked into the expression as
+  literals; the per-doc score is an expression-tree sum in fixed AST order
+  (deterministic float summation, unlike SUM over rows).
+- top-k: orderBy(score desc, docid asc).limit(k) -> Catalyst
+  TakeOrderedAndProject = per-partition partial top-k + driver merge, the
+  distributed analogue of the reference's ProtoMSet min-heap
+  (protomset.h:300-404); tie-break matches msetcmp_by_relevance
+  (msetcmp.cc:56-60, FORWARD_DID).
+
+Positional ops run as Arrow-batched post-filters on AND survivors only,
+mirroring SelectPostList::test_doc (selectpostlist.cc).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xapian_spark.index.builder import InvertedIndex
+from xapian_spark.query import ast
+from xapian_spark.query.positional import near_match, phrase_match
+from xapian_spark.ranking.weights import BM25Weight, TermStats, Weight
+
+_EMPTY_TS = lambda t: TermStats(term=t, tf=0, cf=0, wdf_max=0)  # noqa: E731
+
+
+def _phrase_udf(window: int, ordered: bool):
+    fn = phrase_match if ordered else near_match
+
+    def _check(cols: pd.Series) -> pd.Series:
+        out = []
+        for pls in cols:
+            if pls is None or any(pl is None for pl in pls):
+                out.append(False)
+            else:
+                out.append(fn([list(pl) for pl in pls], window))
+        return pd.Series(out)
+
+    return F.pandas_udf(_check, T.BooleanType())
+
+
+@dataclass
+class _Ev:
+    match: Column
+    weight: Column  # 0.0 where unmatched
+
+
+class Planner:
+    """Plans one query against one index."""
+
+    def __init__(self, index: InvertedIndex, weight: Weight | None = None):
+        self.index = index
+        self.weight = weight if weight is not None else BM25Weight()
+
+    # -- AST preparation ----------------------------------------------------
+
+    def _expand(self, node: ast.Node) -> ast.Node:
+        """Expand OP_WILDCARD against the term dictionary
+        (queryinternal.cc:1891-1945)."""
+        if isinstance(node, ast.Wildcard):
+            terms = self.index.expand_wildcard(
+                node.pattern, limit=node.limit or None,
+                most_frequent=node.most_frequent,
+            )
+            if not terms:
+                return ast.MatchNothing()
+            subs = tuple(ast.Term(t) for t in terms)
+            if node.combiner == "or":
+                return subs[0] if len(subs) == 1 else ast.Or(subs)
+            return subs[0] if len(subs) == 1 else ast.Synonym(subs)
+        if isinstance(node, (ast.And, ast.Or, ast.Xor, ast.Max, ast.Synonym)):
+            return type(node)(tuple(self._expand(s) for s in node.subs))
+        if isinstance(node, (ast.Phrase, ast.Near)):
+            return type(node)(
+                tuple(self._expand(s) for s in node.subs), node.window
+            )
+        if isinstance(node, (ast.AndNot, ast.AndMaybe, ast.Filter)):
+            return type(node)(self._expand(node.left), self._expand(node.right))
+        if isinstance(node, ast.ScaleWeight):
+            return ast.ScaleWeight(node.factor, self._expand(node.sub))
+        return node
+
+    @staticmethod
+    def _contains(node: ast.Node, cls) -> bool:
+        stack = [node]
+        while stack:
+            nd = stack.pop()
+            if isinstance(nd, cls):
+                return True
+            if isinstance(nd, (ast.And, ast.Or, ast.Xor, ast.Max, ast.Synonym,
+                               ast.Phrase, ast.Near)):
+                stack.extend(nd.subs)
+            elif isinstance(nd, (ast.AndNot, ast.AndMaybe, ast.Filter)):
+                stack.extend((nd.left, nd.right))
+            elif isinstance(nd, ast.ScaleWeight):
+                stack.append(nd.sub)
+        return False
+
+    # -- candidate construction ---------------------------------------------
+
+    def _candidates(
+        self, terms: list[str], need_positions: bool, need_all_docs: bool,
+        value_fields: list[str],
+    ) -> DataFrame:
+        idx = self.index
+        p = idx.postings.where(F.col("term").isin(terms)) if terms else None
+        if p is not None:
+            entry_val = (
+                F.struct("wdf", "positions") if need_positions
+                else F.struct("wdf")
+            )
+            cand = p.groupBy("docid").agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct(F.col("term"), entry_val))
+                ).alias("tmap"),
+                F.max("doclen").alias("doclen"),
+            )
+        else:
+            cand = None
+
+        if need_all_docs:
+            base = idx.doclens.select("docid", "doclen")
+            if cand is not None:
+                cand = base.join(cand.drop("doclen"), "docid", "left")
+            else:
+                cand = base.withColumn(
+                    "tmap",
+                    F.lit(None).cast("map<string,struct<wdf:int>>"),
+                )
+        if value_fields:
+            cand = cand.join(
+                idx.docs.select("docid", *value_fields), "docid", "left"
+            )
+        return cand
+
+    # -- evaluation ----------------------------------------------------------
+
+    def _eval(
+        self,
+        node: ast.Node,
+        factor: float,
+        tstats: dict[str, TermStats],
+        wqf: dict[str, int],
+        syn_stats: dict[int, TermStats],
+    ) -> _Ev:
+        F0 = F.lit(0.0)
+        if isinstance(node, ast.MatchNothing):
+            return _Ev(F.lit(False), F0)
+        if isinstance(node, ast.MatchAll):
+            return _Ev(F.lit(True), F0)
+
+        if isinstance(node, ast.Term):
+            entry = F.col("tmap").getItem(node.term)
+            match = entry.isNotNull()
+            if factor == 0.0:
+                return _Ev(match, F0)
+            ts = tstats.get(node.term) or _EMPTY_TS(node.term)
+            if ts.tf == 0:
+                return _Ev(F.lit(False), F0)
+            tw = self.weight.init_term(
+                self.index.stats, ts, wqf=wqf.get(node.term, 1), factor=factor
+            )
+            w = F.when(
+                match, tw.sumpart_expr(entry.getField("wdf"), F.col("doclen"))
+            ).otherwise(0.0)
+            return _Ev(match, w)
+
+        if isinstance(node, ast.And):
+            evs = [self._eval(s, factor, tstats, wqf, syn_stats) for s in node.subs]
+            match = evs[0].match
+            weight = evs[0].weight
+            for e in evs[1:]:
+                match = match & e.match
+                weight = weight + e.weight
+            return _Ev(match, weight)
+
+        if isinstance(node, ast.Or):
+            evs = [self._eval(s, factor, tstats, wqf, syn_stats) for s in node.subs]
+            match = evs[0].match
+            weight = evs[0].weight
+            for e in evs[1:]:
+                match = match | e.match
+                weight = weight + e.weight
+            return _Ev(match, weight)
+
+        if isinstance(node, ast.AndNot):
+            le = self._eval(node.left, factor, tstats, wqf, syn_stats)
+            re_ = self._eval(node.right, 0.0, tstats, wqf, syn_stats)
+            return _Ev(le.match & ~re_.match, le.weight)
+
+        if isinstance(node, ast.AndMaybe):
+            le = self._eval(node.left, factor, tstats, wqf, syn_stats)
+            re_ = self._eval(node.right, factor, tstats, wqf, syn_stats)
+            return _Ev(le.match, le.weight + re_.weight)
+
+        if isinstance(node, ast.Filter):
+            le = self._eval(node.left, factor, tstats, wqf, syn_stats)
+            re_ = self._eval(node.right, 0.0, tstats, wqf, syn_stats)
+            return _Ev(le.match & re_.match, le.weight)
+
+        if isinstance(node, ast.Xor):
+            evs = [self._eval(s, factor, tstats, wqf, syn_stats) for s in node.subs]
+            cnt = evs[0].match.cast("int")
+            weight = evs[0].weight
+            for e in evs[1:]:
+                cnt = cnt + e.match.cast("int")
+                weight = weight + e.weight
+            return _Ev(cnt % 2 == 1, weight)
+
+        if isinstance(node, ast.Max):
+            evs = [self._eval(s, factor, tstats, wqf, syn_stats) for s in node.subs]
+            match = evs[0].match
+            for e in evs[1:]:
+                match = match | e.match
+            parts = [F.when(e.match, e.weight) for e in evs]
+            weight = F.coalesce(
+                F.greatest(*parts) if len(parts) > 1 else parts[0], F.lit(0.0)
+            )
+            return _Ev(match, weight)
+
+        if isinstance(node, ast.Synonym):
+            # Scored as ONE pseudo-term over combined stats (query.h:231-237):
+            # wdf = sum of child wdfs clamped to doclen
+            # (synonympostlist.h:50-57).  We use the EXACT synonym termfreq
+            # (cheap in Spark) where the reference estimates it
+            # (queryinternal.cc:384-431) — documented divergence.
+            subterms = [t.term for t in ast.leaf_terms(node)]
+            entry_wdfs = [
+                F.coalesce(
+                    F.col("tmap").getItem(t).getField("wdf"), F.lit(0)
+                )
+                for t in subterms
+            ]
+            wdf_sum = entry_wdfs[0]
+            for e in entry_wdfs[1:]:
+                wdf_sum = wdf_sum + e
+            wdf_syn = F.least(wdf_sum.cast("long"), F.col("doclen"))
+            match = F.col("tmap").getItem(subterms[0]).isNotNull()
+            for t in subterms[1:]:
+                match = match | F.col("tmap").getItem(t).isNotNull()
+            if factor == 0.0:
+                return _Ev(match, F0)
+            ts = syn_stats[id(node)]
+            tw = self.weight.init_term(self.index.stats, ts, wqf=1, factor=factor)
+            w = F.when(
+                match, tw.sumpart_expr(wdf_syn, F.col("doclen"))
+            ).otherwise(0.0)
+            return _Ev(match, w)
+
+        if isinstance(node, ast.ScaleWeight):
+            return self._eval(node.sub, factor * node.factor, tstats, wqf, syn_stats)
+
+        if isinstance(node, (ast.Phrase, ast.Near)):
+            subterms = [t.term for t in ast.leaf_terms(node)]
+            evs = [
+                self._eval(ast.Term(t), factor, tstats, wqf, syn_stats)
+                for t in subterms
+            ]
+            match = evs[0].match
+            weight = evs[0].weight
+            for e in evs[1:]:
+                match = match & e.match
+                weight = weight + e.weight
+            pos_arr = F.array(
+                *[
+                    F.col("tmap").getItem(t).getField("positions")
+                    for t in subterms
+                ]
+            )
+            ordered = isinstance(node, ast.Phrase)
+            check = _phrase_udf(node.window, ordered)
+            # Positional UDF applies only to AND survivors (cheap gate first).
+            match = match & check(pos_arr)
+            return _Ev(match, weight)
+
+        if isinstance(node, ast.ValueRange):
+            col = F.col(node.field)
+            if node.lo is not None and node.hi is not None:
+                m = col.between(F.lit(node.lo), F.lit(node.hi))
+            elif node.lo is not None:
+                m = col >= F.lit(node.lo)
+            else:
+                m = col <= F.lit(node.hi)
+            return _Ev(F.coalesce(m, F.lit(False)), F0)
+
+        raise TypeError(f"unsupported node: {type(node).__name__}")
+
+    # -- public API -----------------------------------------------------------
+
+    def plan(self, query: ast.Node) -> DataFrame:
+        """(docid, score) of all matching docs."""
+        query = self._expand(query)
+        leaves = ast.leaf_terms(query)
+        terms = sorted({t.term for t in leaves})
+        wqf: dict[str, int] = {}
+        for t in leaves:
+            wqf[t.term] = wqf.get(t.term, 0) + t.wqf
+
+        tstats = self.index.collect_term_stats(terms)
+
+        # Exact synonym stats (one tiny job per synonym group).
+        syn_stats: dict[int, TermStats] = {}
+
+        def gather_syn(nd: ast.Node) -> None:
+            if isinstance(nd, ast.Synonym):
+                sts = [t.term for t in ast.leaf_terms(nd)]
+                tf = (
+                    self.index.postings.where(F.col("term").isin(sts))
+                    .select("docid")
+                    .distinct()
+                    .count()
+                )
+                cf = sum((tstats.get(t) or _EMPTY_TS(t)).cf for t in sts)
+                wdf_max = min(
+                    self.index.stats.doclen_upper_bound or 0,
+                    sum((tstats.get(t) or _EMPTY_TS(t)).wdf_max for t in sts),
+                )
+                syn_stats[id(nd)] = TermStats(
+                    term="(syn)", tf=tf, cf=cf, wdf_max=wdf_max
+                )
+            if isinstance(nd, (ast.And, ast.Or, ast.Xor, ast.Max, ast.Synonym)):
+                for s in nd.subs:
+                    gather_syn(s)
+            elif isinstance(nd, (ast.AndNot, ast.AndMaybe, ast.Filter)):
+                gather_syn(nd.left)
+                gather_syn(nd.right)
+            elif isinstance(nd, ast.ScaleWeight):
+                gather_syn(nd.sub)
+
+        gather_syn(query)
+
+        need_pos = self._contains(query, (ast.Phrase, ast.Near))
+        need_all = self._contains(query, ast.MatchAll)
+        vr_fields = sorted(
+            {
+                nd.field
+                for nd in _walk(query)
+                if isinstance(nd, ast.ValueRange)
+            }
+        )
+        cand = self._candidates(terms, need_pos, need_all, vr_fields)
+        if cand is None:
+            # no term leaves and no MatchAll: empty result
+            return self.index.spark.createDataFrame(
+                [], "docid long, score double"
+            )
+        ev = self._eval(query, 1.0, tstats, wqf, syn_stats)
+        return (
+            cand.withColumn("score", ev.weight)
+            .where(ev.match)
+            .select("docid", "score")
+        )
+
+    def search(self, query: ast.Node, k: int = 10, offset: int = 0) -> DataFrame:
+        """Top-k MSet: (rank, docid, score); rank 1-based after offset."""
+        matches = self.plan(query)
+        top = matches.orderBy(F.desc("score"), F.asc("docid")).limit(offset + k)
+        # The limit()ed set is tiny: a driver-side window is fine.
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.desc("score"), F.asc("docid"))
+        ranked = top.withColumn("rank", F.row_number().over(w))
+        if offset:
+            ranked = ranked.where(F.col("rank") > offset)
+        return ranked.select("rank", "docid", "score")
+
+
+def _walk(node: ast.Node):
+    stack = [node]
+    while stack:
+        nd = stack.pop()
+        yield nd
+        if isinstance(nd, (ast.And, ast.Or, ast.Xor, ast.Max, ast.Synonym,
+                           ast.Phrase, ast.Near)):
+            stack.extend(nd.subs)
+        elif isinstance(nd, (ast.AndNot, ast.AndMaybe, ast.Filter)):
+            stack.extend((nd.left, nd.right))
+        elif isinstance(nd, ast.ScaleWeight):
+            stack.append(nd.sub)

@@ -1,0 +1,285 @@
+"""Weight schemes as Spark column-expression factories.
+
+Mirrors the reference plug-in surface (`xapian-core/include/xapian/weight.h`):
+``init(factor)`` precomputes per-term constants on the DRIVER from collected
+stats (the reference does the same once per query), then ``sumpart_expr``
+emits a pure Catalyst column expression over ``(wdf, doclen)`` — JVM-side,
+whole-stage-codegen, no UDF in the scoring hot path.
+
+BM25Weight follows `xapian-core/weight/bm25weight.cc:46-238` exactly:
+
+- defaults k1=1, k2=0, k3=1, b=0.5, min_normlen=0.5 (`weight.h:897-907`)
+- idf: ``tw = (N - tf + 0.5) / (tf + 0.5)``; if ``tw < 2``: ``tw = tw*0.5+1``;
+  ``termweight = log(tw) * factor``; ``*= (k3+1)*wqf/(k3+wqf)`` when k3!=0;
+  ``*= (k1+1)`` (bm25weight.cc:76-117)
+- ``len_factor = 0`` if k2==0 and (b==0 or k1==0), else ``1/avg_len``
+  (bm25weight.cc:119-128)
+- sumpart: ``normlen = max(doclen*len_factor, min_normlen)``;
+  ``termweight * wdf / (k1*(normlen*b + (1-b)) + wdf)`` (bm25weight.cc:170-181)
+- maxpart (block-max bound): evaluated at wdf_max with
+  ``normlen_lb = max(max(wdf_max, doclen_lb)*len_factor, min_normlen)``
+  (bm25weight.cc:183-208, citing Macdonald/Tonellotto/Ounis TOIS 29(4))
+- sumextra: ``2*k2*qlen / (1 + normlen)`` (bm25weight.cc:210-238)
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class GlobalStats:
+    """Collection-wide statistics (reference: glass_version.h:127-273)."""
+
+    doccount: int
+    total_doclen: int
+    doclen_lower_bound: int
+    doclen_upper_bound: int
+
+    @property
+    def average_length(self) -> float:
+        if self.doccount == 0:
+            return 0.0
+        return self.total_doclen / self.doccount
+
+
+@dataclass(frozen=True)
+class TermStats:
+    """Per-term statistics: termfreq, collection freq, max wdf."""
+
+    term: str
+    tf: int
+    cf: int
+    wdf_max: int
+
+
+class Weight:
+    """Base: subclasses set per-term constants in init_term()."""
+
+    name = "base"
+
+    def init_term(
+        self, stats: GlobalStats, ts: TermStats, wqf: int = 1, factor: float = 1.0
+    ) -> "TermWeight":
+        raise NotImplementedError
+
+    def sumextra_expr(self, doclen: Column, query_length: int) -> Column:
+        return F.lit(0.0)
+
+    def maxextra(self, stats: GlobalStats, query_length: int) -> float:
+        return 0.0
+
+
+@dataclass(frozen=True)
+class TermWeight:
+    """Per-(query-term) precomputed constants + expression emitters."""
+
+    termweight: float
+    k1: float
+    b: float
+    min_normlen: float
+    len_factor: float
+
+    def sumpart_expr(self, wdf: Column, doclen: Column) -> Column:
+        normlen = F.greatest(
+            doclen.cast("double") * F.lit(self.len_factor),
+            F.lit(self.min_normlen),
+        )
+        wdf_d = wdf.cast("double")
+        denom = (
+            F.lit(self.k1) * (normlen * F.lit(self.b) + F.lit(1.0 - self.b)) + wdf_d
+        )
+        return F.lit(self.termweight) * (wdf_d / denom)
+
+    def sumpart_py(self, wdf: float, doclen: float) -> float:
+        """Scalar twin of sumpart_expr (oracle tests, WAND threshold calc)."""
+        normlen = max(doclen * self.len_factor, self.min_normlen)
+        denom = self.k1 * (normlen * self.b + (1.0 - self.b)) + wdf
+        return self.termweight * (wdf / denom)
+
+    def maxpart(self, wdf_max: int, doclen_lower_bound: int) -> float:
+        """Upper bound of sumpart over docs with wdf <= wdf_max.
+
+        Safe for block-max pruning (bm25weight.cc:183-208).
+        """
+        denom = self.k1
+        if self.k1 != 0.0 and self.b != 0.0:
+            normlen_lb = max(
+                max(wdf_max, doclen_lower_bound) * self.len_factor,
+                self.min_normlen,
+            )
+            denom *= normlen_lb * self.b + (1.0 - self.b)
+        denom += wdf_max
+        if denom <= 0:
+            return 0.0
+        return self.termweight * (wdf_max / denom)
+
+
+@dataclass
+class BM25Weight(Weight):
+    k1: float = 1.0
+    k2: float = 0.0
+    k3: float = 1.0
+    b: float = 0.5
+    min_normlen: float = 0.5
+
+    name: str = field(default="bm25", init=False)
+
+    def _len_factor(self, stats: GlobalStats) -> float:
+        if self.k2 == 0 and (self.b == 0 or self.k1 == 0):
+            return 0.0
+        avg = stats.average_length
+        return 1.0 / avg if avg != 0 else 0.0
+
+    def init_term(
+        self, stats: GlobalStats, ts: TermStats, wqf: int = 1, factor: float = 1.0
+    ) -> TermWeight:
+        tf = ts.tf
+        tw = (stats.doccount - tf + 0.5) / (tf + 0.5)
+        if tw < 2:
+            tw = tw * 0.5 + 1
+        termweight = math.log(tw) * factor
+        if self.k3 != 0:
+            termweight *= (self.k3 + 1) * wqf / (self.k3 + wqf)
+        termweight *= self.k1 + 1
+        return TermWeight(
+            termweight=termweight,
+            k1=self.k1,
+            b=self.b,
+            min_normlen=self.min_normlen,
+            len_factor=self._len_factor(stats),
+        )
+
+    def sumextra_expr(self, doclen: Column, query_length: int) -> Column:
+        if self.k2 == 0:
+            return F.lit(0.0)
+        num = 2.0 * self.k2 * query_length
+        normlen = F.greatest(
+            doclen.cast("double") * F.lit(1.0),  # len_factor applied by caller
+            F.lit(self.min_normlen),
+        )
+        return F.lit(num) / (F.lit(1.0) + normlen)
+
+
+@dataclass
+class TradWeight(Weight):
+    """Traditional probabilistic weighting (xapian-core/weight/tradweight.cc):
+    equivalent to BM25 with k1=param_k, b=1, k2=k3=0, min_normlen=0."""
+
+    k: float = 1.0
+    name: str = field(default="trad", init=False)
+
+    def init_term(
+        self, stats: GlobalStats, ts: TermStats, wqf: int = 1, factor: float = 1.0
+    ) -> TermWeight:
+        tf = ts.tf
+        tw = (stats.doccount - tf + 0.5) / (tf + 0.5)
+        if tw < 2:
+            tw = tw * 0.5 + 1
+        termweight = math.log(tw) * factor
+        avg = stats.average_length
+        len_factor = (self.k / avg) if (self.k != 0 and avg != 0) else 0.0
+        # sumpart = termweight * wdf / (k*normlen + wdf); reuse TermWeight with
+        # k1=1, b=1, min_normlen=0, len_factor = k/avg_len.
+        return TermWeight(
+            termweight=termweight,
+            k1=1.0,
+            b=1.0,
+            min_normlen=0.0,
+            len_factor=len_factor,
+        )
+
+
+@dataclass
+class CoordWeight(Weight):
+    """1 point per matching subquery (xapian-core/weight/coordweight.cc)."""
+
+    name: str = field(default="coord", init=False)
+
+    def init_term(
+        self, stats: GlobalStats, ts: TermStats, wqf: int = 1, factor: float = 1.0
+    ) -> TermWeight:
+        return FlatTermWeight(termweight=factor)
+
+
+@dataclass
+class BoolWeight(Weight):
+    """All-zero weights (xapian-core/weight/boolweight.cc)."""
+
+    name: str = field(default="bool", init=False)
+
+    def init_term(
+        self, stats: GlobalStats, ts: TermStats, wqf: int = 1, factor: float = 1.0
+    ) -> TermWeight:
+        return TermWeight(
+            termweight=0.0, k1=0.0, b=0.0, min_normlen=0.0, len_factor=0.0
+        )
+
+
+@dataclass
+class TfIdfWeight(Weight):
+    """tf*idf, "ntn" normalization default (xapian-core/weight/tfidfweight.cc):
+    wdfn = wdf, idfn = log(N/tf), weight = wdfn * idfn * wqf_factor."""
+
+    name: str = field(default="tfidf", init=False)
+
+    def init_term(
+        self, stats: GlobalStats, ts: TermStats, wqf: int = 1, factor: float = 1.0
+    ) -> TermWeight:
+        idf = math.log(stats.doccount / ts.tf) if ts.tf > 0 else 0.0
+        # sumpart = termweight * wdf  -> TermWeight with k1=0,b=0: tw*wdf/wdf
+        # doesn't give wdf-proportional; use LinearTermWeight instead.
+        return LinearTermWeight(termweight=idf * factor)
+
+
+@dataclass(frozen=True)
+class FlatTermWeight(TermWeight):
+    """sumpart = termweight, flat per match (CoordWeight, BoolWeight)."""
+
+    termweight: float = 0.0
+    k1: float = 0.0
+    b: float = 0.0
+    min_normlen: float = 0.0
+    len_factor: float = 0.0
+
+    def sumpart_expr(self, wdf: Column, doclen: Column) -> Column:
+        return F.lit(self.termweight)
+
+    def sumpart_py(self, wdf: float, doclen: float) -> float:
+        return self.termweight
+
+    def maxpart(self, wdf_max: int, doclen_lower_bound: int) -> float:
+        return self.termweight
+
+
+@dataclass(frozen=True)
+class LinearTermWeight(TermWeight):
+    """sumpart = termweight * wdf (used by TfIdf 'ntn')."""
+
+    termweight: float = 0.0
+    k1: float = 0.0
+    b: float = 0.0
+    min_normlen: float = 0.0
+    len_factor: float = 0.0
+
+    def sumpart_expr(self, wdf: Column, doclen: Column) -> Column:
+        return F.lit(self.termweight) * wdf.cast("double")
+
+    def sumpart_py(self, wdf: float, doclen: float) -> float:
+        return self.termweight * wdf
+
+    def maxpart(self, wdf_max: int, doclen_lower_bound: int) -> float:
+        return self.termweight * wdf_max
+
+
+WEIGHT_SCHEMES = {
+    "bm25": BM25Weight,
+    "trad": TradWeight,
+    "coord": CoordWeight,
+    "bool": BoolWeight,
+    "tfidf": TfIdfWeight,
+}

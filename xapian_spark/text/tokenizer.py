@@ -1,0 +1,253 @@
+"""Xapian-semantics tokenizer, PySpark-native.
+
+Re-implements the *behavior* of the reference tokenizer
+(`xapian-core/queryparser/termgenerator_internal.cc:181-279`, `parse_terms`)
+from scratch in Python:
+
+- word characters = Unicode categories Lu Ll Lt Lm Lo Mn Me Mc Nd Nl No Pc
+  (`xapian-core/include/xapian/unicode.h:358-373`)
+- per-codepoint lowercase folding (`termgenerator_internal.cc:56-61`)
+- acronyms of '.'-separated ASCII capitals: ``U.N.C.L.E`` -> ``uncle``
+  (`termgenerator_internal.cc:197-216`)
+- infix joiners ``' & \xb7 ״ ‧`` plus Unicode apostrophes between word
+  chars (`check_infix`, `termgenerator_internal.cc:80-96`)
+- digit-infix ``, . ;`` (+ Unicode list) between digits
+  (`check_infix_digit`, `termgenerator_internal.cc:98-119`)
+- trailing ``+`` / ``#`` kept up to 3, dropped if followed by a word char
+  (`check_suffix` `:126-132`, guard `:259-273`)
+- terms longer than 64 bytes UTF-8 are dropped and do not consume a
+  position (`termgenerator_internal.h:44`, action at `:317`)
+
+Two execution paths, identical output (differential-tested):
+
+- ``_parse_terms_slow``: exact port of the state machine (any input).
+- ``_ASCII_TOKEN_RE``: a single compiled regex equivalent for pure-ASCII
+  strings — the hot path inside Arrow-batched pandas UDFs; no per-codepoint
+  Python in the common case.
+
+A separate ``simple`` mode (lowercase + split on ``[^a-z0-9_]+``) exists so
+query results can be reproduced exactly by an ANSI-SQL oracle (DuckDB).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from typing import Iterable
+
+MAX_TERM_BYTES = 64  # reference: termgenerator_internal.h:44
+
+_WORDCHAR_CATS = frozenset(
+    ("Lu", "Ll", "Lt", "Lm", "Lo", "Mn", "Me", "Mc", "Nd", "Nl", "No", "Pc")
+)
+
+_INFIX_KEEP = "'&\u00b7\u05f4\u2027"
+_INFIX_APOS = "\u2019\u201b"
+_IGNORE_CHARS = "\u200b\u200c\u200d\u2060\ufeff"
+_INFIX_DIGIT = ",.;\u037e\u0589\u060d\u07f8\u2044\ufe10\ufe13\ufe14"
+
+_IGNORE = "\x00"  # sentinel: join with no joiner character
+
+
+def _is_wordchar(ch: str) -> bool:
+    return unicodedata.category(ch) in _WORDCHAR_CATS
+
+
+def _tolower(ch: str) -> str:
+    low = ch.lower()
+    # Xapian folds per-codepoint (simple case mapping); Python's str.lower is
+    # the full mapping — fall back to identity when they diverge (1 -> n chars).
+    return low if len(low) == 1 else ch
+
+
+def _check_wordchar(ch: str) -> str:
+    return _tolower(ch) if _is_wordchar(ch) else ""
+
+
+def _check_infix(ch: str) -> str:
+    if ch in _INFIX_KEEP:
+        return ch
+    if ch in _INFIX_APOS:
+        return "'"
+    if ch in _IGNORE_CHARS:
+        return _IGNORE
+    return ""
+
+
+def _check_infix_digit(ch: str) -> str:
+    if ch in _INFIX_DIGIT:
+        return ch
+    if ch in _IGNORE_CHARS:
+        return _IGNORE
+    return ""
+
+
+def _is_digit(ch: str) -> bool:
+    return unicodedata.category(ch) == "Nd"
+
+
+def _parse_terms_slow(s: str) -> list[str]:
+    """Exact re-implementation of parse_terms (no stemming, no word breaks)."""
+    n = len(s)
+    i = 0
+    out: list[str] = []
+    while True:
+        while i < n and not _is_wordchar(s[i]):
+            i += 1
+        if i >= n:
+            return out
+
+        term: list[str] = []
+
+        # Acronyms: '.'-separated ASCII capitals (>= 2 letters), not followed
+        # by a word char.
+        if "A" <= s[i] <= "Z":
+            p = i
+            term.append(_tolower(s[p]))
+            p += 1
+            while p < n and s[p] == ".":
+                p += 1
+                if p < n and "A" <= s[p] <= "Z":
+                    term.append(_tolower(s[p]))
+                    p += 1
+                else:
+                    break
+            if len(term) > 1 and (p >= n or not _is_wordchar(s[p])):
+                i = p
+                out.append("".join(term))
+                continue
+            term = []
+
+        ch = _check_wordchar(s[i])
+        ended = False
+        prevch = ""
+        while True:
+            while ch:
+                term.append(ch)
+                prevch = ch
+                i += 1
+                if i >= n:
+                    ended = True
+                    break
+                ch = _check_wordchar(s[i])
+            if ended:
+                break
+            # s[i] is a non-wordchar; look one ahead for an infix join.
+            if i + 1 >= n:
+                break
+            nextch = _check_wordchar(s[i + 1])
+            if not nextch:
+                break
+            if _is_digit(prevch) and _is_digit(s[i + 1]):
+                infix = _check_infix_digit(s[i])
+            else:
+                infix = _check_infix(s[i])
+            if not infix:
+                break
+            if infix != _IGNORE:
+                term.append(infix)
+            ch = nextch
+            i += 1
+
+        if not ended:
+            # Trailing '+' / '#': keep up to 3, drop all if >3 or if a word
+            # char follows (don't index fish+chips as fish+ chips).
+            keep = len(term)
+            count = 0
+            while i < n and s[i] in "+#":
+                count += 1
+                if count > 3:
+                    del term[keep:]
+                    break
+                term.append(s[i])
+                i += 1
+                if i >= n:
+                    ended = True
+                    break
+            if not ended and i < n and _is_wordchar(s[i]):
+                del term[keep:]
+
+        out.append("".join(term))
+
+
+# --- fast path: compiled-regex equivalent for pure-ASCII input -------------
+
+_A_WORD = r"[A-Za-z0-9_]"
+_ASCII_TOKEN_RE = re.compile(
+    # acronym: >=2 '.'-separated capitals; trailing '.' consumed if present;
+    # next char must not be a word char
+    rf"(?P<acro>[A-Z](?:\.[A-Z])+)(?:\.(?!{_A_WORD})|(?![A-Za-z0-9_.]))"
+    r"|"
+    # normal term: word runs joined by digit-infix [.,;] or ['&] (not
+    # digit-digit), then up to 3 trailing +/# not followed by a word char
+    rf"(?P<term>{_A_WORD}+"
+    rf"(?:(?:(?<=[0-9])[.,;](?=[0-9])|(?<![0-9])['&](?={_A_WORD})|['&](?=[A-Za-z_]))"
+    rf"{_A_WORD}+)*)"
+    rf"(?P<suffix>[+#]{{1,3}}(?![A-Za-z0-9_+#]))?"
+)
+
+
+def _parse_terms_ascii(s: str) -> list[str]:
+    out: list[str] = []
+    for m in _ASCII_TOKEN_RE.finditer(s):
+        acro = m.group("acro")
+        if acro is not None:
+            out.append(acro.replace(".", "").lower())
+        else:
+            out.append((m.group("term") + (m.group("suffix") or "")).lower())
+    return out
+
+
+def parse_terms(text: str) -> list[str]:
+    """All terms of *text* in order, Xapian ``parse_terms`` semantics.
+
+    Includes over-long terms; callers apply the 64-byte filter (which also
+    controls position assignment).
+    """
+    if text.isascii():
+        return _parse_terms_ascii(text)
+    return _parse_terms_slow(text)
+
+
+_SIMPLE_RE = re.compile(r"[a-z0-9_]+")
+
+
+def parse_terms_simple(text: str) -> list[str]:
+    """``simple`` mode: lowercase + runs of [a-z0-9_]. SQL-oracle-reproducible
+    (DuckDB: ``regexp_extract_all(lower(text), '[a-z0-9_]+')``)."""
+    return _SIMPLE_RE.findall(text.lower())
+
+
+def tokenize_with_positions(
+    text: str,
+    mode: str = "xapian",
+    stopwords: frozenset[str] | None = None,
+) -> list[tuple[str, int]]:
+    """(term, position) pairs; positions start at 1.
+
+    Terms longer than 64 bytes UTF-8 are dropped and do not consume a
+    position; STOP_ALL stopwords likewise
+    (reference: termgenerator_internal.cc:296-316,317).
+    """
+    terms = parse_terms(text) if mode == "xapian" else parse_terms_simple(text)
+    out: list[tuple[str, int]] = []
+    pos = 0
+    for t in terms:
+        if len(t.encode("utf-8")) > MAX_TERM_BYTES:
+            continue
+        if stopwords is not None and t in stopwords:
+            continue
+        pos += 1
+        out.append((t, pos))
+    return out
+
+
+def tokenize_batch(
+    texts: Iterable[str],
+    mode: str = "xapian",
+    stopwords: frozenset[str] | None = None,
+) -> list[list[tuple[str, int]]]:
+    return [
+        tokenize_with_positions(t or "", mode=mode, stopwords=stopwords)
+        for t in texts
+    ]
