@@ -1,0 +1,211 @@
+"""Training-data pipeline operators: dedup, similarity, text stats,
+multimodal plumbing — verified on the driver-generated testdata tables."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def _py_tokens(text):
+    import re
+
+    return re.findall(r"[a-z0-9_]+", text.lower())
+
+
+def _py_shingles(text, k=3):
+    t = _py_tokens(text)
+    return {" ".join(t[i : i + k]) for i in range(max(len(t) - k + 1, 1))} if len(t) >= k else set()
+
+
+def test_exact_duplicates(spark, documents):
+    from xapian_spark.ops.dedup import exact_duplicates
+
+    out = exact_duplicates(documents, "doc_id", "text").collect()
+    assert len(out) == documents.count()
+    # group sizes consistent with a python groupby on normalized text
+    texts = {r["doc_id"]: " ".join(_py_tokens(r["text"])) for r in documents.collect()}
+    from collections import Counter
+
+    sizes = Counter(texts.values())
+    for r in out:
+        assert r["group_size"] == sizes[texts[r["id"]]]
+
+
+def test_ngram_jaccard_exact(spark, documents):
+    from xapian_spark.ops.dedup import ngram_jaccard_pairs
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            documents, "doc_id", "text", k=3, threshold=0.35
+        ).collect()
+    }
+    # brute force on the driver
+    rows = documents.collect()
+    sh = {r["doc_id"]: _py_shingles(r["text"]) for r in rows}
+    want = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        sa, sb = sh[a], sh[b]
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.35:
+            want[(a, b)] = j
+    assert set(got) == set(want)
+    for k_ in got:
+        assert got[k_] == pytest.approx(want[k_], abs=1e-12)
+
+
+def test_minhash_lsh_finds_near_dups(spark, documents):
+    from xapian_spark.ops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            documents, "doc_id", "text", k=3, threshold=0.6
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            documents, "doc_id", "text", num_hashes=32, bands=8,
+            verify_threshold=0.6,
+        ).collect()
+    }
+    # verified-LSH output must be a subset of exact pairs; recall high
+    assert got.issubset(exact)
+    if exact:
+        assert len(got) / len(exact) >= 0.8
+
+
+def test_simhash_near_pairs(spark, documents):
+    from xapian_spark.ops.dedup import simhash_near_pairs
+
+    rows = simhash_near_pairs(documents, "doc_id", "text", max_hamming=10).collect()
+    for r in rows:
+        assert 0 <= r["hamming"] <= 10
+        assert r["id_a"] < r["id_b"]
+
+
+def test_cosine_topk_exact(spark, embeddings):
+    from xapian_spark.ops.similarity import cosine_topk
+
+    queries = embeddings.where(F.col("vec_id") < 3)
+    got = cosine_topk(embeddings, queries, k=5).collect()
+    # numpy brute force
+    data = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in embeddings.collect()}
+    for qid in [0, 1, 2]:
+        qv = data[qid]
+        sims = {
+            vid: float(np.dot(qv, v) / (np.linalg.norm(qv) * np.linalg.norm(v)))
+            for vid, v in data.items()
+            if vid != qid
+        }
+        want = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        rows = sorted(
+            [(r["neighbor_id"], r["cosine"]) for r in got if r["query_id"] == qid],
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        assert [w[0] for w in want] == [g[0] for g in rows]
+        for (wid, ws), (gid, gs) in zip(want, rows):
+            assert gs == pytest.approx(ws, abs=1e-9)
+
+
+def test_lsh_cosine_recall(spark, embeddings):
+    from xapian_spark.ops.similarity import cosine_topk, lsh_cosine_topk
+
+    queries = embeddings.where(F.col("vec_id") < 10)
+    exact = cosine_topk(embeddings, queries, k=3).collect()
+    approx = lsh_cosine_topk(
+        embeddings, queries, k=3, n_planes=4, n_tables=12
+    ).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5  # approximate path must be sane
+
+
+def test_token_count_and_quality(spark, documents):
+    from xapian_spark.ops.textstats import quality_scores, token_count
+
+    tc = {r["id"]: r["n_tokens"] for r in token_count(documents, "doc_id", "text").collect()}
+    for r in documents.collect():
+        assert tc[r["doc_id"]] == len(_py_tokens(r["text"]))
+    q = quality_scores(documents, "doc_id", "text").collect()
+    for r in q:
+        assert 0.0 <= r["alpha_ratio"] <= 1.0
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
+        assert 0.0 <= r["repetition_ratio"] < 1.0
+
+
+def test_language_id(spark):
+    from xapian_spark.ops.textstats import language_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is in that house for it was"),
+            (2, "der hund und die katze ist nicht ein tier mit"),
+            (3, "le chat et la maison est pour les enfants de"),
+            (4, "zzz qqq xxx"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["lang_pred"] for r in language_id(df, "id", "text").collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "fr"
+    assert got[4] == "und"
+
+
+def test_fingerprint_order_sensitive(spark):
+    from xapian_spark.ops.textstats import fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma"), (4, "")],
+        "id long, text string",
+    )
+    got = {r["id"]: r["fingerprint"] for r in fingerprint(df, "id", "text").collect()}
+    assert got[1] == got[3]
+    assert got[1] != got[2]
+    assert got[4] == 0
+
+
+def test_multimodal_plumbing(spark):
+    from xapian_spark.ops.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=24)
+    feats = extract_features(media, decode="fake", dim=8).collect()
+    assert len(feats) == 24
+    for r in feats:
+        assert len(r["feature"]) == 8
+        assert r["n_bytes"] > 0
+    # determinism
+    feats2 = extract_features(media, decode="fake", dim=8).collect()
+    m1 = {r["media_id"]: r["feature"] for r in feats}
+    m2 = {r["media_id"]: r["feature"] for r in feats2}
+    assert m1 == m2
+    # real decode raises at the plug-in point
+    with pytest.raises(Exception):
+        extract_features(media, decode="real").collect()
+    plan = frame_sample_plan(media, every_ms=5000)
+    assert plan.count() > 0

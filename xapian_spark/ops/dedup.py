@@ -1,0 +1,286 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+All hashing is engine-portable (md5-derived) so the exact variants can be
+verified against an ANSI-SQL oracle; the approximate variants (MinHash-LSH,
+SimHash) are verified in pytest against exact Jaccard instead.
+
+Scale notes (the point of each design):
+
+- exact_duplicates: one groupBy on a 256-bit digest — no skew (digests are
+  uniform), fully map-side combinable.
+- ngram_jaccard_pairs: NEVER builds the doc x doc cross product.  Candidate
+  pairs come from co-occurring shingles (an inverted index over shingles —
+  same shuffle shape as the text index build), so cost scales with shared
+  shingles, not docs^2.  Hot shingles (boilerplate) are capped with a
+  max-postings-per-shingle guard — the dedup analogue of stopword salting.
+- minhash_lsh: signature = H independent min-hashes; banding turns
+  near-duplicate search into an equality groupBy on (band, band_hash) —
+  pure shuffle, no pairwise work until verification.
+- simhash: 64-bit fingerprints; near-pairs by Hamming distance via
+  4x16-bit chunk blocking (a pair within distance d<=3 shares at least one
+  chunk), again equality-join shaped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(col):
+    return F.expr(f"regexp_extract_all(lower({col}), '[a-z0-9_]+', 0)")
+
+
+def _shingles(df: DataFrame, text_col: str, k: int) -> DataFrame:
+    """(id, shingle) distinct k-gram token shingles."""
+    toks = df.withColumn("_toks", _tokens(text_col))
+    n = F.size("_toks")
+    return (
+        toks.withColumn(
+            "_idx", F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        )
+        .withColumn("_i", F.explode("_idx"))
+        .where(n >= k)
+        .withColumn(
+            "shingle",
+            F.concat_ws(" ", F.slice("_toks", F.col("_i") + 1, k)),
+        )
+        .select("id", "shingle")
+        .distinct()
+    )
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str, text_col: str, normalized: bool = True
+) -> DataFrame:
+    """Exact-duplicate groups: (id, dup_key, group_size, is_canonical).
+
+    normalized=True dedups on the token sequence (whitespace/punct
+    insensitive) rather than raw bytes.
+    """
+    key = (
+        F.sha2(F.concat_ws(" ", _tokens(text_col)), 256)
+        if normalized
+        else F.sha2(F.col(text_col), 256)
+    )
+    keyed = df.select(F.col(id_col).alias("id"), key.alias("dup_key"))
+    w = Window.partitionBy("dup_key")
+    worder = Window.partitionBy("dup_key").orderBy("id")
+    return (
+        keyed.withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("rn", F.row_number().over(worder))
+        .withColumn("is_canonical", F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard >= t).
+
+    Inverted-index join on shingles; |A intersect B| from co-occurrence
+    counts, |A union B| = |A| + |B| - |A intersect B|.
+    """
+    ids = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    sh = _shingles(ids.withColumnRenamed("_t", "text"), "text", k)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # Guard against boilerplate shingles exploding the join (skew cap).
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sh_f = sh.join(
+        F.broadcast(freq.where(F.col("df") > max_shingle_freq)),
+        "shingle",
+        "left_anti",
+    )
+    pairs = (
+        sh_f.alias("a")
+        .join(sh_f.alias("b"), "shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.withColumnRenamed("n_shingles", "na")).withColumnRenamed("id", "id_a"),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("n_shingles", "nb")).withColumnRenamed("id", "id_b"),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, k: int = 3
+) -> DataFrame:
+    """(id, sig array<string>): per-seed minimum of md5(seed || shingle).
+
+    md5 hex strings compare lexicographically == numerically (fixed width),
+    and md5 is identical everywhere — portable and deterministic.
+    """
+    ids = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    sh = _shingles(ids, "text", k)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """MinHash + LSH banding candidate pairs, optionally verified.
+
+    bands must divide num_hashes; rows_per_band = num_hashes // bands.
+    Returns (id_a, id_b, est_jaccard) where est_jaccard is the signature
+    agreement rate; if verify_threshold is set, pairs are verified with
+    exact Jaccard and filtered.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    band_rows = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.sha2(
+                            F.concat_ws(
+                                "|", *[F.element_at("sig", b * r + j + 1) for j in range(r)]
+                            ),
+                            256,
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    cand = (
+        band_rows.alias("a")
+        .join(band_rows.alias("b"), ["band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # est_jaccard = fraction of agreeing signature slots
+    est = cand.withColumn(
+        "est_jaccard",
+        F.expr("size(filter(arrays_zip(sig_a, sig_b), x -> x.sig_a = x.sig_b))")
+        / F.lit(float(num_hashes)),
+    ).select("id_a", "id_b", "est_jaccard")
+
+    if verify_threshold is None:
+        return est
+    exact = ngram_jaccard_pairs(df, id_col, text_col, k=k, threshold=0.0)
+    return (
+        est.join(exact, ["id_a", "id_b"])
+        .where(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "est_jaccard", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over tokens: (id, simhash long).
+
+    Per-token 64-bit hash from md5 (first 16 hex chars); each bit votes
+    +wdf/-wdf; fingerprint bit = sign of the vote.  Pure column expressions.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_tokens(text_col)).alias("tok"),
+    ).groupBy("id", "tok").agg(F.count(F.lit(1)).alias("wdf"))
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("decimal(20,0)").cast("long")
+    toks = toks.withColumn("h", h)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("wdf"))
+            .otherwise(-F.col("wdf"))
+        ).alias(f"v{b}")
+        for b in range(60)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    fp = F.lit(0).cast("long")
+    for b in range(60):
+        fp = fp + F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select("id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, chunk-blocked.
+
+    Split the 60-bit fingerprint into 4 x 15-bit chunks: any pair within
+    Hamming distance 3 agrees on >= 1 chunk (pigeonhole) -> equality join
+    per chunk, then exact popcount verify.
+    """
+    fps = simhash64(df, id_col, text_col)
+    chunks = fps.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * 15)
+                        .bitwiseAND(F.lit((1 << 15) - 1))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cv"),
+    ).select("id", "simhash", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+    cand = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), ["chunk", "val"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("fa"),
+            F.col("b.simhash").alias("fb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

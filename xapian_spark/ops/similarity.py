@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: exact brute-force top-k — the correctness baseline.  The
+  query side is broadcast (queries are few); the corpus side streams through
+  a single narrow scan; per-pair cosine is a JVM-side aggregate expression
+  (no UDF); top-k per query via window row_number.  At 100 TB this is one
+  pass over the corpus per query batch — the right brute-force shape.
+- lsh_cosine_topk: random-hyperplane LSH — signature via deterministic
+  seeded hyperplanes (broadcast literal matrix), bucket equality join, exact
+  cosine re-rank within buckets.  The scale path: candidate generation is an
+  equality shuffle, not a cross product.
+- embedding_near_dup_pairs: near-duplicate pairs by cosine >= threshold,
+  LSH-blocked.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cos(a: str, b: str):
+    """Cosine similarity of two array<float/double> columns, double math,
+    deterministic left-to-right fold (F.aggregate)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k cosine neighbours of each query vector.
+
+    Returns (query_id, neighbor_id, cosine, nn_rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+    )
+    pairs = v.crossJoin(F.broadcast(q))
+    if not include_self:
+        pairs = pairs.where(F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.withColumn("cosine", _cos("qvec", "vec"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "nn_rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_signature_col(vec_col: str, planes: list[list[float]]):
+    """Bit-string signature column: sign of <v, h_i> per hyperplane."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.array(*[F.lit(float(x)) for x in p]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: multi-table hyperplane LSH buckets + exact re-rank.
+
+    Candidate set = union over tables of same-bucket vectors; recall is
+    tested against cosine_topk in pytest (approximate by design: no oracle).
+    """
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cands = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=seed + 1000 * t)
+        vt = v.withColumn("bucket", lsh_signature_col("vec", planes))
+        qt = q.withColumn("bucket", lsh_signature_col("qvec", planes))
+        c = vt.join(F.broadcast(qt), "bucket").drop("bucket")
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.dropDuplicates(["query_id", "neighbor_id"]).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cands.withColumn("cosine", _cos("qvec", "vec"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "nn_rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    n_tables: int = 6,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """(id_a < id_b, cosine >= threshold), LSH-blocked then exact-verified."""
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    cands = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=seed + 31 * t)
+        vt = v.withColumn("bucket", lsh_signature_col("vec", planes))
+        c = (
+            vt.alias("a")
+            .join(vt.alias("b"), "bucket")
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.vec").alias("va"),
+                F.col("b.vec").alias("vb"),
+            )
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.dropDuplicates(["id_a", "id_b"])
+    return (
+        cands.withColumn("cosine", _cos("va", "vb"))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
