@@ -1,38 +1,687 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes one entry per implemented operator from SURVEY.md §2;
+`oracle_sql()` gives the DuckDB-runnable ANSI-SQL twin.  The oracle SQL
+computes the SAME math (BM25 per xapian-core/weight/bm25weight.cc:46-208,
+defaults k1=1 k2=0 k3=1 b=0.5 min_normlen=0.5) from scratch over the raw
+`documents` table, so the check validates tokenize -> invert -> stats ->
+score -> top-k end-to-end, not just plumbing.
+
+Float discipline: every score column is round(x, 6) BEFORE the top-k
+ordering on both sides, with docid as the deterministic tiebreak, so
+last-ulp libm differences between engines cannot change the result set.
+
+Corpus note: documents.text is strictly [a-z ]+, so the engine's Xapian
+tokenizer (termgenerator_internal.cc semantics) and the oracle's
+regexp_extract_all(lower(text), '[a-z0-9_]+') produce identical term/pos
+streams; tokenizer-fidelity edge cases (acronyms, infix, +/# suffixes) are
+covered by the pytest golden suite instead (tests/test_tokenizer.py).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xapian_spark.index.builder import InvertedIndex, build_index, persist_index
+from xapian_spark.ops import dedup, similarity, textstats
+from xapian_spark.query import ast
+from xapian_spark.query.planner import Planner
+from xapian_spark.ranking.weights import (
+    BM25Weight,
+    BoolWeight,
+    CoordWeight,
+    TfIdfWeight,
+    TradWeight,
+)
+
+# --------------------------------------------------------------------------
+# shared index (built once per sf_dir, persisted)
+# --------------------------------------------------------------------------
+
+_IDX_CACHE: dict[str, InvertedIndex] = {}
+
+PREFIX_FIELDS = {"source": "S", "lang": "L"}  # boolean field terms
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "docid", (F.col("doc_id") + 1).cast("long")
+    )
+
+
+def _index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    idx = _IDX_CACHE.get(sf_dir)
+    if idx is None:
+        idx = build_index(
+            spark,
+            _docs(spark, sf_dir),
+            content_col="text",
+            docid_col="docid",
+            prefix_fields=PREFIX_FIELDS,
+        )
+        persist_index(idx)
+        _IDX_CACHE[sf_dir] = idx
+    return idx
+
+
+def _read(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+    return run
+
+
+# --------------------------------------------------------------------------
+# query wrappers
+# --------------------------------------------------------------------------
+
+
+def _search(node: ast.Node, k: int = 10, weight=None):
+    """Top-k (docid, score) with scores rounded before ordering."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = _index(spark, sf_dir)
+        m = Planner(idx, weight() if weight is not None else None).plan(node)
+        return (
+            m.select("docid", F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("docid"))
+            .limit(k)
+        )
+
+    return run
+
+
+def _q_count_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index(spark, sf_dir)
+    m = Planner(idx).plan(ast.MatchAll())
+    return m.agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def _q_sort_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-by-value (KeyMaker analogue, enquire.h:170-270): matches of a
+    term ordered by a doc value column instead of relevance."""
+    idx = _index(spark, sf_dir)
+    m = Planner(idx).plan(ast.Term("merge"))
+    return (
+        m.join(idx.docs.select("docid", "n_chars"), "docid")
+        .orderBy(F.desc("n_chars"), F.asc("docid"))
+        .limit(10)
+        .select("docid", "n_chars")
+    )
+
+
+def _q_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse (Collapser, collapser.h:135-260): best hit per source key."""
+    idx = _index(spark, sf_dir)
+    m = Planner(idx).plan(ast.Or((ast.Term("dup"), ast.Term("key"))))
+    m = m.select("docid", F.round("score", 6).alias("score")).join(
+        idx.docs.select("docid", "source"), "docid"
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("source", "docid", "score")
+    )
+
+
+def _q_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facets (ValueCountMatchSpy, matchspy.h:205): value counts over the
+    match set."""
+    idx = _index(spark, sf_dir)
+    m = Planner(idx).plan(ast.Term("batch"))
+    return (
+        m.join(idx.docs.select("docid", "lang"), "docid")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def _round_cols(df: DataFrame, cols: list[str], nd: int = 6) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c), nd))
+    return df
+
+
+# pipeline ops ---------------------------------------------------------------
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id", "text"
+    )
+
+
+def _q_jaccard(spark, sf_dir):
+    out = dedup.ngram_jaccard_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        "doc_id",
+        "text",
+        k=3,
+        threshold=0.5,
+        max_shingle_freq=10_000_000,
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    out = dedup.minhash_lsh_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id", "text"
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_near_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id", "text"
+    )
+
+
+def _q_token_count(spark, sf_dir):
+    return textstats.token_count(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id", "text"
+    )
+
+
+def _q_quality(spark, sf_dir):
+    out = textstats.quality_scores(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id", "text"
+    )
+    return _round_cols(
+        out,
+        ["mean_token_len", "alpha_ratio", "stopword_ratio", "repetition_ratio"],
+    )
+
+
+def _q_langid(spark, sf_dir):
+    out = textstats.language_id(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id", "text"
+    )
+    return _round_cols(out, ["lang_score"])
+
+
+def _q_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id", "text"
+    )
+
+
+def _q_cosine_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "nn_rank"
+    )
+
+
+def _q_lsh_cosine_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.lsh_cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "nn_rank"
+    )
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # synthetic embeddings top out at cosine ~0.51, so 0.4 is the "near-dup"
+    # band here; wider LSH (fewer planes, more tables) to keep recall up
+    out = similarity.embedding_near_dup_pairs(
+        emb, threshold=0.4, n_planes=4, n_tables=8
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_multimodal_features(spark, sf_dir):
+    from xapian_spark.ops import multimodal
+
+    media = multimodal.synth_media(spark, n=64)
+    return multimodal.extract_features(media)
+
+
+# --------------------------------------------------------------------------
+# driver entry points
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 for a mixed boolean query on sf0.001."""
+    q = ast.AndMaybe(
+        ast.Or((ast.Term("dup"), ast.Term("vector"))), ast.Term("fast")
+    )
+    return _search(q, k=10)(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # -- retrieval core: leaf + boolean combiners (SURVEY §2.2-2.3)
+        "term_bm25": _search(ast.Term("dup")),
+        "and_bm25": _search(ast.And((ast.Term("line"), ast.Term("key")))),
+        "or_bm25": _search(ast.Or((ast.Term("dup"), ast.Term("vector")))),
+        "and_not": _search(ast.AndNot(ast.Term("scan"), ast.Term("dup"))),
+        "and_maybe": _search(ast.AndMaybe(ast.Term("dup"), ast.Term("fast"))),
+        "filter_op": _search(ast.Filter(ast.Term("slow"), ast.Term("dup"))),
+        "xor_op": _search(ast.Xor((ast.Term("dup"), ast.Term("key")))),
+        "max_op": _search(ast.Max((ast.Term("dup"), ast.Term("key")))),
+        "synonym_op": _search(ast.Synonym((ast.Term("dup"), ast.Term("vector")))),
+        "scale_weight": _search(
+            ast.ScaleWeight(2.5, ast.Or((ast.Term("dup"), ast.Term("key"))))
+        ),
+        "field_filter": _search(ast.Filter(ast.Term("batch"), ast.Term("Ssrc3"))),
+        # -- positional (SURVEY §2.4)
+        "phrase": _search(ast.Phrase((ast.Term("slow"), ast.Term("fast")), 2)),
+        "near": _search(ast.Near((ast.Term("customer"), ast.Term("table")), 10)),
+        # -- wildcard expansion (SURVEY §2.3 OP_WILDCARD)
+        "wildcard": _search(ast.Wildcard("s", combiner="or")),
+        # -- values / match-set ops (SURVEY §2.5, §2.7)
+        "value_range": _search(
+            ast.Filter(ast.Term("join"), ast.ValueRange("n_chars", 120, 360))
+        ),
+        "count_all": _q_count_all,
+        "sort_by_value": _q_sort_by_value,
+        "collapse": _q_collapse,
+        "facets": _q_facets,
+        # -- weight schemes (SURVEY §2.5)
+        "trad_weight": _search(ast.Term("dup"), weight=TradWeight),
+        "tfidf_weight": _search(ast.Term("dup"), weight=TfIdfWeight),
+        "coord_weight": _search(
+            ast.Or((ast.Term("dup"), ast.Term("key"), ast.Term("line"))),
+            weight=CoordWeight,
+        ),
+        "bool_weight": _search(ast.Term("dup"), weight=BoolWeight),
+        # -- training-data pipeline ops
+        "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard": _q_jaccard,
+        "minhash_lsh": _q_minhash_lsh,  # approx: rows-only check
+        "simhash_pairs": _q_simhash_pairs,  # approx: rows-only check
+        "token_count": _q_token_count,
+        "quality_scores": _q_quality,
+        "language_id": _q_langid,
+        "fingerprint": _q_fingerprint,
+        "cosine_topk": _q_cosine_topk,
+        "lsh_cosine_topk": _q_lsh_cosine_topk,  # approx: rows-only check
+        "embedding_near_dup": _q_embedding_near_dup,  # approx: rows-only
+        "multimodal_features": _q_multimodal_features,  # stubbed decode
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect-compatible ANSI SQL)
+# --------------------------------------------------------------------------
+
+# Shared prelude: tokenize + invert + stats, mirroring the engine build.
+# docid = doc_id + 1 (1-based dense, matching the engine's docid column).
+_PRELUDE = """
+WITH toks AS (
+  SELECT doc_id + 1 AS docid,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1) AS pos
+  FROM documents
+),
+post AS (SELECT term, docid, count(*) AS wdf FROM toks GROUP BY term, docid),
+dl AS (
+  SELECT d.doc_id + 1 AS docid, coalesce(t.doclen, 0) AS doclen
+  FROM documents d
+  LEFT JOIN (SELECT docid, count(*) AS doclen FROM toks GROUP BY docid) t
+    ON t.docid = d.doc_id + 1
+),
+g AS (SELECT count(*) AS n, CAST(sum(doclen) AS DOUBLE) AS total FROM dl),
+tstat AS (SELECT term, count(*) AS tf, sum(wdf) AS cf FROM post GROUP BY term),
+-- BM25 per-term constants (bm25weight.cc:76-117; defaults k1=1 k3=1 b=0.5):
+-- termweight = 2 * ln(tw') with tw = (N - tf + 0.5)/(tf + 0.5),
+--              tw' = tw*0.5 + 1 when tw < 2
+bm AS (
+  SELECT t.term,
+         (ln(CASE WHEN (g.n - t.tf + 0.5) / (t.tf + 0.5) < 2
+                  THEN (g.n - t.tf + 0.5) / (t.tf + 0.5) * 0.5 + 1
+                  ELSE (g.n - t.tf + 0.5) / (t.tf + 0.5) END) * 2.0) AS termweight,
+         t.tf, t.cf
+  FROM tstat t, g
+),
+-- per-(doc, term) BM25 sumpart (bm25weight.cc:170-181):
+-- normlen = max(doclen * (1/avg_len), 0.5)
+-- sumpart = termweight * wdf / (1*(normlen*0.5 + 0.5) + wdf)
+sp AS (
+  SELECT p.docid, p.term, p.wdf, l.doclen,
+         b.termweight * (p.wdf / (1.0 * (greatest(l.doclen * (1.0 / (g.total / g.n)), 0.5) * 0.5 + 0.5) + p.wdf)) AS sumpart
+  FROM post p
+  JOIN dl l ON l.docid = p.docid
+  JOIN bm b ON b.term = p.term
+  CROSS JOIN g
+)
+"""
+
+
+def _topk_sql(body: str, k: int = 10) -> str:
+    return (
+        _PRELUDE
+        + f"SELECT docid, score FROM ({body}) ORDER BY score DESC, docid LIMIT {k}"
+    )
+
+
+def _sum_terms(terms: list[str], having: str = "", scale: str = "") -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    sel = f"round(sum(sumpart){scale}, 6)"
+    h = f"HAVING {having}" if having else ""
+    return (
+        f"SELECT docid, {sel} AS score FROM sp WHERE term IN ({tl}) "
+        f"GROUP BY docid {h}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    q: dict[str, str] = {}
+
+    q["term_bm25"] = _topk_sql(_sum_terms(["dup"]))
+    q["and_bm25"] = _topk_sql(_sum_terms(["line", "key"], having="count(*) = 2"))
+    q["or_bm25"] = _topk_sql(_sum_terms(["dup", "vector"]))
+    # AND_NOT: left minus right, weight from left (query.h:92-97)
+    q["and_not"] = _topk_sql(
+        "SELECT docid, round(sum(sumpart), 6) AS score FROM sp "
+        "WHERE term = 'scan' AND docid NOT IN "
+        "(SELECT docid FROM post WHERE term = 'dup') GROUP BY docid"
+    )
+    # AND_MAYBE: matches = left; right only adds weight (query.h:107-116)
+    q["and_maybe"] = _topk_sql(
+        "SELECT docid, round(sum(sumpart), 6) AS score FROM sp "
+        "WHERE term IN ('dup', 'fast') AND docid IN "
+        "(SELECT docid FROM post WHERE term = 'dup') GROUP BY docid"
+    )
+    # FILTER: AND, but only left weighted (query.h:118-126)
+    q["filter_op"] = _topk_sql(
+        "SELECT docid, round(sum(sumpart), 6) AS score FROM sp "
+        "WHERE term = 'slow' AND docid IN "
+        "(SELECT docid FROM post WHERE term = 'dup') GROUP BY docid"
+    )
+    # XOR: odd number of subqueries match (query.h:99-105)
+    q["xor_op"] = _topk_sql(
+        _sum_terms(["dup", "key"], having="count(*) % 2 = 1")
+    )
+    # MAX: docs of OR, weight = max child (query.h:239-247)
+    q["max_op"] = _topk_sql(
+        "SELECT docid, round(max(sumpart), 6) AS score FROM sp "
+        "WHERE term IN ('dup', 'key') GROUP BY docid"
+    )
+    # SYNONYM: scored as one pseudo-term, wdf = min(sum wdf, doclen),
+    # tf = exact union termfreq (query.h:231-237, synonympostlist.h:50-57)
+    q["synonym_op"] = (
+        _PRELUDE
+        + """
+, sdocs AS (
+  SELECT p.docid, least(sum(p.wdf), max(l.doclen)) AS wdf, max(l.doclen) AS doclen
+  FROM post p JOIN dl l ON l.docid = p.docid
+  WHERE p.term IN ('dup', 'vector') GROUP BY p.docid
+),
+stf AS (SELECT count(*) AS tf FROM sdocs)
+SELECT docid, score FROM (
+  SELECT d.docid,
+    round((ln(CASE WHEN (g.n - s.tf + 0.5) / (s.tf + 0.5) < 2
+              THEN (g.n - s.tf + 0.5) / (s.tf + 0.5) * 0.5 + 1
+              ELSE (g.n - s.tf + 0.5) / (s.tf + 0.5) END) * 2.0)
+      * (d.wdf / (1.0 * (greatest(d.doclen * (1.0 / (g.total / g.n)), 0.5) * 0.5 + 0.5) + d.wdf)), 6) AS score
+  FROM sdocs d, stf s, g
+) ORDER BY score DESC, docid LIMIT 10
+"""
+    )
+    # SCALE_WEIGHT: factor folds into termweight (queryinternal.cc:1355-1360);
+    # engine computes ((ln(tw') * 2.5) * 2) per term, then sums.
+    q["scale_weight"] = (
+        _PRELUDE
+        + """
+, sp2 AS (
+  SELECT p.docid,
+         ((ln(CASE WHEN (g.n - b.tf + 0.5) / (b.tf + 0.5) < 2
+              THEN (g.n - b.tf + 0.5) / (b.tf + 0.5) * 0.5 + 1
+              ELSE (g.n - b.tf + 0.5) / (b.tf + 0.5) END) * 2.5) * 2.0)
+         * (p.wdf / (1.0 * (greatest(l.doclen * (1.0 / (g.total / g.n)), 0.5) * 0.5 + 0.5) + p.wdf)) AS sumpart
+  FROM post p JOIN dl l ON l.docid = p.docid JOIN bm b ON b.term = p.term
+  CROSS JOIN g
+  WHERE p.term IN ('dup', 'key')
+)
+SELECT docid, score FROM (
+  SELECT docid, round(sum(sumpart), 6) AS score FROM sp2 GROUP BY docid
+) ORDER BY score DESC, docid LIMIT 10
+"""
+    )
+    # boolean field term (omega-style prefix, api_queryparser.cc:63-79)
+    q["field_filter"] = _topk_sql(
+        "SELECT docid, round(sum(sumpart), 6) AS score FROM sp "
+        "WHERE term = 'batch' AND docid IN "
+        "(SELECT doc_id + 1 FROM documents WHERE source = 'src3') GROUP BY docid"
+    )
+    # PHRASE window=2: consecutive positions (exactphrasepostlist.cc:87-160)
+    q["phrase"] = _topk_sql(
+        "SELECT docid, round(sum(sumpart), 6) AS score FROM sp "
+        "WHERE term IN ('slow', 'fast') AND docid IN ("
+        "  SELECT a.docid FROM toks a JOIN toks b ON b.docid = a.docid"
+        "  WHERE a.term = 'slow' AND b.term = 'fast' AND b.pos = a.pos + 1)"
+        "GROUP BY docid HAVING count(*) = 2"
+    )
+    # NEAR window=10: any order, span <= 9 (nearpostlist.cc:75-160)
+    q["near"] = _topk_sql(
+        "SELECT docid, round(sum(sumpart), 6) AS score FROM sp "
+        "WHERE term IN ('customer', 'table') AND docid IN ("
+        "  SELECT a.docid FROM toks a JOIN toks b ON b.docid = a.docid"
+        "  WHERE a.term = 'customer' AND b.term = 'table'"
+        "  AND abs(a.pos - b.pos) <= 9)"
+        "GROUP BY docid HAVING count(*) = 2"
+    )
+    # WILDCARD s* -> OR over dictionary matches (queryinternal.cc:1891-1945)
+    q["wildcard"] = _topk_sql(
+        "SELECT docid, round(sum(sumpart), 6) AS score FROM sp "
+        "WHERE term IN (SELECT term FROM tstat WHERE term LIKE 's%') "
+        "GROUP BY docid"
+    )
+    # VALUE_RANGE as boolean filter (valuerangepostlist.cc; never weighted)
+    q["value_range"] = _topk_sql(
+        "SELECT docid, round(sum(sumpart), 6) AS score FROM sp "
+        "WHERE term = 'join' AND docid IN "
+        "(SELECT doc_id + 1 FROM documents WHERE n_chars BETWEEN 120 AND 360) "
+        "GROUP BY docid"
+    )
+    q["count_all"] = "SELECT count(*) AS cnt FROM documents"
+    q["sort_by_value"] = (
+        _PRELUDE
+        + """
+SELECT d.doc_id + 1 AS docid, d.n_chars
+FROM documents d
+WHERE d.doc_id + 1 IN (SELECT docid FROM post WHERE term = 'merge')
+ORDER BY d.n_chars DESC, docid LIMIT 10
+"""
+    )
+    q["collapse"] = (
+        _PRELUDE
+        + """
+, m AS (
+  SELECT docid, round(sum(sumpart), 6) AS score FROM sp
+  WHERE term IN ('dup', 'key') GROUP BY docid
+),
+r AS (
+  SELECT d.source, m.docid, m.score,
+         row_number() OVER (PARTITION BY d.source ORDER BY m.score DESC, m.docid) AS rn
+  FROM m JOIN documents d ON d.doc_id + 1 = m.docid
+)
+SELECT source, docid, score FROM r WHERE rn = 1
+"""
+    )
+    q["facets"] = (
+        _PRELUDE
+        + """
+SELECT d.lang, count(*) AS cnt
+FROM documents d
+WHERE d.doc_id + 1 IN (SELECT docid FROM post WHERE term = 'batch')
+GROUP BY d.lang
+"""
+    )
+    # TradWeight (tradweight.cc): w = ln(tw') * wdf / (doclen/avg + wdf)
+    q["trad_weight"] = (
+        _PRELUDE
+        + """
+SELECT docid, score FROM (
+  SELECT p.docid,
+    round(ln(CASE WHEN (g.n - b.tf + 0.5) / (b.tf + 0.5) < 2
+             THEN (g.n - b.tf + 0.5) / (b.tf + 0.5) * 0.5 + 1
+             ELSE (g.n - b.tf + 0.5) / (b.tf + 0.5) END)
+      * (p.wdf / (1.0 * (greatest(l.doclen * (1.0 / (g.total / g.n)), 0.0) * 1.0 + 0.0) + p.wdf)), 6) AS score
+  FROM post p JOIN dl l ON l.docid = p.docid JOIN bm b ON b.term = p.term
+  CROSS JOIN g WHERE p.term = 'dup'
+) ORDER BY score DESC, docid LIMIT 10
+"""
+    )
+    # TfIdf "ntn" (tfidfweight.cc): w = wdf * ln(N/tf)
+    q["tfidf_weight"] = (
+        _PRELUDE
+        + """
+SELECT docid, score FROM (
+  SELECT p.docid, round(ln(g.n / b.tf) * p.wdf, 6) AS score
+  FROM post p JOIN bm b ON b.term = p.term CROSS JOIN g
+  WHERE p.term = 'dup'
+) ORDER BY score DESC, docid LIMIT 10
+"""
+    )
+    # CoordWeight (coordweight.cc): 1 point per matching subquery
+    q["coord_weight"] = _topk_sql(
+        "SELECT docid, round(CAST(count(*) AS DOUBLE), 6) AS score FROM sp "
+        "WHERE term IN ('dup', 'key', 'line') GROUP BY docid"
+    )
+    # BoolWeight: all zero
+    q["bool_weight"] = _topk_sql(
+        "SELECT docid, CAST(0.0 AS DOUBLE) AS score FROM sp "
+        "WHERE term = 'dup' GROUP BY docid"
+    )
+
+    # -- pipeline ops --------------------------------------------------------
+    q["dedup_exact"] = """
+WITH k AS (
+  SELECT doc_id AS id,
+         sha256(array_to_string(regexp_extract_all(lower(text), '[a-z0-9_]+'), ' ')) AS dup_key
+  FROM documents
+)
+SELECT id, dup_key,
+       count(*) OVER (PARTITION BY dup_key) AS group_size,
+       (row_number() OVER (PARTITION BY dup_key ORDER BY id) = 1) AS is_canonical
+FROM k
+"""
+    q["ngram_jaccard"] = """
+WITH t AS (
+  SELECT doc_id AS id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 3
+),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE inter / (sa.n + sb.n - inter) >= 0.5
+"""
+    q["token_count"] = """
+SELECT doc_id AS id,
+       len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n_tokens,
+       len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS n_unique_tokens
+FROM documents
+"""
+    q["quality_scores"] = """
+WITH t AS (
+  SELECT doc_id AS id, text,
+         regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+  FROM documents
+)
+SELECT id,
+  length(text) AS n_chars,
+  len(toks) AS n_tokens,
+  round(CASE WHEN len(toks) > 0
+    THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+    ELSE 0.0 END, 6) AS mean_token_len,
+  round(CASE WHEN length(text) > 0
+    THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
+    ELSE 0.0 END, 6) AS alpha_ratio,
+  round(CASE WHEN len(toks) > 0
+    THEN CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','it','for','was'], x))) AS DOUBLE) / len(toks)
+    ELSE 0.0 END, 6) AS stopword_ratio,
+  round(CASE WHEN len(toks) > 0
+    THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+    ELSE 0.0 END, 6) AS repetition_ratio
+FROM t
+"""
+    profiles = textstats.LANG_PROFILES
+    prof_rows = ", ".join(
+        "('{}', [{}])".format(lang, ", ".join(f"'{w}'" for w in words))
+        for lang, words in profiles.items()
+    )
+    q["language_id"] = f"""
+WITH t AS (
+  SELECT doc_id AS id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT t.id, l.lang,
+    CASE WHEN len(t.toks) > 0
+      THEN CAST(len(list_filter(t.toks, x -> list_contains(l.words, x))) AS DOUBLE) / len(t.toks)
+      ELSE 0.0 END AS score
+  FROM t CROSS JOIN (VALUES {prof_rows}) AS l(lang, words)
+),
+best AS (
+  SELECT id, lang, score,
+         row_number() OVER (PARTITION BY id ORDER BY score DESC, lang DESC) AS rn
+  FROM s
+)
+SELECT id,
+       CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
+       round(score, 6) AS lang_score
+FROM best WHERE rn = 1
+"""
+    # fingerprint: sum over positions of (md5-28bit(token) % m) * pos, mod m
+    q["fingerprint"] = """
+WITH tk AS (
+  SELECT doc_id AS id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1) AS pos
+  FROM documents
+),
+h AS (
+  SELECT id,
+         (list_reduce([strpos('0123456789abcdef', c) - 1
+                       for c in regexp_extract_all(substring(md5(tok), 1, 7), '.')],
+                      (a, b) -> a * 16 + b) % 2147483647) * pos AS v
+  FROM tk
+)
+SELECT d.doc_id AS id,
+       coalesce((SELECT sum(h.v) % 2147483647 FROM h WHERE h.id = d.doc_id), 0) AS fingerprint
+FROM documents d
+"""
+    q["cosine_topk"] = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+p AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+    CASE WHEN sqrt(list_dot_product(q.e, q.e)) > 0 AND sqrt(list_dot_product(v.e, v.e)) > 0
+      THEN list_dot_product(v.e, q.e) / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(v.e, v.e)))
+      ELSE 0.0 END AS cosine
+  FROM v CROSS JOIN (SELECT * FROM v WHERE vec_id < 5) q
+  WHERE v.vec_id <> q.vec_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS nn_rank
+  FROM p
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, nn_rank
+FROM r WHERE nn_rank <= 5
+"""
+    return q

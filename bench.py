@@ -1,0 +1,126 @@
+"""Benchmark: index-build throughput + query latency at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "build_sec": ..., "build_docs_per_sec": ..., "query_qps": ...}
+
+Optional scaling run (the north rule's N-vs-4N evidence, stand-in:
+local[8] vs local[32] on the same input): set SPARK_GRAFT_SCALING=1.
+Results land in the JSON under "scaling" and are recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from xapian_spark.index.builder import build_index, persist_index  # noqa: E402
+from xapian_spark.query import ast  # noqa: E402
+from xapian_spark.query.planner import Planner  # noqa: E402
+from xapian_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+QUERIES: dict[str, ast.Node] = {
+    "q_term": ast.Term("dup"),
+    "q_and": ast.And((ast.Term("line"), ast.Term("key"))),
+    "q_or": ast.Or((ast.Term("dup"), ast.Term("vector"))),
+    "q_and_not": ast.AndNot(ast.Term("scan"), ast.Term("dup")),
+    "q_phrase": ast.Phrase((ast.Term("slow"), ast.Term("fast")), 2),
+    "q_near": ast.Near((ast.Term("customer"), ast.Term("table")), 10),
+    "q_wildcard": ast.Wildcard("s", combiner="or"),
+    "q_synonym": ast.Synonym((ast.Term("dup"), ast.Term("vector"))),
+    "q_filter": ast.Filter(ast.Term("slow"), ast.Term("dup")),
+    "q_bool3": ast.AndMaybe(
+        ast.Or((ast.Term("dup"), ast.Term("vector"))), ast.Term("fast")
+    ),
+}
+
+
+def load_docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "docid", (F.col("doc_id") + 1).cast("long")
+    )
+
+
+def build_timed(spark, sf_dir):
+    docs = load_docs(spark, sf_dir)
+    n_docs = docs.count()
+    t0 = time.perf_counter()
+    idx = build_index(spark, docs, content_col="text", docid_col="docid")
+    persist_index(idx)
+    # force materialization of every index table
+    idx.postings.count()
+    idx.term_stats.count()
+    build_sec = time.perf_counter() - t0
+    return idx, n_docs, build_sec
+
+
+def run_queries(idx):
+    times: dict[str, float] = {}
+    for name, node in QUERIES.items():
+        pl = Planner(idx)
+        t0 = time.perf_counter()
+        pl.search(node, k=10).collect()
+        times[name] = round(time.perf_counter() - t0, 4)
+    return times
+
+
+def scaling_run(sf_dir):
+    """Same build+query job at two parallelism levels (N=8, 4N=32 cores)."""
+    out = {}
+    for cores in (8, 32):
+        spark = get_spark(f"bench-scale-{cores}", master=f"local[{cores}]",
+                          shuffle_partitions=cores)
+        idx, n_docs, build_sec = build_timed(spark, sf_dir)
+        qt = run_queries(idx)
+        out[f"local[{cores}]"] = {
+            "build_sec": round(build_sec, 3),
+            "build_docs_per_sec": round(n_docs / build_sec, 1),
+            "query_total_sec": round(sum(qt.values()), 3),
+        }
+        spark.stop()
+    t8 = out["local[8]"]["build_sec"]
+    t32 = out["local[32]"]["build_sec"]
+    # efficiency of 4x core scale-up: ideal speedup 4, achieved t8/t32
+    out["build_scaling_efficiency"] = round((t8 / t32) / 4.0, 3)
+    return out
+
+
+def main():
+    result = {
+        "metric": "index-build + BM25 top-10 query latency",
+        "unit": "sec",
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+    }
+    if os.environ.get("SPARK_GRAFT_SCALING"):
+        result["scaling"] = scaling_run(SF_DIR)
+
+    spark = get_spark("bench")
+    idx, n_docs, build_sec = build_timed(spark, SF_DIR)
+    qtimes = run_queries(idx)
+    query_total = sum(qtimes.values())
+    result.update(
+        {
+            "value": round(build_sec + query_total, 3),
+            "queries": qtimes,
+            "build_sec": round(build_sec, 3),
+            "n_docs": n_docs,
+            "build_docs_per_sec": round(n_docs / build_sec, 1),
+            "query_qps": round(len(qtimes) / query_total, 2) if query_total else 0.0,
+        }
+    )
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
