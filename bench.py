@@ -74,6 +74,35 @@ def run_queries(idx):
     return times
 
 
+def run_batch_or(idx, n_queries: int = 500):
+    """Weighted-OR batched serving QPS: broadcast (query,term,weight) join."""
+    import random
+
+    vocab = [r["term"] for r in idx.term_stats.orderBy("term").collect()[:64]]
+    rnd = random.Random(42)
+    qs = {
+        f"q{i}": rnd.sample(vocab, rnd.randint(1, 4)) for i in range(n_queries)
+    }
+    pl = Planner(idx)
+    t0 = time.perf_counter()
+    pl.search_batch_or(qs, k=10).count()
+    sec = time.perf_counter() - t0
+    return n_queries, sec
+
+
+def run_batch(idx, repeat: int = 4):
+    """Batched QPS: the 10 headline queries x `repeat` copies in ONE job."""
+    batch = {}
+    for i in range(repeat):
+        for name, node in QUERIES.items():
+            batch[f"{name}#{i}"] = node
+    pl = Planner(idx)
+    t0 = time.perf_counter()
+    n_rows = pl.search_batch(batch, k=10).count()
+    sec = time.perf_counter() - t0
+    return len(batch), sec, n_rows
+
+
 def scaling_run(sf_dir):
     """Same build+query job at two parallelism levels (N=8, 4N=32 cores)."""
     out = {}
@@ -108,6 +137,13 @@ def main():
     idx, n_docs, build_sec = build_timed(spark, SF_DIR)
     qtimes = run_queries(idx)
     query_total = sum(qtimes.values())
+    n_batch, batch_sec, _ = run_batch(idx)
+    result["batch_queries"] = n_batch
+    result["batch_sec"] = round(batch_sec, 3)
+    result["batch_qps"] = round(n_batch / batch_sec, 1)
+    n_or, or_sec = run_batch_or(idx)
+    result["batch_or_queries"] = n_or
+    result["batch_or_qps"] = round(n_or / or_sec, 1)
     result.update(
         {
             "value": round(build_sec + query_total, 3),

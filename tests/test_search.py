@@ -216,3 +216,63 @@ def test_bm25_parameter_sweep(simple_index, brute):
         got = run(p, ast.Term("paragraph"))
         want = brute.topk(["paragraph"], k1=k1, b=b)
         assert_mset(got, want)
+
+
+# -- batched execution -------------------------------------------------------
+
+
+def test_search_batch_matches_individual(planner):
+    queries = {
+        "t": ast.Term("paragraph"),
+        "and": ast.And((ast.Term("search"), ast.Term("ranking"))),
+        "or": ast.Or((ast.Term("search"), ast.Term("banana"))),
+        "phrase": ast.Phrase((ast.Term("search"), ast.Term("engines")), 2),
+        "syn": ast.Synonym((ast.Term("search"), ast.Term("indexing"))),
+        "notq": ast.AndNot(ast.Term("paragraph"), ast.Term("ranking")),
+    }
+    batched = planner.search_batch(queries, k=10).collect()
+    got = {}
+    for r in batched:
+        got.setdefault(r["query"], []).append((r["rank"], r["docid"], r["score"]))
+    for name, node in queries.items():
+        single = [
+            (r["rank"], r["docid"], r["score"])
+            for r in planner.search(node, k=10).collect()
+        ]
+        batch = sorted(got.get(name, []))
+        assert [(rk, d) for rk, d, _ in batch] == [
+            (rk, d) for rk, d, _ in single
+        ], name
+        for (_, _, s1), (_, _, s2) in zip(batch, single):
+            assert s1 == pytest.approx(s2, abs=1e-12), name
+
+
+def test_search_batch_or_matches_individual(planner):
+    batches = {
+        "q1": ["search", "ranking"],
+        "q2": ["banana"],
+        "q3": ["paragraph", "indexing", "search"],
+        "q4": ["nosuchterm"],
+    }
+    got = {}
+    for r in planner.search_batch_or(batches, k=10).collect():
+        got.setdefault(r["query"], []).append((r["rank"], r["docid"], r["score"]))
+    assert "q4" not in got  # no matching terms -> no rows
+    for name, terms in batches.items():
+        if name == "q4":
+            continue
+        node = (
+            ast.Term(terms[0])
+            if len(terms) == 1
+            else ast.Or(tuple(ast.Term(t) for t in terms))
+        )
+        single = [
+            (r["rank"], r["docid"], r["score"])
+            for r in planner.search(node, k=10).collect()
+        ]
+        batch = sorted(got[name])
+        assert [(rk, d) for rk, d, _ in batch] == [
+            (rk, d) for rk, d, _ in single
+        ], name
+        for (_, _, s1), (_, _, s2) in zip(batch, single):
+            assert s1 == pytest.approx(s2, rel=1e-12), name

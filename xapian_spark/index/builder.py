@@ -40,13 +40,25 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from xapian_spark.ranking.weights import GlobalStats, TermStats
-from xapian_spark.text.tokenizer import tokenize_batch
+from xapian_spark.text.tokenizer import tokenize_batch, tokenize_with_positions
 
 TOKENS_TYPE = T.ArrayType(
     T.StructType(
         [
             T.StructField("term", T.StringType()),
             T.StructField("pos", T.IntegerType()),
+        ]
+    )
+)
+
+# Map-side-inverted per-doc postings: the UDF output is already aggregated
+# per (doc, term), so no cluster-wide groupBy is needed for wdf/positions.
+INVERTED_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("term", T.StringType()),
+            T.StructField("wdf", T.IntegerType()),
+            T.StructField("positions", T.ArrayType(T.IntegerType())),
         ]
     )
 )
@@ -61,6 +73,33 @@ def tokenizer_udf(mode: str = "xapian", stopwords: frozenset[str] | None = None)
         )
 
     return F.pandas_udf(_tok, TOKENS_TYPE)
+
+
+def inverter_udf(mode: str = "xapian", stopwords: frozenset[str] | None = None):
+    """Arrow-batched pandas UDF: text -> array<struct<term,wdf,positions>>.
+
+    This is the Spark analogue of the reference's in-memory `Inverter`
+    (glass_inverter.h:43-170): each document is inverted LOCALLY inside the
+    UDF (one dict pass per doc), so wdf, positions and doclen never need a
+    cluster-wide shuffle — the only shuffles left in the index build are the
+    term-major layout repartition and the per-term stats aggregation.  At
+    10^12 docs this removes the dominant (term, docid) shuffle entirely.
+    """
+
+    def _inv(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts.tolist():
+            acc: dict[str, list[int]] = {}
+            for term, pos in tokenize_with_positions(
+                text or "", mode=mode, stopwords=stopwords
+            ):
+                acc.setdefault(term, []).append(pos)
+            out.append(
+                [(t, len(ps), ps) for t, ps in acc.items()]
+            )
+        return pd.Series(out)
+
+    return F.pandas_udf(_inv, INVERTED_TYPE)
 
 
 @dataclass
@@ -83,19 +122,28 @@ class InvertedIndex:
     docs: DataFrame
     tokenizer_mode: str = "xapian"
     blocked: DataFrame | None = None
+    termlists: DataFrame | None = None
+
+    def __post_init__(self):
+        # Driver-side memo of per-term stats: repeated-query workloads skip
+        # the stats job for already-seen terms (the reference keeps these hot
+        # in the version file / B-tree cache for the same reason).
+        self._ts_cache: dict[str, TermStats] = {}
 
     def collect_term_stats(self, terms: list[str]) -> dict[str, TermStats]:
         """Driver-side stats for a (small) query-term set — the analogue of
         the reference's stats-gathering pass 1 (matcher.cc:314-337)."""
-        if not terms:
-            return {}
-        rows = self.term_stats.where(F.col("term").isin(terms)).collect()
-        return {
-            r["term"]: TermStats(
-                term=r["term"], tf=r["tf"], cf=r["cf"], wdf_max=r["wdf_max"]
-            )
-            for r in rows
-        }
+        missing = [t for t in terms if t not in self._ts_cache]
+        if missing:
+            rows = self.term_stats.where(F.col("term").isin(missing)).collect()
+            for r in rows:
+                self._ts_cache[r["term"]] = TermStats(
+                    term=r["term"], tf=r["tf"], cf=r["cf"], wdf_max=r["wdf_max"]
+                )
+            for t in missing:
+                # negative-cache absent terms (tf=0)
+                self._ts_cache.setdefault(t, TermStats(t, 0, 0, 0))
+        return {t: self._ts_cache[t] for t in terms if t in self._ts_cache}
 
     def expand_wildcard(
         self, pattern_head: str, limit: int | None = None, most_frequent: bool = False
@@ -145,51 +193,61 @@ def build_index(
         docid_col = "docid"
     docs = docs.withColumn("docid", F.col(docid_col).cast("long"))
 
-    tok = tokenizer_udf(mode=mode, stopwords=stopwords)
-    toks = docs.select("docid", tok(F.col(content_col)).alias("toks"))
-
-    flat = toks.select(
-        "docid",
-        F.explode("toks").alias("tp"),
-    ).select("docid", F.col("tp.term").alias("term"), F.col("tp.pos").alias("pos"))
-
-    postings = flat.groupBy("term", "docid").agg(
-        F.count(F.lit(1)).cast("int").alias("wdf"),
-        F.sort_array(F.collect_list("pos")).alias("positions"),
-    )
+    # Map-side inversion: one Arrow UDF pass produces the complete per-doc
+    # termlist (term, wdf, positions) AND doclen — zero shuffles.  This is
+    # the distributed twin of `Inverter` buffering per-document deltas
+    # (glass_inverter.h:43-170); the shuffle happens only where the
+    # reference also pays I/O: term-major layout + per-term stats.
+    inv = inverter_udf(mode=mode, stopwords=stopwords)
+    pf_cols = list(prefix_fields.keys()) if prefix_fields else []
+    termlists = docs.select(
+        "docid", *pf_cols, inv(F.col(content_col)).alias("plist")
+    ).withColumn(
+        "doclen",
+        F.coalesce(
+            F.aggregate(
+                "plist",
+                F.lit(0).cast("long"),
+                lambda acc, e: acc + e.getField("wdf"),
+            ),
+            F.lit(0).cast("long"),
+        ),
+    ).withColumn("uniqterms", F.coalesce(F.size("plist"), F.lit(0)).cast("long"))
 
     if prefix_fields:
-        bool_parts = []
-        for col, prefix in prefix_fields.items():
-            bool_parts.append(
-                docs.select(
+        # Boolean field terms (wdf=0, positionless) appended to the termlist
+        # map-side — the omega add_boolean_prefix convention
+        # (api_queryparser.cc:63-79); they don't contribute to doclen.
+        bool_entries = F.array(
+            *[
+                F.struct(
                     F.concat(F.lit(prefix), F.lower(F.col(col))).alias("term"),
-                    "docid",
                     F.lit(0).cast("int").alias("wdf"),
                     F.lit(None).cast("array<int>").alias("positions"),
-                ).dropDuplicates(["term", "docid"])
-            )
-        for bp in bool_parts:
-            postings = postings.unionByName(bp)
-
-    # doclen = sum(wdf) per doc; docs with no terms keep doclen 0.
-    doclens = (
-        docs.select("docid")
-        .join(
-            postings.groupBy("docid").agg(
-                F.sum("wdf").cast("long").alias("doclen"),
-                F.count(F.lit(1)).cast("long").alias("uniqterms"),
-            ),
-            "docid",
-            "left",
+                )
+                for col, prefix in prefix_fields.items()
+            ]
         )
-        .fillna({"doclen": 0, "uniqterms": 0})
+        termlists = termlists.withColumn(
+            "plist", F.concat("plist", bool_entries)
+        )
+    termlists = termlists.select("docid", "plist", "doclen", "uniqterms")
+
+    # One in-memory materialization of the termlists feeds every derived
+    # table (postings, doclens, stats) without re-running the tokenizer.
+    termlists = termlists.persist()
+
+    postings = termlists.select(
+        "docid", "doclen", F.explode("plist").alias("e")
+    ).select(
+        F.col("e.term").alias("term"),
+        "docid",
+        F.col("e.wdf").alias("wdf"),
+        "doclen",
+        F.col("e.positions").alias("positions"),
     )
 
-    # Denormalize doclen onto postings (query-time locality).
-    postings = postings.join(doclens.select("docid", "doclen"), "docid").select(
-        "term", "docid", "wdf", "doclen", "positions"
-    )
+    doclens = termlists.select("docid", "doclen", "uniqterms")
 
     term_stats = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("tf"),
@@ -218,6 +276,7 @@ def build_index(
         stats=stats,
         docs=docs,
         tokenizer_mode=mode,
+        termlists=termlists,
     )
 
 

@@ -281,16 +281,51 @@ class Planner:
             for e in evs[1:]:
                 match = match & e.match
                 weight = weight + e.weight
-            pos_arr = F.array(
-                *[
-                    F.col("tmap").getItem(t).getField("positions")
-                    for t in subterms
-                ]
-            )
+            plists = [
+                F.col("tmap").getItem(t).getField("positions") for t in subterms
+            ]
+            n = len(subterms)
+            w = node.window
             ordered = isinstance(node, ast.Phrase)
-            check = _phrase_udf(node.window, ordered)
-            # Positional UDF applies only to AND survivors (cheap gate first).
-            match = match & check(pos_arr)
+            # JVM fast paths (whole-stage codegen, no Python): the hot shapes.
+            if ordered and w == n and n >= 2:
+                # Exact phrase (exactphrasepostlist.cc:87-160): consecutive
+                # positions == non-empty intersection of offset-shifted lists.
+                def _shift(arr, off):
+                    return F.transform(arr, lambda x: x - F.lit(off))
+
+                inter = plists[0]
+                for i in range(1, n):
+                    inter = F.array_intersect(inter, _shift(plists[i], i))
+                pos_ok = F.size(inter) > 0
+            elif n == 2:
+                p0, p1 = plists
+                if ordered:
+                    # PHRASE window=w, 2 terms: exists y>x with y-x <= w-1
+                    pos_ok = F.exists(
+                        p0,
+                        lambda x: F.exists(
+                            p1, lambda y: (y > x) & (y - x <= F.lit(w - 1))
+                        ),
+                    )
+                else:
+                    # NEAR window=w, 2 terms: distinct positions, span <= w-1
+                    pos_ok = F.exists(
+                        p0,
+                        lambda x: F.exists(
+                            p1,
+                            lambda y: (y != x)
+                            & (F.abs(y - x) <= F.lit(w - 1)),
+                        ),
+                    )
+            else:
+                # General n-term windowed sweep: Arrow-batched UDF port of
+                # phrasepostlist.cc / nearpostlist.cc (positional.py).
+                check = _phrase_udf(w, ordered)
+                pos_ok = check(F.array(*plists))
+            # Positional check applies only to AND survivors (cheap gate
+            # first, mirroring SelectPostList::test_doc).
+            match = match & pos_ok
             return _Ev(match, weight)
 
         if isinstance(node, ast.ValueRange):
@@ -304,6 +339,47 @@ class Planner:
             return _Ev(F.coalesce(m, F.lit(False)), F0)
 
         raise TypeError(f"unsupported node: {type(node).__name__}")
+
+    def _gather_syn(
+        self,
+        nd: ast.Node,
+        tstats: dict[str, TermStats],
+        syn_stats: dict[int, TermStats],
+    ) -> None:
+        """Exact synonym-group stats (one tiny job per group); the reference
+        estimates these by independence (queryinternal.cc:384-431), we pay a
+        cheap count for exactness — documented divergence."""
+        if isinstance(nd, ast.Synonym):
+            sts = [t.term for t in ast.leaf_terms(nd)]
+            key = tuple(sorted(set(sts)))
+            cache = getattr(self.index, "_syn_cache", None)
+            if cache is None:
+                cache = {}
+                self.index._syn_cache = cache
+            ts = cache.get(key)
+            if ts is None:
+                tf = (
+                    self.index.postings.where(F.col("term").isin(sts))
+                    .select("docid")
+                    .distinct()
+                    .count()
+                )
+                cf = sum((tstats.get(t) or _EMPTY_TS(t)).cf for t in sts)
+                wdf_max = min(
+                    self.index.stats.doclen_upper_bound or 0,
+                    sum((tstats.get(t) or _EMPTY_TS(t)).wdf_max for t in sts),
+                )
+                ts = TermStats(term="(syn)", tf=tf, cf=cf, wdf_max=wdf_max)
+                cache[key] = ts
+            syn_stats[id(nd)] = ts
+        if isinstance(nd, (ast.And, ast.Or, ast.Xor, ast.Max, ast.Synonym)):
+            for s in nd.subs:
+                self._gather_syn(s, tstats, syn_stats)
+        elif isinstance(nd, (ast.AndNot, ast.AndMaybe, ast.Filter)):
+            self._gather_syn(nd.left, tstats, syn_stats)
+            self._gather_syn(nd.right, tstats, syn_stats)
+        elif isinstance(nd, ast.ScaleWeight):
+            self._gather_syn(nd.sub, tstats, syn_stats)
 
     # -- public API -----------------------------------------------------------
 
@@ -320,34 +396,7 @@ class Planner:
 
         # Exact synonym stats (one tiny job per synonym group).
         syn_stats: dict[int, TermStats] = {}
-
-        def gather_syn(nd: ast.Node) -> None:
-            if isinstance(nd, ast.Synonym):
-                sts = [t.term for t in ast.leaf_terms(nd)]
-                tf = (
-                    self.index.postings.where(F.col("term").isin(sts))
-                    .select("docid")
-                    .distinct()
-                    .count()
-                )
-                cf = sum((tstats.get(t) or _EMPTY_TS(t)).cf for t in sts)
-                wdf_max = min(
-                    self.index.stats.doclen_upper_bound or 0,
-                    sum((tstats.get(t) or _EMPTY_TS(t)).wdf_max for t in sts),
-                )
-                syn_stats[id(nd)] = TermStats(
-                    term="(syn)", tf=tf, cf=cf, wdf_max=wdf_max
-                )
-            if isinstance(nd, (ast.And, ast.Or, ast.Xor, ast.Max, ast.Synonym)):
-                for s in nd.subs:
-                    gather_syn(s)
-            elif isinstance(nd, (ast.AndNot, ast.AndMaybe, ast.Filter)):
-                gather_syn(nd.left)
-                gather_syn(nd.right)
-            elif isinstance(nd, ast.ScaleWeight):
-                gather_syn(nd.sub)
-
-        gather_syn(query)
+        self._gather_syn(query, tstats, syn_stats)
 
         need_pos = self._contains(query, (ast.Phrase, ast.Near))
         need_all = self._contains(query, ast.MatchAll)
@@ -369,6 +418,135 @@ class Planner:
             cand.withColumn("score", ev.weight)
             .where(ev.match)
             .select("docid", "score")
+        )
+
+    def plan_batch(self, queries: dict[str, ast.Node]) -> DataFrame:
+        """Evaluate MANY queries in one pass: (query, docid, score).
+
+        One scan of the postings table filtered to the union of all query
+        terms, one per-doc term map, then every query's boolean+score
+        expression evaluated as columns over that map.  This amortizes the
+        per-job scheduling floor across the batch — the Spark-native way to
+        get QPS (the reference answers one query per Enquire; a 1000-executor
+        cluster answers a batch per job)."""
+        prepared: dict[str, tuple[ast.Node, dict, dict, dict]] = {}
+        all_terms: set[str] = set()
+        need_pos = need_all = False
+        vr_fields: set[str] = set()
+        for name, q in queries.items():
+            q = self._expand(q)
+            leaves = ast.leaf_terms(q)
+            wqf: dict[str, int] = {}
+            for t in leaves:
+                wqf[t.term] = wqf.get(t.term, 0) + t.wqf
+            all_terms.update(wqf)
+            need_pos = need_pos or self._contains(q, (ast.Phrase, ast.Near))
+            need_all = need_all or self._contains(q, ast.MatchAll)
+            vr_fields.update(
+                nd.field for nd in _walk(q) if isinstance(nd, ast.ValueRange)
+            )
+            prepared[name] = (q, wqf)
+
+        terms = sorted(all_terms)
+        tstats = self.index.collect_term_stats(terms)
+        cand = self._candidates(terms, need_pos, need_all, sorted(vr_fields))
+        if cand is None:
+            return self.index.spark.createDataFrame(
+                [], "query string, docid long, score double"
+            )
+
+        entries = []
+        for name, (q, wqf) in prepared.items():
+            syn_stats: dict[int, TermStats] = {}
+            self._gather_syn(q, tstats, syn_stats)
+            ev = self._eval(q, 1.0, tstats, wqf, syn_stats)
+            entries.append(
+                F.struct(
+                    F.lit(name).alias("query"),
+                    ev.match.alias("m"),
+                    ev.weight.alias("score"),
+                )
+            )
+        return (
+            cand.select("docid", F.explode(F.array(*entries)).alias("r"))
+            .where(F.col("r.m"))
+            .select(F.col("r.query").alias("query"), "docid", F.col("r.score").alias("score"))
+        )
+
+    def search_batch(
+        self, queries: dict[str, ast.Node], k: int = 10
+    ) -> DataFrame:
+        """Batched top-k: (query, rank, docid, score), rank 1..k per query."""
+        from pyspark.sql import Window
+
+        m = self.plan_batch(queries)
+        w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            m.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query", "rank", "docid", "score")
+        )
+
+    def search_batch_or(
+        self, queries: dict[str, list[str]], k: int = 10
+    ) -> DataFrame:
+        """High-throughput batched free-text search (default-op OR, BM25).
+
+        The scale path for query serving: a tiny (query, term, termweight)
+        table broadcast-joined to the postings table, partial-aggregated
+        per (query, docid), then per-query top-k.  No per-query plan or
+        codegen — one fixed plan serves ANY number of weighted-OR queries,
+        and postings-side work is proportional to the matched postings
+        (like the reference's per-term posting cursors), not to
+        |queries| x |candidates|.
+
+        Returns (query, rank, docid, score) with rank 1..k per query.
+        """
+        from collections import Counter
+
+        from pyspark.sql import Window
+
+        all_terms = sorted({t for ts in queries.values() for t in ts})
+        tstats = self.index.collect_term_stats(all_terms)
+        rows = []
+        for qname, terms in queries.items():
+            for t, n in Counter(terms).items():
+                ts = tstats.get(t)
+                if ts is None or ts.tf == 0:
+                    continue
+                tw = self.weight.init_term(self.index.stats, ts, wqf=n)
+                rows.append((qname, t, float(tw.termweight)))
+        spark = self.index.spark
+        if not rows:
+            return spark.createDataFrame(
+                [], "query string, rank int, docid long, score double"
+            )
+        qt = spark.createDataFrame(rows, "query string, term string, tw double")
+        # per-(query,term,doc) sumpart with the shared BM25 shape; per-term
+        # constants come from the broadcast side.
+        any_tw = self.weight.init_term(
+            self.index.stats, next(iter(tstats.values())), wqf=1
+        )
+        normlen = F.greatest(
+            F.col("doclen").cast("double") * F.lit(any_tw.len_factor),
+            F.lit(any_tw.min_normlen),
+        )
+        denom = (
+            F.lit(any_tw.k1)
+            * (normlen * F.lit(any_tw.b) + F.lit(1.0 - any_tw.b))
+            + F.col("wdf").cast("double")
+        )
+        sumpart = F.col("tw") * (F.col("wdf").cast("double") / denom)
+        scored = (
+            self.index.postings.join(F.broadcast(qt), "term")
+            .groupBy("query", "docid")
+            .agg(F.sum(sumpart).alias("score"))
+        )
+        w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query", "rank", "docid", "score")
         )
 
     def search(self, query: ast.Node, k: int = 10, offset: int = 0) -> DataFrame:
