@@ -1,0 +1,172 @@
+"""Warehouse build: checkpointed stages, resumability, invariants
+(xapian-check style, bin/xapian-check.cc), blocked-layout roundtrip, and
+block-max WAND safety (exact top-k equivalence, the matcherdesign.rst
+pruning contract)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from xapian_spark.index import merge
+from xapian_spark.index.blocks import pack_blocks, unpack_blocks, vbyte_decode, vbyte_encode
+from xapian_spark.query.wand import brute_topk, wand_topk
+from xapian_spark.ranking.weights import BM25Weight
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn("docid", (F.col("doc_id") + 1).cast("long"))
+    )
+
+
+@pytest.fixture(scope="module")
+def wh(spark, corpus, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("wh") / "index")
+    merge.build_warehouse(
+        spark, corpus, path, content_col="text", docid_col="docid",
+        n_ranges=4, block_size=16,
+    )
+    return path
+
+
+def test_vbyte_edge_cases():
+    import numpy as np
+
+    for arr in ([], [0], [127, 128, 129], [2**40, 0, 1]):
+        a = np.array(arr, dtype=np.uint64)
+        out = vbyte_decode(vbyte_encode(a))
+        assert list(out) == arr
+
+
+def test_warehouse_complete(wh):
+    assert merge.warehouse_complete(wh)
+    meta_dir = os.path.join(wh, "_meta")
+    names = set(os.listdir(meta_dir))
+    assert "termlists.json" in names and "runs.json" in names
+    assert "stats.json" in names
+    # per-range lineage records exist
+    assert any(n.startswith("blocked_range_") for n in names)
+
+
+def test_invariants(spark, corpus, wh):
+    out = merge.verify_invariants(
+        spark, wh, corpus, content_col="text", docid_col="docid"
+    )
+    assert all(v == 0 for v in out.values()), out
+
+
+def test_blocked_roundtrip_identity(spark, wh):
+    runs = spark.read.parquet(os.path.join(wh, "runs"))
+    blocked = spark.read.parquet(os.path.join(wh, "blocked"))
+    a = (
+        runs.select("term", "docid", "wdf", "doclen")
+        .orderBy("term", "docid")
+        .collect()
+    )
+    b = (
+        unpack_blocks(blocked)
+        .orderBy("term", "docid")
+        .collect()
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_blocks_bounded_and_sorted(spark, wh):
+    blocked = spark.read.parquet(os.path.join(wh, "blocked"))
+    rows = blocked.select("term", "first_docid", "last_docid", "n").collect()
+    assert all(r["n"] <= 16 for r in rows)
+    assert all(r["first_docid"] <= r["last_docid"] for r in rows)
+    # blocks of one term have disjoint docid ranges
+    by_term = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(
+            (r["first_docid"], r["last_docid"])
+        )
+    for t, spans in by_term.items():
+        spans.sort()
+        for (a1, b1), (a2, b2) in zip(spans, spans[1:]):
+            assert b1 < a2, (t, spans)
+
+
+def test_resumable_build(spark, corpus, tmp_path):
+    """Kill the build mid-stage-2, rerun, verify identical output and that
+    completed ranges were NOT recomputed (mtime unchanged)."""
+    path = str(tmp_path / "wh_resume")
+    merge.build_warehouse(
+        spark, corpus, path, content_col="text", docid_col="docid",
+        n_ranges=4, block_size=16, stop_after_range=2,
+    )
+    assert not merge.warehouse_complete(path)
+    done_metas = [
+        n for n in os.listdir(os.path.join(path, "_meta"))
+        if n.startswith("blocked_range_")
+    ]
+    assert len(done_metas) == 2
+    mtimes = {
+        n: os.path.getmtime(os.path.join(path, "_meta", n))
+        for n in done_metas
+    }
+    # resume
+    merge.build_warehouse(
+        spark, corpus, path, content_col="text", docid_col="docid",
+        n_ranges=4, block_size=16,
+    )
+    assert merge.warehouse_complete(path)
+    for n, mt in mtimes.items():
+        assert os.path.getmtime(os.path.join(path, "_meta", n)) == mt, (
+            f"{n} was recomputed on resume"
+        )
+    out = merge.verify_invariants(
+        spark, path, corpus, content_col="text", docid_col="docid"
+    )
+    assert all(v == 0 for v in out.values()), out
+    shutil.rmtree(path)
+
+
+@pytest.mark.parametrize(
+    "terms",
+    [["dup"], ["dup", "vector"], ["scan", "key", "line"],
+     ["batch", "small", "scan", "agg", "the"]],
+)
+def test_wand_exact_topk(spark, wh, terms):
+    idx = merge.read_warehouse(spark, wh)
+    tstats = idx.collect_term_stats(terms)
+    w = BM25Weight()
+    wt = (
+        wand_topk(idx.blocked, idx.stats, tstats, terms, 10, w)
+        .orderBy(F.desc("score"), "docid").limit(10).collect()
+    )
+    bt = (
+        brute_topk(idx.blocked, idx.stats, tstats, terms, 10, w)
+        .orderBy(F.desc("score"), "docid").limit(10).collect()
+    )
+    assert [(r["docid"], round(r["score"], 9)) for r in wt] == [
+        (r["docid"], round(r["score"], 9)) for r in bt
+    ]
+
+
+def test_wand_matches_planner(spark, wh):
+    """Rank identity between the blocked/WAND path and the row-postings
+    Planner path for a weighted-OR query."""
+    from xapian_spark.query import ast
+    from xapian_spark.query.planner import Planner
+
+    idx = merge.read_warehouse(spark, wh)
+    terms = ["dup", "vector", "fast"]
+    tstats = idx.collect_term_stats(terms)
+    wt = (
+        wand_topk(idx.blocked, idx.stats, tstats, terms, 10, BM25Weight())
+        .orderBy(F.desc("score"), "docid").limit(10).collect()
+    )
+    pl = Planner(idx)
+    node = ast.Or(tuple(ast.Term(t) for t in terms))
+    single = pl.search(node, k=10).collect()
+    assert [r["docid"] for r in wt] == [r["docid"] for r in single]
+    for a, b in zip(wt, single):
+        assert a["score"] == pytest.approx(b["score"], rel=1e-12)

@@ -1,0 +1,320 @@
+"""Driver-side QueryParser: the reference's query language over our AST.
+
+Port of the QueryParser surface (`xapian-core/queryparser/queryparser.lemony`,
+lexer modes :1029-1630, grammar :2096-2531; golden expectations modeled on
+`tests/api_queryparser.cc:43-806`), re-expressed as a recursive-descent
+parser — queries are tiny, so the parser runs on the driver and emits the
+Query AST that the Planner turns into a DataFrame DAG.
+
+Supported syntax (defaults: FLAG_PHRASE|FLAG_BOOLEAN|FLAG_LOVEHATE +
+wildcard + ranges; default op OR, queryparser_internal.h:87):
+
+  a b               -> default_op(a, b)
+  a AND b, OR, XOR, NOT, AND NOT    (keywords must be ALL-CAPS,
+                                     queryparser.lemony:1389-1428)
+  (grouping)
+  +term -term       -> loved terms AND'd; hated AND_NOT'd
+                       (queryparser.lemony:2271-2340)
+  "a b c"           -> OP_PHRASE window = n terms (:2397-2452)
+  a-b, a.b          -> phrased compound (:1363,2455-2468; api_queryparser
+                       "simple-example" -> (simple@1 PHRASE 2 example@2))
+  a NEAR/n b        -> OP_NEAR, window default 10, +1 per extra term
+                       (:1977-1981)
+  a ADJ/n b         -> ordered NEAR = windowed OP_PHRASE (:1983-1991)
+  field:term        -> probabilistic prefix (add_prefix) or boolean prefix
+                       (add_boolean_prefix -> OP_FILTER), queryparser.h:799+
+  wild*             -> OP_WILDCARD (:1234-1247)
+  field:lo..hi      -> RangeProcessor -> OP_VALUE_RANGE (:2236-2247)
+
+Stemming is STEM_NONE (code corpus); terms are lowercased by the same
+Unicode folding as the index tokenizer, so parser terms and index terms
+always agree.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from xapian_spark.query import ast
+from xapian_spark.text.tokenizer import parse_terms
+
+_KEYWORDS = {"AND", "OR", "NOT", "XOR", "NEAR", "ADJ"}
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<lparen>\() | (?P<rparen>\)) |
+    (?P<quoted>"[^"]*"?) |
+    (?P<love>\+(?=\S)) | (?P<hate>-(?=\S)) |
+    (?P<word>[^\s()"+]+)
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class _Tok:
+    kind: str
+    text: str
+
+
+@dataclass
+class QueryParser:
+    """Configure like the reference: prefix maps + default op."""
+
+    default_op: str = "or"  # "or" | "and"
+    prefixes: dict[str, str] = field(default_factory=dict)  # probabilistic
+    boolean_prefixes: dict[str, str] = field(default_factory=dict)
+    range_fields: dict[str, str] = field(default_factory=dict)  # field->column
+    stopwords: frozenset[str] | None = None
+
+    def __post_init__(self):
+        self._pos = 0  # query-wide term position counter
+
+    # -- lexer ---------------------------------------------------------------
+
+    def _lex(self, s: str) -> list[_Tok]:
+        toks: list[_Tok] = []
+        for m in _TOKEN_RE.finditer(s):
+            kind = m.lastgroup
+            text = m.group()
+            if kind == "word":
+                if text in _KEYWORDS or re.fullmatch(
+                    r"(NEAR|ADJ)/\d+", text
+                ):
+                    toks.append(_Tok("op", text))
+                    continue
+            toks.append(_Tok(kind, text))
+        return toks
+
+    # -- term helpers --------------------------------------------------------
+
+    def _next_pos(self) -> int:
+        self._pos += 1
+        return self._pos
+
+    def _terms_of(self, text: str, prefix: str = "") -> list[ast.Term]:
+        """Tokenize a word/compound into positional Term leaves using the
+        SAME folding as the index tokenizer."""
+        out = []
+        for t in parse_terms(text):
+            if self.stopwords and t in self.stopwords:
+                self._next_pos()
+                continue
+            out.append(ast.Term(prefix + t, pos=self._next_pos()))
+        return out
+
+    def _word_node(self, text: str, prefix: str = "") -> ast.Node:
+        """One word token -> Term / Phrase (compound) / Wildcard."""
+        if text.endswith("*") and len(text) > 1:
+            head = text[:-1].lower()
+            return ast.Wildcard(prefix + head, combiner="or")
+        terms = self._terms_of(text, prefix)
+        if not terms:
+            return ast.MatchNothing()
+        if len(terms) == 1:
+            return terms[0]
+        # phrased compound: window = number of terms (:2455-2468)
+        return ast.Phrase(tuple(terms), len(terms))
+
+    def _field_node(self, fname: str, rest: str):
+        """-> (node, filter_group) where filter_group is a non-None key when
+        the node is an unweighted filter (boolean prefix / value range) that
+        must attach via OP_FILTER: same-group terms OR together, distinct
+        groups AND (the reference's filter grouping, queryparser.lemony
+        boolean-prefix handling)."""
+        if fname in self.range_fields and ".." in rest:
+            lo, hi = rest.split("..", 1)
+            col = self.range_fields[fname]
+            conv = lambda x: float(x) if re.fullmatch(r"-?\d+(\.\d+)?", x) else x  # noqa: E731
+            node = ast.ValueRange(
+                col, conv(lo) if lo else None, conv(hi) if hi else None
+            )
+            return node, f"range:{fname}"
+        if fname in self.boolean_prefixes:
+            prefix = self.boolean_prefixes[fname]
+            return ast.Term(prefix + rest.lower()), f"bool:{prefix}"
+        if fname in self.prefixes:
+            return self._word_node(rest, prefix=self.prefixes[fname]), None
+        return None, None
+
+    # -- grammar -------------------------------------------------------------
+
+    def parse_query(self, s: str) -> ast.Node:
+        self._pos = 0
+        toks = self._lex(s)
+        node, i = self._parse_or(toks, 0)
+        if node is None:
+            return ast.MatchNothing()
+        return node
+
+    def _parse_or(self, toks, i):
+        left, i = self._parse_xor(toks, i)
+        while i < len(toks) and toks[i].kind == "op" and toks[i].text == "OR":
+            right, i = self._parse_xor(toks, i + 1)
+            if left is None or right is None:
+                left = left or right
+                continue
+            if isinstance(left, ast.Or):
+                left = ast.Or(left.subs + (right,))
+            else:
+                left = ast.Or((left, right))
+        return left, i
+
+    def _parse_xor(self, toks, i):
+        left, i = self._parse_and(toks, i)
+        while i < len(toks) and toks[i].kind == "op" and toks[i].text == "XOR":
+            right, i = self._parse_and(toks, i + 1)
+            if left is None or right is None:
+                left = left or right
+                continue
+            if isinstance(left, ast.Xor):
+                left = ast.Xor(left.subs + (right,))
+            else:
+                left = ast.Xor((left, right))
+        return left, i
+
+    def _parse_and(self, toks, i):
+        left, i = self._parse_prob(toks, i)
+        while i < len(toks) and toks[i].kind == "op" and toks[i].text in (
+            "AND", "NOT",
+        ):
+            op = toks[i].text
+            i += 1
+            negate = op == "NOT"
+            if op == "AND" and i < len(toks) and toks[i].kind == "op" and \
+                    toks[i].text == "NOT":
+                negate = True
+                i += 1
+            right, i = self._parse_prob(toks, i)
+            if left is None or right is None:
+                left = left or right
+                continue
+            if negate:
+                left = ast.AndNot(left, right)
+            elif isinstance(left, ast.And):
+                left = ast.And(left.subs + (right,))
+            else:
+                left = ast.And((left, right))
+        return left, i
+
+    def _parse_prob(self, toks, i):
+        """A run of primaries joined by the default op, with love/hate and
+        NEAR/ADJ handling (the 'prob' production, :2249-2340)."""
+        loved: list[ast.Node] = []
+        hated: list[ast.Node] = []
+        normal: list[ast.Node] = []
+        filters: dict[str, list[ast.Node]] = {}
+        while i < len(toks):
+            t = toks[i]
+            if t.kind == "op" and t.text in ("AND", "OR", "XOR", "NOT"):
+                break
+            if t.kind == "rparen":
+                break
+            if t.kind == "op" and t.text.startswith(("NEAR", "ADJ")):
+                # positional join of previous primary and next primary
+                if not normal:
+                    i += 1
+                    continue
+                parts = t.text.split("/")
+                ordered = parts[0] == "ADJ"
+                left = normal.pop()
+                sub, i2, _ = self._parse_primary(toks, i + 1)
+                if sub is None:
+                    i = i2
+                    continue
+                i = i2
+                subs = []
+                for nd in (left, sub):
+                    if isinstance(nd, (ast.Near, ast.Phrase)):
+                        subs.extend(nd.subs)
+                    else:
+                        subs.append(nd)
+                n = len(subs)
+                if len(parts) == 2:
+                    window = int(parts[1]) + (n - 2)
+                else:
+                    window = 10 + (n - 2)  # :1977-1991
+                cls = ast.Phrase if ordered else ast.Near
+                normal.append(cls(tuple(subs), window))
+                continue
+            if t.kind == "love":
+                sub, i, fg = self._parse_primary(toks, i + 1)
+                if sub is not None:
+                    (filters.setdefault(fg, []) if fg else loved).append(sub)
+                continue
+            if t.kind == "hate":
+                sub, i, _ = self._parse_primary(toks, i + 1)
+                if sub is not None:
+                    hated.append(sub)
+                continue
+            sub, i, fg = self._parse_primary(toks, i)
+            if sub is not None:
+                if fg:
+                    filters.setdefault(fg, []).append(sub)
+                else:
+                    normal.append(sub)
+        # combine (queryparser.lemony:2271-2340): loves AND'd; normals by
+        # default op; hates AND_NOT'd off the result; boolean-prefix terms
+        # and ranges attach as OP_FILTER (same group OR, groups AND)
+        normal = [n for n in normal if not isinstance(n, ast.MatchNothing)]
+        if self.default_op == "and":
+            base = ast.And(tuple(normal)) if len(normal) > 1 else (
+                normal[0] if normal else None
+            )
+        else:
+            base = ast.Or(tuple(normal)) if len(normal) > 1 else (
+                normal[0] if normal else None
+            )
+        if loved:
+            love = ast.And(tuple(loved)) if len(loved) > 1 else loved[0]
+            base = love if base is None else ast.AndMaybe(love, base)
+        if filters:
+            groups = [
+                (ast.Or(tuple(g)) if len(g) > 1 else g[0])
+                for _, g in sorted(filters.items())
+            ]
+            filt = ast.And(tuple(groups)) if len(groups) > 1 else groups[0]
+            base = filt if base is None else ast.Filter(base, filt)
+        if hated:
+            hate = ast.Or(tuple(hated)) if len(hated) > 1 else hated[0]
+            if base is not None:
+                base = ast.AndNot(base, hate)
+        return base, i
+
+    def _parse_primary(self, toks, i):
+        """-> (node, next_i, filter_group|None)."""
+        if i >= len(toks):
+            return None, i, None
+        t = toks[i]
+        if t.kind == "lparen":
+            node, i = self._parse_or(toks, i + 1)
+            if i < len(toks) and toks[i].kind == "rparen":
+                i += 1
+            return node, i, None
+        if t.kind == "quoted":
+            inner = t.text.strip('"')
+            terms = self._terms_of(inner)
+            if not terms:
+                return None, i + 1, None
+            if len(terms) == 1:
+                return terms[0], i + 1, None
+            return ast.Phrase(tuple(terms), len(terms)), i + 1, None
+        if t.kind == "word" or (t.kind == "op"):
+            text = t.text
+            m = re.match(r"^([A-Za-z_][\w]*):(.+)$", text)
+            if m:
+                node, fg = self._field_node(m.group(1).lower(), m.group(2))
+                if node is not None:
+                    return node, i + 1, fg
+                # unknown field: index the whole token as words
+            return self._word_node(text), i + 1, None
+        return None, i + 1, None
+
+    # -- free text (the wand/batch serving path) ----------------------------
+
+    def parse_free_text(self, s: str) -> list[ast.Term]:
+        """Plain term list with wqf via repetition — the default-op-OR
+        free-text query shape used by the WAND serving path."""
+        self._pos = 0
+        return self._terms_of(s)

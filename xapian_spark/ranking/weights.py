@@ -118,6 +118,27 @@ class TermWeight:
             return 0.0
         return self.termweight * (wdf_max / denom)
 
+    def maxpart_expr(self, wdf_max: Column, doclen_lower_bound: int) -> Column:
+        """Columnar twin of maxpart() over a per-block wdf_max column —
+        the block score bound for block-max pruning (honey-style exact
+        per-block wdf_max, honey_postlist_encodings.h:26-111)."""
+        wdf_d = wdf_max.cast("double")
+        if self.k1 != 0.0 and self.b != 0.0:
+            normlen_lb = F.greatest(
+                F.greatest(wdf_d, F.lit(float(doclen_lower_bound)))
+                * F.lit(self.len_factor),
+                F.lit(self.min_normlen),
+            )
+            denom = (
+                F.lit(self.k1) * (normlen_lb * F.lit(self.b) + F.lit(1.0 - self.b))
+                + wdf_d
+            )
+        else:
+            denom = F.lit(self.k1) + wdf_d
+        return F.when(
+            denom > 0, F.lit(self.termweight) * (wdf_d / denom)
+        ).otherwise(0.0)
+
 
 @dataclass
 class BM25Weight(Weight):
@@ -255,6 +276,9 @@ class FlatTermWeight(TermWeight):
     def maxpart(self, wdf_max: int, doclen_lower_bound: int) -> float:
         return self.termweight
 
+    def maxpart_expr(self, wdf_max: Column, doclen_lower_bound: int) -> Column:
+        return F.lit(self.termweight)
+
 
 @dataclass(frozen=True)
 class LinearTermWeight(TermWeight):
@@ -274,6 +298,9 @@ class LinearTermWeight(TermWeight):
 
     def maxpart(self, wdf_max: int, doclen_lower_bound: int) -> float:
         return self.termweight * wdf_max
+
+    def maxpart_expr(self, wdf_max: Column, doclen_lower_bound: int) -> Column:
+        return F.lit(self.termweight) * wdf_max.cast("double")
 
 
 WEIGHT_SCHEMES = {
