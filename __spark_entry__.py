@@ -149,6 +149,71 @@ def _round_cols(df: DataFrame, cols: list[str], nd: int = 6) -> DataFrame:
 # pipeline ops ---------------------------------------------------------------
 
 
+def _q_parser_mixed(spark, sf_dir):
+    """String query through the QueryParser: phrase OR term."""
+    from xapian_spark.query.parser import QueryParser
+
+    node = QueryParser().parse_query('"slow fast" OR dup')
+    return _search(node, k=10)(spark, sf_dir)
+
+
+def _q_elite_set(spark, sf_dir):
+    node = ast.EliteSet(
+        tuple(ast.Term(t) for t in ["dup", "key", "line", "scan", "batch"]),
+        set_size=2,
+    )
+    return _search(node, k=10)(spark, sf_dir)
+
+
+def _q_fuzzy(spark, sf_dir):
+    # 'scen' ~1 -> 'scan' in this vocabulary
+    return _search(ast.EditDistance("scen", 1, combiner="or"), k=10)(
+        spark, sf_dir
+    )
+
+
+def _q_spelling(spark, sf_dir):
+    from xapian_spark.query.expand import suggest_spelling
+
+    idx = _index(spark, sf_dir)
+    sug = suggest_spelling(idx, "batcg", max_edit=2)
+    return spark.createDataFrame(
+        [("batcg", sug)], "word string, suggestion string"
+    )
+
+
+def _q_bo1_eset(spark, sf_dir):
+    from xapian_spark.query.expand import bo1_eset
+
+    idx = _index(spark, sf_dir)
+    out = bo1_eset(idx, list(range(1, 11)), k=10)
+    return out.select("term", F.round("wt", 6).alias("wt"))
+
+
+def _q_percent(spark, sf_dir):
+    from xapian_spark.query.expand import with_percent
+
+    idx = _index(spark, sf_dir)
+    m = Planner(idx).plan(ast.Term("dup"))
+    m = m.select("docid", F.round("score", 6).alias("score"))
+    return (
+        with_percent(m)
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(10)
+        .select("docid", "score", "percent")
+    )
+
+
+def _q_batch_or(spark, sf_dir):
+    """Batched weighted-OR serving (broadcast query-table join)."""
+    idx = _index(spark, sf_dir)
+    qs = {"q1": ["dup", "vector"], "q2": ["scan"], "q3": ["key", "line", "fast"]}
+    out = Planner(idx).search_batch_or(qs, k=10)
+    return out.select(
+        "query", "rank", "docid", F.round("score", 6).alias("score")
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(
         spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id", "text"
@@ -297,6 +362,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             weight=CoordWeight,
         ),
         "bool_weight": _search(ast.Term("dup"), weight=BoolWeight),
+        # -- parser / expansion / serving (SURVEY §2.6, §2.3, §2.5)
+        "parser_mixed": _q_parser_mixed,
+        "elite_set": _q_elite_set,
+        "fuzzy_edit_distance": _q_fuzzy,
+        "spelling_suggest": _q_spelling,
+        "bo1_eset": _q_bo1_eset,
+        "percent_scores": _q_percent,
+        "batch_or_serving": _q_batch_or,
         # -- training-data pipeline ops
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_jaccard,
@@ -556,6 +629,124 @@ SELECT docid, score FROM (
     q["bool_weight"] = _topk_sql(
         "SELECT docid, CAST(0.0 AS DOUBLE) AS score FROM sp "
         "WHERE term = 'dup' GROUP BY docid"
+    )
+
+    # parser: '"slow fast" OR dup' — weight of the phrase subtree counts
+    # only where the phrase itself matches (matching-subquery sum)
+    q["parser_mixed"] = (
+        _PRELUDE
+        + """
+, ph AS (
+  SELECT DISTINCT a.docid FROM toks a JOIN toks b ON b.docid = a.docid
+  WHERE a.term = 'slow' AND b.term = 'fast' AND b.pos = a.pos + 1
+)
+SELECT docid, score FROM (
+  SELECT s.docid,
+    round(sum(CASE
+      WHEN s.term IN ('slow','fast') AND s.docid IN (SELECT docid FROM ph)
+        THEN s.sumpart
+      WHEN s.term = 'dup' THEN s.sumpart
+      ELSE 0 END), 6) AS score
+  FROM sp s
+  WHERE s.term IN ('slow','fast','dup')
+    AND (s.docid IN (SELECT docid FROM ph)
+         OR s.docid IN (SELECT docid FROM post WHERE term = 'dup'))
+  GROUP BY s.docid
+) ORDER BY score DESC, docid LIMIT 10
+"""
+    )
+    # ELITE_SET: top-2 of 5 terms by maxpart bound (bm25weight.cc:183-208)
+    q["elite_set"] = (
+        _PRELUDE
+        + """
+, tmax AS (SELECT term, max(wdf) AS wdf_max FROM post GROUP BY term),
+gl AS (SELECT CAST(min(doclen) AS DOUBLE) AS dl_lb FROM dl),
+mp AS (
+  SELECT b.term,
+    b.termweight * (t.wdf_max /
+      (1.0 * (greatest(greatest(CAST(t.wdf_max AS DOUBLE), gl.dl_lb)
+              * (1.0 / (g.total / g.n)), 0.5) * 0.5 + 0.5) + t.wdf_max)
+    ) AS maxpart
+  FROM bm b JOIN tmax t ON t.term = b.term CROSS JOIN gl CROSS JOIN g
+  WHERE b.term IN ('dup','key','line','scan','batch')
+),
+sel AS (SELECT term FROM mp ORDER BY maxpart DESC, term LIMIT 2)
+SELECT docid, score FROM (
+  SELECT docid, round(sum(sumpart), 6) AS score FROM sp
+  WHERE term IN (SELECT term FROM sel) GROUP BY docid
+) ORDER BY score DESC, docid LIMIT 10
+"""
+    )
+    # OP_EDIT_DISTANCE: dictionary terms within levenshtein 1 of 'scen'
+    q["fuzzy_edit_distance"] = _topk_sql(
+        "SELECT docid, round(sum(sumpart), 6) AS score FROM sp "
+        "WHERE term IN (SELECT term FROM tstat "
+        "  WHERE abs(length(term) - 4) <= 1 "
+        "  AND levenshtein(term, 'scen') <= 1) "
+        "GROUP BY docid"
+    )
+    # spelling: trigram candidates ranked (distance, tf desc, term)
+    q["spelling_suggest"] = (
+        _PRELUDE
+        + """
+SELECT 'batcg' AS word,
+  (SELECT term FROM tstat
+   WHERE abs(length(term) - 5) <= 2 AND levenshtein(term, 'batcg') <= 2
+   ORDER BY levenshtein(term, 'batcg') ASC, tf DESC, term ASC LIMIT 1
+  ) AS suggestion
+"""
+    )
+    # Bo1 expansion over rset docids 1..10 (bo1eweight.cc:33-43)
+    q["bo1_eset"] = (
+        _PRELUDE
+        + """
+, rcf AS (
+  SELECT term, CAST(sum(wdf) AS DOUBLE) AS rcf FROM post
+  WHERE docid BETWEEN 1 AND 10 AND wdf > 0 GROUP BY term
+)
+SELECT term, wt FROM (
+  SELECT r.term,
+    round(r.rcf * (ln((1.0 + t.cf / g.n) / (t.cf / g.n)) / ln(2.0))
+          + (ln(1.0 + t.cf / g.n) / ln(2.0)), 6) AS wt,
+    r.rcf * (ln((1.0 + t.cf / g.n) / (t.cf / g.n)) / ln(2.0))
+          + (ln(1.0 + t.cf / g.n) / ln(2.0)) AS wt_raw
+  FROM rcf r JOIN tstat t ON t.term = r.term CROSS JOIN g
+) ORDER BY wt_raw DESC, term LIMIT 10
+"""
+    )
+    # percent of best attained score
+    q["percent_scores"] = _PRELUDE + """
+, m AS (
+  SELECT docid, round(sum(sumpart), 6) AS score FROM sp
+  WHERE term = 'dup' GROUP BY docid
+),
+mx AS (SELECT max(score) AS mx FROM m)
+SELECT docid, score,
+  CASE WHEN score > 0 AND mx > 0
+    THEN greatest(1, CAST(round(100.0 * score / mx) AS INT)) ELSE 0 END
+    AS percent
+FROM m CROSS JOIN mx ORDER BY score DESC, docid LIMIT 10
+"""
+    # batched weighted-OR serving: 3 queries, one broadcast join
+    q["batch_or_serving"] = (
+        _PRELUDE
+        + """
+, qt(query, term) AS (
+  VALUES ('q1','dup'),('q1','vector'),('q2','scan'),
+         ('q3','key'),('q3','line'),('q3','fast')
+),
+scored AS (
+  SELECT qt.query, s.docid, sum(s.sumpart) AS raw
+  FROM sp s JOIN qt ON qt.term = s.term GROUP BY qt.query, s.docid
+),
+ranked AS (
+  SELECT query, docid, raw,
+    row_number() OVER (PARTITION BY query ORDER BY raw DESC, docid) AS rank
+  FROM scored
+)
+SELECT query, rank, docid, round(raw, 6) AS score
+FROM ranked WHERE rank <= 10
+"""
     )
 
     # -- pipeline ops --------------------------------------------------------

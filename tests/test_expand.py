@@ -1,0 +1,163 @@
+"""EliteSet, edit-distance expansion, spelling suggestion, Bo1 ESet,
+percent scores, fuzzy/synonym parser syntax, BM25+ weight."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SIMPLE_PARAGRAPHS
+from xapian_spark.query import ast
+from xapian_spark.query.expand import bo1_eset, suggest_spelling, with_percent
+from xapian_spark.query.parser import QueryParser
+from xapian_spark.query.planner import Planner
+from xapian_spark.ranking.weights import BM25PlusWeight, BM25Weight
+
+
+@pytest.fixture(scope="module")
+def planner(simple_index):
+    return Planner(simple_index)
+
+
+# -- ELITE_SET ---------------------------------------------------------------
+
+
+def test_eliteset_selects_best_by_maxpart(planner, simple_index):
+    terms = ["paragraph", "search", "banana", "ranking", "indexing"]
+    node = ast.EliteSet(tuple(ast.Term(t) for t in terms), set_size=2)
+    expanded = planner._expand(node)
+    assert isinstance(expanded, ast.Or)
+    kept = {t.term for t in ast.leaf_terms(expanded)}
+    assert len(kept) == 2
+    # manual maxpart ranking
+    tstats = simple_index.collect_term_stats(terms)
+    w = BM25Weight()
+    mp = {
+        t: w.init_term(simple_index.stats, tstats[t]).maxpart(
+            tstats[t].wdf_max, simple_index.stats.doclen_lower_bound
+        )
+        for t in terms
+        if tstats[t].tf > 0
+    }
+    want = set(sorted(mp, key=lambda t: (-mp[t], t))[:2])
+    assert kept == want
+
+
+def test_eliteset_small_passthrough(planner):
+    node = ast.EliteSet((ast.Term("search"), ast.Term("banana")), set_size=10)
+    got = planner.search(node, k=10).collect()
+    want = planner.search(
+        ast.Or((ast.Term("search"), ast.Term("banana"))), k=10
+    ).collect()
+    assert [r["docid"] for r in got] == [r["docid"] for r in want]
+
+
+# -- OP_EDIT_DISTANCE --------------------------------------------------------
+
+
+def test_edit_distance_expansion(simple_index):
+    # "parograph" is 1 edit from "paragraph"
+    terms = simple_index.expand_edit_distance("parograph", max_edit=1)
+    assert terms == ["paragraph"]
+
+
+def test_fuzzy_query_end_to_end(planner):
+    hits = planner.search(
+        QueryParser().parse_query("parograph~1"), k=10
+    ).collect()
+    want = planner.search(ast.Term("paragraph"), k=10).collect()
+    assert [r["docid"] for r in hits] == [r["docid"] for r in want]
+
+
+def test_fuzzy_no_match(planner):
+    hits = planner.search(
+        QueryParser().parse_query("zzzzqqqq~1"), k=10
+    ).collect()
+    assert hits == []
+
+
+# -- spelling ----------------------------------------------------------------
+
+
+def test_spelling_suggestion(simple_index):
+    assert suggest_spelling(simple_index, "banan") == "banana"
+    assert suggest_spelling(simple_index, "parograph") == "paragraph"
+    # dictionary words are not "corrected"
+    assert suggest_spelling(simple_index, "banana") is None
+    assert suggest_spelling(simple_index, "xyzzyq") is None
+
+
+# -- Bo1 ESet ----------------------------------------------------------------
+
+
+def test_bo1_eset(simple_index):
+    # relevance set: the two docs about search/indexing
+    rows = bo1_eset(simple_index, [1, 2], k=5,
+                    exclude_terms={"a", "the", "this", "is", "and"}).collect()
+    assert rows, "expansion set should not be empty"
+    terms = [r["term"] for r in rows]
+    # expansion should surface content-bearing terms of the rset docs
+    assert any(t in ("search", "indexing", "paragraph") for t in terms)
+    # weights strictly positive and descending
+    wts = [r["wt"] for r in rows]
+    assert all(w > 0 for w in wts)
+    assert wts == sorted(wts, reverse=True)
+    # spot-check the Bo1 formula for the top term
+    top = rows[0]
+    ts = simple_index.collect_term_stats([top["term"]])[top["term"]]
+    n = simple_index.stats.doccount
+    rcf = (
+        simple_index.postings.where(
+            (F.col("term") == top["term"]) & F.col("docid").isin([1, 2])
+        ).agg(F.sum("wdf")).collect()[0][0]
+    )
+    m = ts.cf / n
+    want = rcf * math.log2((1 + m) / m) + math.log2(1 + m)
+    assert top["wt"] == pytest.approx(want, rel=1e-9)
+
+
+# -- percent -----------------------------------------------------------------
+
+
+def test_with_percent(planner):
+    mset = planner.search(ast.Term("paragraph"), k=10)
+    rows = with_percent(mset).orderBy("rank").collect()
+    assert rows[0]["percent"] == 100
+    assert all(1 <= r["percent"] <= 100 for r in rows)
+
+
+# -- parser synonym syntax ---------------------------------------------------
+
+
+def test_parser_synonyms():
+    qp = QueryParser(synonyms={"car": ("auto", "vehicle")})
+    node = qp.parse_query("~car")
+    assert node.describe() == "(car@1 SYNONYM auto SYNONYM vehicle)"
+    # without ~, no expansion unless auto_synonyms
+    assert qp.parse_query("car").describe() == "car@1"
+    qp2 = QueryParser(synonyms={"car": ("auto",)}, auto_synonyms=True)
+    assert qp2.parse_query("car").describe() == "(car@1 SYNONYM auto)"
+
+
+# -- BM25+ -------------------------------------------------------------------
+
+
+def test_bm25plus_scores(planner, simple_index):
+    pl = Planner(simple_index, BM25PlusWeight())
+    rows = pl.search(ast.Term("banana"), k=10).collect()
+    assert len(rows) == 1
+    ts = simple_index.collect_term_stats(["banana"])["banana"]
+    st = simple_index.stats
+    # manual: tw = ln((N+1)/tf); sumpart = tw*((k1+1)*wdf/denom + 1)
+    row = (
+        simple_index.postings.where(
+            (F.col("term") == "banana")
+        ).select("wdf", "doclen").collect()[0]
+    )
+    tw = math.log((st.doccount + 1) / ts.tf)
+    normlen = max(row["doclen"] * (1.0 / st.average_length), 0.5)
+    denom = 1.0 * (normlen * 0.5 + 0.5) + row["wdf"]
+    want = tw * (2.0 * row["wdf"] / denom + 1.0)
+    assert rows[0]["score"] == pytest.approx(want, rel=1e-12)

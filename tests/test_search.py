@@ -276,3 +276,31 @@ def test_search_batch_or_matches_individual(planner):
         ], name
         for (_, _, s1), (_, _, s2) in zip(batch, single):
             assert s1 == pytest.approx(s2, rel=1e-12), name
+
+
+def test_or_of_composite_gates_weights(planner, brute):
+    """OR(AND(a,b), c): a doc containing a and c but not b scores ONLY c
+    (matching-subquery sum, orpostlist.cc) — regression for ungated
+    composite weights."""
+    node = ast.Or((
+        ast.And((ast.Term("search"), ast.Term("cooking"))),
+        ast.Term("paragraph"),
+    ))
+    got = run(planner, node)
+    # no doc has both search+cooking; scores must equal plain `paragraph`
+    want = run(planner, ast.Term("paragraph"))
+    assert got == want
+
+
+def test_or_of_phrase_gates_weights(planner):
+    """OR(PHRASE(search, engines), indexing): doc 2 has 'search' and
+    'indexing' but not the phrase -> its score excludes 'search'."""
+    node = ast.Or((
+        ast.Phrase((ast.Term("search"), ast.Term("engines")), 2),
+        ast.Term("indexing"),
+    ))
+    got = {r[0]: r[1] for r in run(planner, node)}
+    only_indexing = {
+        r[0]: r[1] for r in run(planner, ast.Term("indexing"))
+    }
+    assert got[2] == pytest.approx(only_indexing[2], abs=1e-12)

@@ -1,0 +1,154 @@
+"""Scaling-efficiency evidence for the north rule (N vs 4N executors).
+
+Sandbox stand-in: the SAME job at local[8] (N) and local[32] (4N) on the
+SAME deterministic input.  The input is documents.parquet amplified x20
+(seeded arithmetic on doc_id; no external data) so each configuration has
+real work: ~100k docs, ~8M postings at sf0.1.
+
+Output: one JSON line with per-level build/query throughput and the
+efficiency ratio  eff = (T_N / T_4N) / 4  (1.0 = perfect linear).
+
+Run:  python tools/scaling_run.py [sf_dir] > scaling.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from xapian_spark.index.builder import build_index, persist_index
+from xapian_spark.query.planner import Planner
+from xapian_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR") or (
+    sys.argv[1]
+    if len(sys.argv) > 1 and not sys.argv[1].startswith("--")
+    else "/root/testdata/sf0.1"
+)
+AMPLIFY = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "20"))
+N_QUERIES = 500
+
+
+def amplified_docs(spark):
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = base.count()
+    return (
+        base.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(AMPLIFY - 1))))
+        .withColumn("docid", (F.col("doc_id") + 1 + F.col("rep") * n).cast("long"))
+        # vary content deterministically so replicas aren't byte-identical:
+        # prepend a replica marker token
+        .withColumn(
+            "text",
+            F.concat(F.lit("rep"), F.col("rep").cast("string"), F.lit(" "), F.col("text")),
+        )
+        .drop("rep")
+        .repartition(64)
+    )
+
+
+def one_level(cores: int, trials: int = 2) -> dict:
+    """min over `trials` runs — the machine is a shared VM, so min is the
+    least-noise estimator of achievable wall time."""
+    spark = get_spark(
+        f"scaling-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=max(cores * 2, 8),
+    )
+    docs = amplified_docs(spark).persist()
+    n_docs = docs.count()
+
+    build_secs, query_secs = [], []
+    idx = None
+    for _ in range(trials):
+        if idx is not None:
+            for df in (idx.postings, idx.doclens, idx.term_stats,
+                       idx.termlists):
+                if df is not None:
+                    df.unpersist()
+        t0 = time.perf_counter()
+        idx = build_index(spark, docs, content_col="text", docid_col="docid")
+        persist_index(idx)
+        # one action materializes postings cache AND term stats (the cache
+        # populates as a side effect of computing its dependents)
+        idx.term_stats.count()
+        build_secs.append(time.perf_counter() - t0)
+
+        import random
+
+        vocab = [
+            r["term"] for r in idx.term_stats.orderBy("term").collect()[:64]
+        ]
+        rnd = random.Random(42)
+        qs = {
+            f"q{i}": rnd.sample(vocab, rnd.randint(1, 4))
+            for i in range(N_QUERIES)
+        }
+        pl = Planner(idx)
+        t0 = time.perf_counter()
+        pl.search_batch_or(qs, k=10).count()
+        query_secs.append(time.perf_counter() - t0)
+
+    build_sec, query_sec = min(build_secs), min(query_secs)
+    out = {
+        "cores": cores,
+        "n_docs": n_docs,
+        "build_sec": round(build_sec, 2),
+        "build_secs_all": [round(x, 2) for x in build_secs],
+        "build_docs_per_sec": round(n_docs / build_sec, 1),
+        "batch_queries": N_QUERIES,
+        "query_sec": round(query_sec, 2),
+        "query_secs_all": [round(x, 2) for x in query_secs],
+        "query_qps": round(N_QUERIES / query_sec, 1),
+    }
+    spark.stop()
+    return out
+
+
+def main():
+    # Single-level mode (used by the orchestrator below): run the job with
+    # the process tree PINNED to that many physical cores via taskset, the
+    # honest sandbox stand-in for an N-core cluster — local[N] alone caps
+    # only JVM task slots, while Python UDF workers / GC / IO threads would
+    # still use every core.
+    if len(sys.argv) > 2 and sys.argv[1] == "--level":
+        print(json.dumps(one_level(int(sys.argv[2]))))
+        return
+
+    import subprocess
+
+    here = os.path.abspath(__file__)
+    levels = []
+    for cores in (8, 32):
+        cmd = [
+            "taskset", "-c", f"0-{cores - 1}",
+            sys.executable, here, "--level", str(cores),
+        ]
+        env = dict(os.environ, SPARK_GRAFT_AMPLIFY=str(AMPLIFY))
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, env=env, check=True
+        )
+        levels.append(json.loads(out.stdout.strip().splitlines()[-1]))
+    lo, hi = levels
+    result = {
+        "workload": (
+            f"{SF_DIR} x{AMPLIFY} documents, build + {N_QUERIES}-query batch; "
+            "taskset-pinned 8 vs 32 cores"
+        ),
+        "levels": levels,
+        "build_scaling_efficiency": round(
+            (lo["build_sec"] / hi["build_sec"]) / 4.0, 3
+        ),
+        "query_scaling_efficiency": round(
+            (lo["query_sec"] / hi["query_sec"]) / 4.0, 3
+        ),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

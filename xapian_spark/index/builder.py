@@ -145,6 +145,28 @@ class InvertedIndex:
                 self._ts_cache.setdefault(t, TermStats(t, 0, 0, 0))
         return {t: self._ts_cache[t] for t in terms if t in self._ts_cache}
 
+    def expand_edit_distance(
+        self, pattern: str, max_edit: int = 2, prefix: str = ""
+    ) -> list[str]:
+        """OP_EDIT_DISTANCE expansion (queryinternal.cc:2005-2059): dictionary
+        terms within Levenshtein distance, as one distributed filter over the
+        term dictionary (JVM levenshtein, no UDF).  The reference counts
+        transpositions as single edits (editdistance.cc) — plain Levenshtein
+        here, documented divergence."""
+        df = self.term_stats
+        col = F.col("term")
+        if prefix:
+            df = df.where(col.startswith(prefix))
+            col = F.expr(f"substring(term, {len(prefix) + 1})")
+        # cheap length prefilter before the DP distance
+        df = df.where(
+            F.abs(F.length(col) - F.lit(len(pattern))) <= max_edit
+        )
+        rows = df.where(
+            F.levenshtein(col, F.lit(pattern)) <= max_edit
+        ).select("term").collect()
+        return sorted(r["term"] for r in rows)
+
     def expand_wildcard(
         self, pattern_head: str, limit: int | None = None, most_frequent: bool = False
     ) -> list[str]:

@@ -121,6 +121,22 @@ def build_warehouse(
             "elapsed_sec": round(time.perf_counter() - t0, 3),
         })
 
+    _stages_1_to_3(
+        spark, path, mode=mode, n_ranges=n_ranges, block_size=block_size,
+        stop_after_range=stop_after_range,
+    )
+
+
+def _stages_1_to_3(
+    spark: SparkSession,
+    path: str,
+    mode: str = "xapian",
+    n_ranges: int = 8,
+    block_size: int = DEFAULT_BLOCK,
+    stop_after_range: int | None = None,
+) -> None:
+    """Stages 1-3 over an existing {path}/termlists table (used by the
+    batch build and by streaming compaction, streaming/incremental.py)."""
     termlists = spark.read.parquet(os.path.join(path, "termlists"))
 
     # -- stage 1: sorted term-major runs ------------------------------------

@@ -152,6 +152,41 @@ class Near(Node):
 
 
 @dataclass(frozen=True)
+class EliteSet(Node):
+    """OP_ELITE_SET: keep the set_size best subqueries by maxweight, then
+    OR them (query.h:166-213; selection queryinternal.cc:433-439, default
+    set_size 10 at query.h:194).  Expanded at plan time using term stats;
+    ties broken by term string for determinism (the reference's
+    nth_element is unstable — documented divergence)."""
+
+    subs: tuple[Node, ...]
+    set_size: int = 10
+
+    def describe(self) -> str:
+        return (
+            "(" + f" ELITE_SET {self.set_size} ".join(
+                s.describe() for s in self.subs
+            ) + ")"
+        )
+
+
+@dataclass(frozen=True)
+class EditDistance(Node):
+    """OP_EDIT_DISTANCE: expand to dictionary terms within edit distance
+    (queryinternal.cc:2005-2059, editdistance.cc).  Our distance is plain
+    Levenshtein (Spark/DuckDB builtin) — the reference counts
+    transpositions as 1 (documented divergence)."""
+
+    pattern: str
+    max_edit: int = 2
+    combiner: str = "synonym"
+    prefix: str = ""
+
+    def describe(self) -> str:
+        return f"EDIT_DISTANCE {self.pattern}~{self.max_edit}"
+
+
+@dataclass(frozen=True)
 class Wildcard(Node):
     pattern: str  # head before '*'
     limit: int = 0

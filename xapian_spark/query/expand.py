@@ -1,0 +1,134 @@
+"""Spelling suggestion, Bo1 query expansion (ESet), percent scores.
+
+- Spelling: trigram-blocked candidate generation + edit-distance ranking,
+  the glass spelling design (`xapian-core/backends/glass/glass_spelling.h:
+  38-144`: trigram fragments -> words; `Database::get_spelling_suggestion`
+  picks min edit distance, ties by frequency).
+- Bo1 ESet: `xapian-core/expand/bo1eweight.cc:33-43`:
+      m  = cf / N
+      wt = rcf * log2((1+m)/m) + log2(1+m)
+  over the terms of a relevance set (Enquire::get_eset, enquire.h:500-520);
+  rcf = collection frequency within the RSet.
+- Percent: relative percentage of the best attained weight (the reference
+  scales by the maximum POSSIBLE weight, mset.cc:253-271 — documented
+  divergence: we use the attained max, which needs no bound computation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from xapian_spark.index.builder import InvertedIndex
+
+
+# -- spelling ---------------------------------------------------------------
+
+
+def build_spelling_table(index: InvertedIndex) -> DataFrame:
+    """(trigram, term, tf) dimension table from the term dictionary.
+
+    Padded character trigrams: 'word' -> ['$wo','wor','ord','rd$'] — the
+    glass head/tail/middle fragment classes simplified to uniform padding."""
+    t = index.term_stats.select("term", "tf")
+    padded = F.concat(F.lit("$"), F.col("term"), F.lit("$"))
+    tri = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(padded) - 2, F.lit(1))),
+        lambda i: padded.substr(i, F.lit(3)),
+    )
+    return (
+        t.withColumn("trigram", F.explode(tri))
+        .where(F.length("trigram") == 3)
+        .select("trigram", "term", "tf")
+        .distinct()
+    )
+
+
+def suggest_spelling(
+    index: InvertedIndex,
+    word: str,
+    max_edit: int = 2,
+    spelling: DataFrame | None = None,
+) -> str | None:
+    """Best correction for `word`, or None (word in dictionary or no
+    candidate within max_edit).  Ranking: min edit distance, then highest
+    term frequency, then term string (deterministic)."""
+    word = word.lower()
+    ts = index.collect_term_stats([word]).get(word)
+    if ts is not None and ts.tf > 0:
+        return None  # already a dictionary word
+    sp = spelling if spelling is not None else build_spelling_table(index)
+    padded = f"${word}$"
+    tris = [padded[i : i + 3] for i in range(max(1, len(padded) - 2))]
+    tris = [t for t in tris if len(t) == 3]
+    cand = (
+        sp.where(F.col("trigram").isin(tris))
+        .select("term", "tf")
+        .distinct()
+        .where(F.abs(F.length("term") - F.lit(len(word))) <= max_edit)
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(word)))
+        .where(F.col("dist") <= max_edit)
+        .orderBy(F.asc("dist"), F.desc("tf"), F.asc("term"))
+        .limit(1)
+        .collect()
+    )
+    return cand[0]["term"] if cand else None
+
+
+# -- Bo1 expansion (ESet) ----------------------------------------------------
+
+
+def bo1_eset(
+    index: InvertedIndex,
+    rset_docids: list[int],
+    k: int = 20,
+    exclude_terms: set[str] | frozenset[str] = frozenset(),
+) -> DataFrame:
+    """Top-k expansion terms for a relevance set: (term, wt).
+
+    rcf = sum of wdf over the RSet docs per term (the OrTermList merge of
+    the reference, expand/ortermlist.cc); scored with Bo1.  All JVM-side:
+    a semi-join on the (small, broadcast) RSet + one groupBy + the closed-
+    form weight expression.
+    """
+    spark = index.spark
+    rset = spark.createDataFrame([(int(d),) for d in rset_docids], "docid long")
+    rterms = (
+        index.postings.join(F.broadcast(rset), "docid", "left_semi")
+        .where(F.col("wdf") > 0)
+        .groupBy("term")
+        .agg(F.sum("wdf").cast("double").alias("rcf"))
+    )
+    if exclude_terms:
+        rterms = rterms.where(~F.col("term").isin(list(exclude_terms)))
+    n = float(index.stats.doccount)
+    joined = rterms.join(index.term_stats.select("term", "cf"), "term")
+    m = F.col("cf").cast("double") / F.lit(n)
+    log2 = float(__import__("math").log(2.0))
+    wt = (
+        F.col("rcf") * (F.log((1.0 + m) / m) / F.lit(log2))
+        + (F.log(1.0 + m) / F.lit(log2))
+    )
+    return (
+        joined.select("term", wt.alias("wt"))
+        .orderBy(F.desc("wt"), F.asc("term"))
+        .limit(k)
+    )
+
+
+# -- percent scores ----------------------------------------------------------
+
+
+def with_percent(mset: DataFrame, score_col: str = "score") -> DataFrame:
+    """Add a percent column relative to the best attained score:
+    greatest(1, round(100 * score / max_score)) for positive scores."""
+    w = Window.partitionBy()
+    mx = F.max(F.col(score_col)).over(w)
+    pct = F.when(
+        (F.col(score_col) > 0) & (mx > 0),
+        F.greatest(
+            F.lit(1),
+            F.round(F.lit(100.0) * F.col(score_col) / mx).cast("int"),
+        ),
+    ).otherwise(F.lit(0))
+    return mset.withColumn("percent", pct)

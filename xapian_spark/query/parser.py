@@ -67,6 +67,12 @@ class QueryParser:
     boolean_prefixes: dict[str, str] = field(default_factory=dict)
     range_fields: dict[str, str] = field(default_factory=dict)  # field->column
     stopwords: frozenset[str] | None = None
+    # synonym dictionary (the synonym table of glass_spelling's sibling
+    # glass_synonym B-tree): term -> synonyms; used by `~term` syntax and,
+    # when auto_synonyms=True, by every plain term
+    # (FLAG_SYNONYM/FLAG_AUTO_SYNONYMS, queryparser.h:577-590)
+    synonyms: dict[str, tuple[str, ...]] = field(default_factory=dict)
+    auto_synonyms: bool = False
 
     def __post_init__(self):
         self._pos = 0  # query-wide term position counter
@@ -104,15 +110,32 @@ class QueryParser:
             out.append(ast.Term(prefix + t, pos=self._next_pos()))
         return out
 
+    def _synonym_node(self, term: ast.Term) -> ast.Node:
+        syns = self.synonyms.get(term.term, ())
+        if not syns:
+            return term
+        return ast.Synonym((term,) + tuple(ast.Term(s) for s in syns))
+
     def _word_node(self, text: str, prefix: str = "") -> ast.Node:
-        """One word token -> Term / Phrase (compound) / Wildcard."""
+        """One word token -> Term / Phrase (compound) / Wildcard /
+        EditDistance / Synonym."""
         if text.endswith("*") and len(text) > 1:
             head = text[:-1].lower()
             return ast.Wildcard(prefix + head, combiner="or")
+        m = re.fullmatch(r"(.+?)~(\d*)", text)
+        if m:
+            # fuzzy: term~k -> OP_EDIT_DISTANCE (:1497); default k=2
+            k = int(m.group(2)) if m.group(2) else 2
+            return ast.EditDistance(m.group(1).lower(), k, prefix=prefix)
+        explicit_syn = text.startswith("~")
+        if explicit_syn:
+            text = text[1:]
         terms = self._terms_of(text, prefix)
         if not terms:
             return ast.MatchNothing()
         if len(terms) == 1:
+            if explicit_syn or self.auto_synonyms:
+                return self._synonym_node(terms[0])
             return terms[0]
         # phrased compound: window = number of terms (:2455-2468)
         return ast.Phrase(tuple(terms), len(terms))

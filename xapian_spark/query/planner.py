@@ -62,7 +62,16 @@ def _phrase_udf(window: int, ordered: bool):
 @dataclass
 class _Ev:
     match: Column
-    weight: Column  # 0.0 where unmatched
+    weight: Column  # valid where `match`; may be nonzero on partial matches
+
+
+def _gated(e: _Ev) -> Column:
+    """Weight contribution of a subquery inside a combiner that does not
+    require the subquery to match (OR/XOR/AND_MAYBE-right): zero unless the
+    subquery ITSELF matches.  Term weights are already self-gated; this
+    matters for composite children (AND/PHRASE/NEAR) whose weight sums
+    member terms that can be present without the composite matching."""
+    return F.when(e.match, e.weight).otherwise(0.0)
 
 
 class Planner:
@@ -88,6 +97,45 @@ class Planner:
             if node.combiner == "or":
                 return subs[0] if len(subs) == 1 else ast.Or(subs)
             return subs[0] if len(subs) == 1 else ast.Synonym(subs)
+        if isinstance(node, ast.EditDistance):
+            terms = self.index.expand_edit_distance(
+                node.pattern, max_edit=node.max_edit, prefix=node.prefix
+            )
+            if not terms:
+                return ast.MatchNothing()
+            subs = tuple(ast.Term(t) for t in terms)
+            if node.combiner == "or":
+                return subs[0] if len(subs) == 1 else ast.Or(subs)
+            return subs[0] if len(subs) == 1 else ast.Synonym(subs)
+        if isinstance(node, ast.EliteSet):
+            subs = [self._expand(s) for s in node.subs]
+            subs = [s for s in subs if not isinstance(s, ast.MatchNothing)]
+            if not subs:
+                return ast.MatchNothing()
+            if len(subs) > node.set_size:
+                # rank by maxweight (queryinternal.cc:433-439); Terms get
+                # their BM25 maxpart, composite subs are kept preferentially
+                terms = sorted(
+                    {t.term for s in subs for t in ast.leaf_terms(s)}
+                )
+                tstats = self.index.collect_term_stats(terms)
+
+                def key(s: ast.Node):
+                    if isinstance(s, ast.Term):
+                        ts = tstats.get(s.term)
+                        if ts is None or ts.tf == 0:
+                            return (1.0, "", s.term)
+                        tw = self.weight.init_term(
+                            self.index.stats, ts, wqf=s.wqf
+                        )
+                        mp = tw.maxpart(
+                            ts.wdf_max, self.index.stats.doclen_lower_bound
+                        )
+                        return (-mp, "", s.term)
+                    return (-float("inf"), s.describe(), "")
+
+                subs = sorted(subs, key=key)[: node.set_size]
+            return subs[0] if len(subs) == 1 else ast.Or(tuple(subs))
         if isinstance(node, (ast.And, ast.Or, ast.Xor, ast.Max, ast.Synonym)):
             return type(node)(tuple(self._expand(s) for s in node.subs))
         if isinstance(node, (ast.Phrase, ast.Near)):
@@ -195,12 +243,15 @@ class Planner:
             return _Ev(match, weight)
 
         if isinstance(node, ast.Or):
+            # weight = sum over MATCHING subqueries (orpostlist.cc): a
+            # composite child (phrase/AND) contributes nothing unless it
+            # matches, so its weight must be gated on its own match.
             evs = [self._eval(s, factor, tstats, wqf, syn_stats) for s in node.subs]
             match = evs[0].match
-            weight = evs[0].weight
+            weight = _gated(evs[0])
             for e in evs[1:]:
                 match = match | e.match
-                weight = weight + e.weight
+                weight = weight + _gated(e)
             return _Ev(match, weight)
 
         if isinstance(node, ast.AndNot):
@@ -209,9 +260,11 @@ class Planner:
             return _Ev(le.match & ~re_.match, le.weight)
 
         if isinstance(node, ast.AndMaybe):
+            # right adds weight only where right itself matches
+            # (andmaybepostlist.cc, query.h:107-116)
             le = self._eval(node.left, factor, tstats, wqf, syn_stats)
             re_ = self._eval(node.right, factor, tstats, wqf, syn_stats)
-            return _Ev(le.match, le.weight + re_.weight)
+            return _Ev(le.match, le.weight + _gated(re_))
 
         if isinstance(node, ast.Filter):
             le = self._eval(node.left, factor, tstats, wqf, syn_stats)
@@ -221,10 +274,10 @@ class Planner:
         if isinstance(node, ast.Xor):
             evs = [self._eval(s, factor, tstats, wqf, syn_stats) for s in node.subs]
             cnt = evs[0].match.cast("int")
-            weight = evs[0].weight
+            weight = _gated(evs[0])
             for e in evs[1:]:
                 cnt = cnt + e.match.cast("int")
-                weight = weight + e.weight
+                weight = weight + _gated(e)
             return _Ev(cnt % 2 == 1, weight)
 
         if isinstance(node, ast.Max):

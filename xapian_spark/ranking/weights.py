@@ -303,8 +303,107 @@ class LinearTermWeight(TermWeight):
         return F.lit(self.termweight) * wdf_max.cast("double")
 
 
+@dataclass(frozen=True)
+class BM25PlusTermWeight(TermWeight):
+    """sumpart = termweight * ((k1+1)*wdf/denom + delta)
+    (bm25plusweight.cc:121-133; the (k1+1) factor lives here, not in init)."""
+
+    delta: float = 1.0
+
+    def sumpart_expr(self, wdf: Column, doclen: Column) -> Column:
+        normlen = F.greatest(
+            doclen.cast("double") * F.lit(self.len_factor),
+            F.lit(self.min_normlen),
+        )
+        wdf_d = wdf.cast("double")
+        denom = (
+            F.lit(self.k1) * (normlen * F.lit(self.b) + F.lit(1.0 - self.b)) + wdf_d
+        )
+        return F.lit(self.termweight) * (
+            F.lit(self.k1 + 1.0) * wdf_d / denom + F.lit(self.delta)
+        )
+
+    def sumpart_py(self, wdf: float, doclen: float) -> float:
+        normlen = max(doclen * self.len_factor, self.min_normlen)
+        denom = self.k1 * (normlen * self.b + (1.0 - self.b)) + wdf
+        return self.termweight * ((self.k1 + 1.0) * wdf / denom + self.delta)
+
+    def maxpart(self, wdf_max: int, doclen_lower_bound: int) -> float:
+        # bm25plusweight.cc:136-160: evaluated at wdf_max / normlen_lb
+        denom = self.k1
+        if self.k1 != 0.0 and self.b != 0.0:
+            normlen_lb = max(
+                max(wdf_max, doclen_lower_bound) * self.len_factor,
+                self.min_normlen,
+            )
+            denom *= normlen_lb * self.b + (1.0 - self.b)
+        denom += wdf_max
+        if denom <= 0:
+            return self.termweight * self.delta
+        return self.termweight * ((self.k1 + 1.0) * wdf_max / denom + self.delta)
+
+    def maxpart_expr(self, wdf_max: Column, doclen_lower_bound: int) -> Column:
+        wdf_d = wdf_max.cast("double")
+        if self.k1 != 0.0 and self.b != 0.0:
+            normlen_lb = F.greatest(
+                F.greatest(wdf_d, F.lit(float(doclen_lower_bound)))
+                * F.lit(self.len_factor),
+                F.lit(self.min_normlen),
+            )
+            denom = (
+                F.lit(self.k1)
+                * (normlen_lb * F.lit(self.b) + F.lit(1.0 - self.b))
+                + wdf_d
+            )
+        else:
+            denom = F.lit(self.k1) + wdf_d
+        return F.lit(self.termweight) * (
+            F.lit(self.k1 + 1.0) * wdf_d / denom + F.lit(self.delta)
+        )
+
+
+@dataclass
+class BM25PlusWeight(Weight):
+    """BM25+ (bm25plusweight.cc): idf = ln((N+1)/tf); a pseudo-tf delta
+    lifts the lower bound of the tf contribution (defaults k1=1 k2=0 k3=1
+    b=0.5 min_normlen=0.5 delta=1)."""
+
+    k1: float = 1.0
+    k2: float = 0.0
+    k3: float = 1.0
+    b: float = 0.5
+    min_normlen: float = 0.5
+    delta: float = 1.0
+
+    name: str = field(default="bm25plus", init=False)
+
+    def init_term(
+        self, stats: GlobalStats, ts: TermStats, wqf: int = 1, factor: float = 1.0
+    ) -> TermWeight:
+        if ts.tf == 0:
+            termweight = 0.0
+        else:
+            termweight = math.log((stats.doccount + 1) / ts.tf) * factor
+            if self.k3 != 0:
+                termweight *= (self.k3 + 1) * wqf / (self.k3 + wqf)
+        if self.k2 == 0 and (self.b == 0 or self.k1 == 0):
+            len_factor = 0.0
+        else:
+            avg = stats.average_length
+            len_factor = 1.0 / avg if avg != 0 else 0.0
+        return BM25PlusTermWeight(
+            termweight=termweight,
+            k1=self.k1,
+            b=self.b,
+            min_normlen=self.min_normlen,
+            len_factor=len_factor,
+            delta=self.delta,
+        )
+
+
 WEIGHT_SCHEMES = {
     "bm25": BM25Weight,
+    "bm25plus": BM25PlusWeight,
     "trad": TradWeight,
     "coord": CoordWeight,
     "bool": BoolWeight,

@@ -1,0 +1,185 @@
+"""Incremental (streaming) index maintenance.
+
+The reference has no streaming engine; its incremental story is
+`WritableDatabase::add_document` + periodic `commit()` (Inverter flush,
+glass_inverter.h:43-170) and offline `xapian-compact` merges
+(glass_compact.cc:80-340).  The Structured Streaming re-expression:
+
+  micro-batch (readStream -> foreachBatch)  ==  a WritableDatabase commit:
+      tokenize+map-side-invert the batch and APPEND its termlists to
+      {path}/delta/ (cheap, no global shuffle, no index rewrite)
+  compact(path)                             ==  xapian-compact:
+      fold {path}/delta/ into {path}/termlists and rebuild the term-major
+      runs + blocked ranges + stats through the SAME checkpointed stages
+      as the batch build (merge._stages_1_to_3)
+
+Queries between compactions can read base + delta (query_with_delta) the
+way the reference searches multiple shards together (unshard,
+postlisttree.h:129-131).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xapian_spark.index import merge as m
+from xapian_spark.index.builder import inverter_udf
+
+
+def _batch_termlists(
+    batch: DataFrame,
+    content_col: str,
+    docid_col: str,
+    mode: str,
+) -> DataFrame:
+    inv = inverter_udf(mode=mode)
+    return (
+        batch.withColumn("docid", F.col(docid_col).cast("long"))
+        .select(
+            "docid",
+            F.sha2(F.col(content_col).cast("binary"), 256).alias(
+                "content_sha256"
+            ),
+            inv(F.col(content_col)).alias("plist"),
+        )
+        .withColumn(
+            "doclen",
+            F.coalesce(
+                F.aggregate(
+                    "plist", F.lit(0).cast("long"),
+                    lambda a, e: a + e.getField("wdf"),
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .select("docid", "content_sha256", "doclen", "plist")
+    )
+
+
+def index_stream(
+    stream_docs: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    content_col: str = "content",
+    docid_col: str = "docid",
+    mode: str = "xapian",
+    available_now: bool = True,
+):
+    """Start a streaming query appending per-batch termlist deltas.
+
+    Returns the StreamingQuery; caller awaits termination then compact()s.
+    """
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        out = _batch_termlists(batch, content_col, docid_col, mode)
+        (
+            out.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(os.path.join(path, "delta"))
+        )
+
+    writer = (
+        stream_docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    mode: str = "xapian",
+    n_ranges: int = 8,
+    block_size: int = 512,
+) -> None:
+    """Fold deltas into the warehouse and rebuild derived tables.
+
+    Late duplicates: a delta row for an existing docid REPLACES the base
+    row (last-writer-wins by max _batch_id, then the delta side), matching
+    WritableDatabase::replace_document semantics.
+    """
+    delta_dir = os.path.join(path, "delta")
+    base_dir = os.path.join(path, "termlists")
+    if not os.path.exists(delta_dir):
+        return
+    delta = (
+        spark.read.parquet(delta_dir)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("docid").orderBy(F.desc("_batch_id"))
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_batch_id")
+    )
+    if os.path.exists(base_dir) and m._done(path, "termlists"):
+        base = spark.read.parquet(base_dir)
+        merged = base.join(
+            delta.select("docid"), "docid", "left_anti"
+        ).unionByName(delta)
+    else:
+        merged = delta
+    tmp = base_dir + ".compact"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(base_dir):
+        shutil.rmtree(base_dir)
+    os.replace(tmp, base_dir)
+    n = spark.read.parquet(base_dir).count()
+    # invalidate downstream stage checkpoints, then rebuild
+    meta_dir = os.path.join(path, "_meta")
+    if os.path.exists(meta_dir):
+        for name in os.listdir(meta_dir):
+            if not name.startswith("termlists"):
+                os.remove(os.path.join(meta_dir, name))
+    for sub in ("runs", "blocked", "doclens", "term_stats"):
+        d = os.path.join(path, sub)
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    m._commit(path, "termlists", {"stage": 0, "rows": n,
+                                  "tokenizer_mode": mode,
+                                  "compacted": True})
+    shutil.rmtree(delta_dir)
+    m._stages_1_to_3(
+        spark, path, mode=mode, n_ranges=n_ranges, block_size=block_size
+    )
+
+
+def query_with_delta(spark: SparkSession, path: str) -> DataFrame:
+    """Postings view spanning base runs + uncompacted deltas (multi-shard
+    search analogue).  Delta rows override base rows for the same docid."""
+    runs = spark.read.parquet(os.path.join(path, "runs"))
+    delta_dir = os.path.join(path, "delta")
+    if not os.path.exists(delta_dir):
+        return runs
+    from pyspark.sql import Window
+
+    delta = (
+        spark.read.parquet(delta_dir)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("docid").orderBy(F.desc("_batch_id"))
+            ),
+        )
+        .where(F.col("_rn") == 1)
+    )
+    dpost = delta.select(
+        "docid", "doclen", F.explode("plist").alias("e")
+    ).select(
+        F.col("e.term").alias("term"),
+        "docid",
+        F.col("e.wdf").alias("wdf"),
+        "doclen",
+        F.col("e.positions").alias("positions"),
+    )
+    base = runs.join(
+        delta.select("docid"), "docid", "left_anti"
+    )
+    return base.unionByName(dpost)
