@@ -1,0 +1,124 @@
+"""Facade parity: the reference bindings' nouns/verbs work end to end
+(Database / WritableDatabase / Enquire / MSet / RSet / QueryParser)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xapian_spark.api import (
+    Database,
+    Enquire,
+    InMemoryDatabase,
+    RSet,
+    WritableDatabase,
+)
+from xapian_spark.query import ast
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn("docid", (F.col("doc_id") + 1).cast("long"))
+    )
+
+
+@pytest.fixture(scope="module")
+def db(spark, corpus, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("api") / "db")
+    wdb = WritableDatabase(spark, path, n_ranges=4)
+    wdb.add_documents(corpus, content_col="text", docid_col="docid")
+    wdb.commit()
+    return wdb
+
+
+def test_database_stats(db, corpus):
+    assert db.get_doccount() == corpus.count()
+    assert db.get_avlength() > 0
+    assert db.term_exists("dup")
+    assert db.get_termfreq("dup") > 0
+    assert db.get_collection_freq("dup") >= db.get_termfreq("dup")
+    assert not db.term_exists("zzzznothere")
+
+
+def test_reopen_readonly(spark, db):
+    ro = Database(spark, db.path)
+    assert ro.get_doccount() == db.get_doccount()
+
+
+def test_enquire_mset(db):
+    enq = Enquire(db)
+    enq.set_query("dup OR vector")
+    mset = enq.get_mset(0, 5)
+    assert 1 <= len(mset) <= 5
+    assert mset[0].rank == 0
+    assert mset[0].percent == 100
+    assert all(m.weight > 0 for m in mset)
+    # paging: second page continues the ranking
+    page2 = enq.get_mset(2, 3)
+    assert [m.docid for m in page2] == [m.docid for m in mset[2:5]]
+
+
+def test_enquire_string_and_node_agree(db):
+    e1, e2 = Enquire(db), Enquire(db)
+    e1.set_query("dup AND fast")
+    e2.set_query(ast.And((ast.Term("dup"), ast.Term("fast"))))
+    assert [(m.docid, m.weight) for m in e1.get_mset(0, 10)] == [
+        (m.docid, m.weight) for m in e2.get_mset(0, 10)
+    ]
+
+
+def test_enquire_collapse(db):
+    enq = Enquire(db)
+    enq.set_query("dup OR key")
+    enq.set_collapse_key("source")
+    mset = enq.get_mset(0, 50)
+    docs = {
+        r["docid"]: r["source"]
+        for r in db.index.docs.select("docid", "source").collect()
+    }
+    seen = [docs[m.docid] for m in mset]
+    assert len(seen) == len(set(seen)), "one hit per source after collapse"
+
+
+def test_enquire_sort_by_value(db):
+    enq = Enquire(db)
+    enq.set_query("merge")
+    enq.set_sort_by_value("n_chars", reverse=True)
+    mset = enq.get_mset(0, 5)
+    lens = {
+        r["docid"]: r["n_chars"]
+        for r in db.index.docs.select("docid", "n_chars").collect()
+    }
+    vals = [lens[m.docid] for m in mset]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_enquire_eset(db):
+    enq = Enquire(db)
+    enq.set_query("dup")
+    rset = RSet()
+    for docid in [1, 2, 3]:
+        rset.add_document(docid)
+    eset = enq.get_eset(5, rset)
+    assert eset and all(w > 0 for _, w in eset)
+    assert "dup" not in [t for t, _ in eset]  # query terms excluded
+
+
+def test_spelling_via_db(db):
+    assert db.get_spelling_suggestion("batcg") == "batch"
+
+
+def test_inmemory_database(spark, corpus):
+    mem = InMemoryDatabase(
+        spark, corpus.limit(100), content_col="text", docid_col="docid"
+    )
+    enq = Enquire(mem)
+    enq.set_query("batch")
+    assert len(enq.get_mset(0, 10)) > 0
+
+
+def test_allterms_prefix(db):
+    terms = db.allterms(prefix="s")
+    assert terms and all(t.startswith("s") for t in terms)

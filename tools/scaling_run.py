@@ -32,10 +32,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR") or (
     else "/root/testdata/sf0.1"
 )
 AMPLIFY = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "20"))
-N_QUERIES = 500
+N_QUERIES = int(os.environ.get("SPARK_GRAFT_NQ", "500"))
 
 
-def amplified_docs(spark):
+def amplified_docs(spark, cores: int):
     base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n = base.count()
     return (
@@ -48,18 +48,17 @@ def amplified_docs(spark):
             F.concat(F.lit("rep"), F.col("rep").cast("string"), F.lit(" "), F.col("text")),
         )
         .drop("rep")
-        .repartition(64)
     )
 
 
-def one_level(cores: int, trials: int = 2) -> dict:
+def one_level(cores: int, trials: int = 3) -> dict:
     """min over `trials` runs — the machine is a shared VM, so min is the
     least-noise estimator of achievable wall time."""
     spark = get_spark(
         f"scaling-{cores}", master=f"local[{cores}]",
         shuffle_partitions=max(cores * 2, 8),
     )
-    docs = amplified_docs(spark).persist()
+    docs = amplified_docs(spark, cores).repartition(cores * 8).persist()
     n_docs = docs.count()
 
     build_secs, query_secs = [], []
@@ -128,7 +127,8 @@ def main():
             "taskset", "-c", f"0-{cores - 1}",
             sys.executable, here, "--level", str(cores),
         ]
-        env = dict(os.environ, SPARK_GRAFT_AMPLIFY=str(AMPLIFY))
+        env = dict(os.environ, SPARK_GRAFT_AMPLIFY=str(AMPLIFY),
+                   SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "12g"))
         out = subprocess.run(
             cmd, capture_output=True, text=True, env=env, check=True
         )

@@ -1,0 +1,248 @@
+"""User-facing facade mirroring the reference's Python-bindings surface.
+
+A user of the reference works with `xapian.WritableDatabase`,
+`xapian.TermGenerator`, `xapian.QueryParser`, `xapian.Enquire`,
+`xapian.MSet` (xapian-core/include/xapian/*.h; docs/getting-started-
+guide style flow).  This module provides the same nouns and verbs on
+Spark so existing call sites translate 1:1:
+
+    db = WritableDatabase(spark, "/data/idx")        # open/create
+    db.add_documents(df, content_col="text")         # index a DataFrame
+    db.commit()                                      # build/refresh
+
+    enq = Enquire(db)
+    enq.set_query(QueryParser().parse_query("error AND handling"))
+    for hit in enq.get_mset(0, 10):
+        print(hit.docid, hit.weight, hit.percent, hit.rank)
+
+Differences by design (Spark-first): documents arrive as DataFrames, not
+one at a time; commit() is a (checkpointed, resumable) batch job; reads
+see the last commit (snapshot semantics, like a glass revision).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xapian_spark.index import merge
+from xapian_spark.index.builder import InvertedIndex, build_index, persist_index
+from xapian_spark.query import ast
+from xapian_spark.query.expand import (
+    bo1_eset,
+    suggest_spelling,
+    with_percent,
+)
+from xapian_spark.query.parser import QueryParser  # re-export  # noqa: F401
+from xapian_spark.query.planner import Planner
+from xapian_spark.ranking.weights import WEIGHT_SCHEMES, Weight
+
+
+@dataclass
+class MSetItem:
+    rank: int  # 0-based like the reference's MSetIterator.get_rank()
+    docid: int
+    weight: float
+    percent: int
+
+
+class MSet(list):
+    """list[MSetItem] + the reference's convenience accessors."""
+
+    def get_matches_estimated(self) -> int:
+        return len(self)
+
+
+class Database:
+    """Read-only handle over a warehouse directory (xapian::Database)."""
+
+    def __init__(self, spark: SparkSession, path: str | None = None,
+                 index: InvertedIndex | None = None):
+        if index is None:
+            if path is None:
+                raise ValueError("need path or index")
+            index = merge.read_warehouse(spark, path)
+        self.spark = spark
+        self.path = path
+        self.index = index
+
+    # -- reference Database surface ----------------------------------------
+
+    def get_doccount(self) -> int:
+        return self.index.stats.doccount
+
+    def get_avlength(self) -> float:
+        return self.index.stats.average_length
+
+    def get_termfreq(self, term: str) -> int:
+        ts = self.index.collect_term_stats([term]).get(term)
+        return ts.tf if ts else 0
+
+    def get_collection_freq(self, term: str) -> int:
+        ts = self.index.collect_term_stats([term]).get(term)
+        return ts.cf if ts else 0
+
+    def term_exists(self, term: str) -> bool:
+        return self.get_termfreq(term) > 0
+
+    def get_spelling_suggestion(self, word: str, max_edit: int = 2):
+        return suggest_spelling(self.index, word, max_edit=max_edit)
+
+    def allterms(self, prefix: str = "") -> list[str]:
+        df = self.index.term_stats
+        if prefix:
+            df = df.where(F.col("term").startswith(prefix))
+        return sorted(r["term"] for r in df.select("term").collect())
+
+
+class WritableDatabase(Database):
+    """Batch-oriented WritableDatabase: buffer DataFrames, commit() builds
+    the warehouse (one checkpointed job == one glass revision)."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 mode: str = "xapian",
+                 prefix_fields: dict[str, str] | None = None,
+                 n_ranges: int = 8):
+        self.spark = spark
+        self.path = path
+        self.mode = mode
+        self.prefix_fields = prefix_fields
+        self.n_ranges = n_ranges
+        self._pending: list[tuple[DataFrame, str, str]] = []
+        self.index = None
+        if os.path.exists(path) and merge.warehouse_complete(path):
+            self.index = merge.read_warehouse(spark, path)
+
+    def add_documents(self, docs: DataFrame, content_col: str = "content",
+                      docid_col: str = "docid") -> None:
+        self._pending.append((docs, content_col, docid_col))
+
+    def commit(self) -> None:
+        if not self._pending:
+            return
+        if len(self._pending) > 1:
+            raise NotImplementedError(
+                "multiple add_documents batches per commit: union them"
+            )
+        docs, content_col, docid_col = self._pending.pop()
+        merge.build_warehouse(
+            self.spark, docs, self.path,
+            content_col=content_col, docid_col=docid_col, mode=self.mode,
+            prefix_fields=self.prefix_fields, n_ranges=self.n_ranges,
+        )
+        self.index = merge.read_warehouse(self.spark, self.path)
+
+
+class InMemoryDatabase(Database):
+    """Ephemeral database (the reference's InMemory backend): index a
+    DataFrame without writing a warehouse."""
+
+    def __init__(self, spark: SparkSession, docs: DataFrame,
+                 content_col: str = "content", docid_col: str = "docid",
+                 mode: str = "xapian",
+                 prefix_fields: dict[str, str] | None = None):
+        idx = persist_index(
+            build_index(
+                spark, docs, content_col=content_col, docid_col=docid_col,
+                mode=mode, prefix_fields=prefix_fields,
+            )
+        )
+        super().__init__(spark, index=idx)
+
+
+@dataclass
+class RSet:
+    """Relevance set (xapian::RSet)."""
+
+    docids: list[int] = field(default_factory=list)
+
+    def add_document(self, docid: int) -> None:
+        self.docids.append(docid)
+
+
+class Enquire:
+    """xapian::Enquire: set_query -> get_mset, plus collapse/sort/expand."""
+
+    def __init__(self, db: Database):
+        self.db = db
+        self._query: ast.Node | None = None
+        self._weight: Weight | None = None
+        self._collapse_key: str | None = None
+        self._collapse_max = 1
+        self._sort_by: list[tuple[str, bool]] | None = None
+
+    def set_query(self, query: ast.Node | str) -> None:
+        if isinstance(query, str):
+            query = QueryParser().parse_query(query)
+        self._query = query
+
+    def set_weighting_scheme(self, scheme: str | Weight) -> None:
+        self._weight = (
+            WEIGHT_SCHEMES[scheme]() if isinstance(scheme, str) else scheme
+        )
+
+    def set_collapse_key(self, column: str, collapse_max: int = 1) -> None:
+        """Collapser analogue (collapser.h:135-260) over a docs column."""
+        self._collapse_key = column
+        self._collapse_max = collapse_max
+
+    def set_sort_by_value(self, column: str, reverse: bool = False) -> None:
+        self._sort_by = [(column, reverse)]
+
+    def _matches(self) -> DataFrame:
+        if self._query is None:
+            raise ValueError("set_query first")
+        return Planner(self.db.index, self._weight).plan(self._query)
+
+    def get_mset(self, first: int, maxitems: int) -> MSet:
+        m = self._matches()
+        if self._collapse_key:
+            from pyspark.sql import Window
+
+            docs = self.db.index.docs.select("docid", self._collapse_key)
+            m = m.join(docs, "docid")
+            w = Window.partitionBy(self._collapse_key).orderBy(
+                F.desc("score"), F.asc("docid")
+            )
+            m = (
+                m.withColumn("_cr", F.row_number().over(w))
+                .where(F.col("_cr") <= self._collapse_max)
+                .drop("_cr", self._collapse_key)
+            )
+        if self._sort_by:
+            order = [
+                (F.asc(c) if not rev else F.desc(c))
+                for c, rev in self._sort_by
+            ] + [F.desc("score"), F.asc("docid")]
+            cols = [c for c, _ in self._sort_by]
+            m = m.join(self.db.index.docs.select("docid", *cols), "docid")
+            top = m.orderBy(*order).limit(first + maxitems)
+        else:
+            top = m.orderBy(F.desc("score"), F.asc("docid")).limit(
+                first + maxitems
+            )
+        rows = with_percent(top, "score").collect()
+        out = MSet()
+        for i, r in enumerate(rows):
+            if i < first:
+                continue
+            out.append(
+                MSetItem(
+                    rank=i, docid=r["docid"], weight=r["score"],
+                    percent=r["percent"],
+                )
+            )
+        return out
+
+    def get_eset(self, maxitems: int, rset: RSet,
+                 exclude_query_terms: bool = True) -> list[tuple[str, float]]:
+        exclude: set[str] = set()
+        if exclude_query_terms and self._query is not None:
+            exclude = {t.term for t in ast.leaf_terms(self._query)}
+        rows = bo1_eset(
+            self.db.index, rset.docids, k=maxitems, exclude_terms=exclude
+        ).collect()
+        return [(r["term"], r["wt"]) for r in rows]

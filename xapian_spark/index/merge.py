@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from xapian_spark.index.blocks import DEFAULT_BLOCK, pack_blocks_udf
-from xapian_spark.index.builder import InvertedIndex, inverter_udf
+from xapian_spark.index.builder import InvertedIndex, invert_arrow
 from xapian_spark.ranking.weights import GlobalStats, TermStats
 
 
@@ -84,13 +84,18 @@ def build_warehouse(
     # -- stage 0: termlists + sha256 invariant ------------------------------
     if not _done(path, "termlists"):
         t0 = time.perf_counter()
-        inv = inverter_udf(mode=mode)
         pf_cols = list(prefix_fields.keys()) if prefix_fields else []
-        tl = docs.withColumn("docid", F.col(docid_col).cast("long")).select(
-            "docid",
-            *pf_cols,
-            F.sha2(F.col(content_col).cast("binary"), 256).alias("content_sha256"),
-            inv(F.col(content_col)).alias("plist"),
+        src = docs.withColumn(
+            "docid", F.col(docid_col).cast("long")
+        ).withColumn(
+            "content_sha256",
+            F.sha2(F.col(content_col).cast("binary"), 256),
+        )
+        tl = invert_arrow(
+            src.select("docid", "content_sha256", *pf_cols, content_col),
+            content_col,
+            keep_cols=["docid", "content_sha256", *pf_cols],
+            mode=mode,
         )
         if prefix_fields:
             bool_entries = F.array(
@@ -104,20 +109,22 @@ def build_warehouse(
                 ]
             )
             tl = tl.withColumn("plist", F.concat("plist", bool_entries))
-        tl = tl.withColumn(
-            "doclen",
-            F.coalesce(
-                F.aggregate(
-                    "plist", F.lit(0).cast("long"),
-                    lambda a, e: a + e.getField("wdf"),
-                ),
-                F.lit(0).cast("long"),
-            ),
-        ).select("docid", "content_sha256", "doclen", "plist")
+        tl = tl.select("docid", "content_sha256", "doclen", "plist")
         tl.write.mode("overwrite").parquet(os.path.join(path, "termlists"))
         n = spark.read.parquet(os.path.join(path, "termlists")).count()
         _commit(path, "termlists", {
             "stage": 0, "rows": n, "tokenizer_mode": mode,
+            "elapsed_sec": round(time.perf_counter() - t0, 3),
+        })
+
+    # -- stage 0b: docdata (original rows + docid; value slots live here as
+    # typed columns — glass `docdata` table + value slots, SURVEY §1.2) ----
+    if not _done(path, "docdata"):
+        t0 = time.perf_counter()
+        dd = docs.withColumn("docid", F.col(docid_col).cast("long"))
+        dd.write.mode("overwrite").parquet(os.path.join(path, "docs"))
+        _commit(path, "docdata", {
+            "stage": 0, "columns": dd.columns,
             "elapsed_sec": round(time.perf_counter() - t0, 3),
         })
 
@@ -304,8 +311,12 @@ def read_warehouse(spark: SparkSession, path: str) -> InvertedIndex:
             doclen_lower_bound=m["doclen_lower_bound"],
             doclen_upper_bound=m["doclen_upper_bound"],
         ),
-        docs=spark.read.parquet(os.path.join(path, "termlists")).select(
-            "docid", "content_sha256"
+        docs=(
+            spark.read.parquet(os.path.join(path, "docs"))
+            if os.path.exists(os.path.join(path, "docs"))
+            else spark.read.parquet(os.path.join(path, "termlists")).select(
+                "docid", "content_sha256"
+            )
         ),
         tokenizer_mode=m.get("tokenizer_mode", "xapian"),
         blocked=spark.read.parquet(os.path.join(path, "blocked")),

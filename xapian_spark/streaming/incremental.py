@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from xapian_spark.index import merge as m
-from xapian_spark.index.builder import inverter_udf
+from xapian_spark.index.builder import invert_arrow
 
 
 def _batch_termlists(
@@ -36,28 +36,17 @@ def _batch_termlists(
     docid_col: str,
     mode: str,
 ) -> DataFrame:
-    inv = inverter_udf(mode=mode)
-    return (
-        batch.withColumn("docid", F.col(docid_col).cast("long"))
-        .select(
-            "docid",
-            F.sha2(F.col(content_col).cast("binary"), 256).alias(
-                "content_sha256"
-            ),
-            inv(F.col(content_col)).alias("plist"),
-        )
-        .withColumn(
-            "doclen",
-            F.coalesce(
-                F.aggregate(
-                    "plist", F.lit(0).cast("long"),
-                    lambda a, e: a + e.getField("wdf"),
-                ),
-                F.lit(0).cast("long"),
-            ),
-        )
-        .select("docid", "content_sha256", "doclen", "plist")
+    src = batch.withColumn(
+        "docid", F.col(docid_col).cast("long")
+    ).withColumn(
+        "content_sha256", F.sha2(F.col(content_col).cast("binary"), 256)
     )
+    return invert_arrow(
+        src.select("docid", "content_sha256", content_col),
+        content_col,
+        keep_cols=["docid", "content_sha256"],
+        mode=mode,
+    ).select("docid", "content_sha256", "doclen", "plist")
 
 
 def index_stream(
