@@ -31,8 +31,11 @@ from xapian_spark.query import ast
 from xapian_spark.query.planner import Planner
 from xapian_spark.ranking.weights import (
     BM25Weight,
+    BM25PlusWeight,
     BoolWeight,
     CoordWeight,
+    InL2Weight,
+    LMWeight,
     TfIdfWeight,
     TradWeight,
 )
@@ -147,6 +150,27 @@ def _round_cols(df: DataFrame, cols: list[str], nd: int = 6) -> DataFrame:
 
 
 # pipeline ops ---------------------------------------------------------------
+
+
+def _q_value_weight(spark, sf_dir):
+    """ExternalPostList / ValueWeightPostingSource analogue."""
+    return _search(ast.ValueWeightSource("n_chars", 0.01), k=10)(
+        spark, sf_dir
+    )
+
+
+def _q_match_decider(spark, sf_dir):
+    """MatchDecider (deciderpostlist.cc): row predicate over doc values."""
+    idx = _index(spark, sf_dir)
+    m = Planner(idx).plan(ast.Term("batch"))
+    m = m.join(idx.docs.select("docid", "n_chars"), "docid").where(
+        "n_chars > 250"
+    )
+    return (
+        m.select("docid", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(10)
+    )
 
 
 def _q_parser_mixed(spark, sf_dir):
@@ -362,6 +386,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             weight=CoordWeight,
         ),
         "bool_weight": _search(ast.Term("dup"), weight=BoolWeight),
+        "bm25plus_weight": _search(ast.Term("dup"), weight=BM25PlusWeight),
+        "inl2_weight": _search(ast.Term("dup"), weight=InL2Weight),
+        "lm_weight": _search(ast.Term("dup"), weight=LMWeight),
+        "value_weight_source": _q_value_weight,
+        "match_decider": _q_match_decider,
         # -- parser / expansion / serving (SURVEY §2.6, §2.3, §2.5)
         "parser_mixed": _q_parser_mixed,
         "elite_set": _q_elite_set,
@@ -629,6 +658,67 @@ SELECT docid, score FROM (
     q["bool_weight"] = _topk_sql(
         "SELECT docid, CAST(0.0 AS DOUBLE) AS score FROM sp "
         "WHERE term = 'dup' GROUP BY docid"
+    )
+
+    # BM25+ (bm25plusweight.cc): idf=ln((N+1)/tf);
+    # sumpart = tw * ((k1+1)*wdf/denom + delta), delta=1
+    q["bm25plus_weight"] = (
+        _PRELUDE
+        + """
+SELECT docid, score FROM (
+  SELECT p.docid,
+    round(ln((g.n + 1) / b.tf)
+      * (2.0 * p.wdf / (1.0 * (greatest(l.doclen * (1.0 / (g.total / g.n)), 0.5) * 0.5 + 0.5) + p.wdf) + 1.0), 6) AS score
+  FROM post p JOIN dl l ON l.docid = p.docid JOIN bm b ON b.term = p.term
+  CROSS JOIN g WHERE p.term = 'dup'
+) ORDER BY score DESC, docid LIMIT 10
+"""
+    )
+    # DFR InL2 (inl2weight.cc:123-134): idf=log2((N+1)/(tf+0.5));
+    # wdfn = wdf * log2(1 + c*avlen/len); w = idf * wdfn/(wdfn+1)
+    q["inl2_weight"] = (
+        _PRELUDE
+        + """
+SELECT docid, score FROM (
+  SELECT p.docid,
+    round(log2((g.n + 1) / (b.tf + 0.5))
+      * ((p.wdf * log2(1 + (1.0 * (g.total / g.n)) / l.doclen))
+         / ((p.wdf * log2(1 + (1.0 * (g.total / g.n)) / l.doclen)) + 1.0)), 6) AS score
+  FROM post p JOIN dl l ON l.docid = p.docid JOIN bm b ON b.term = p.term
+  CROSS JOIN g WHERE p.term = 'dup' AND p.wdf > 0
+) ORDER BY score DESC, docid LIMIT 10
+"""
+    )
+    # LM Dirichlet (lmweight.cc:180-182,205-206): p=(wdf+mu*cf/T)/(len+mu);
+    # score = ln(p * doclen_ub) when > 1 else 0; mu=2000
+    q["lm_weight"] = (
+        _PRELUDE
+        + """
+, ub AS (SELECT CAST(max(doclen) AS DOUBLE) AS dub FROM dl)
+SELECT docid, score FROM (
+  SELECT p.docid,
+    round(CASE WHEN ((p.wdf + 2000.0 * (b.cf / g.total)) / (l.doclen + 2000.0)) * ub.dub > 1.0
+      THEN ln(((p.wdf + 2000.0 * (b.cf / g.total)) / (l.doclen + 2000.0)) * ub.dub)
+      ELSE 0.0 END, 6) AS score
+  FROM post p JOIN dl l ON l.docid = p.docid JOIN bm b ON b.term = p.term
+  CROSS JOIN g CROSS JOIN ub WHERE p.term = 'dup'
+) ORDER BY score DESC, docid LIMIT 10
+"""
+    )
+    # ValueWeightPostingSource: weight = n_chars * 0.01 over all docs
+    q["value_weight_source"] = """
+SELECT docid, score FROM (
+  SELECT doc_id + 1 AS docid,
+         round(CAST(n_chars AS DOUBLE) * 0.01, 6) AS score
+  FROM documents WHERE n_chars IS NOT NULL
+) ORDER BY score DESC, docid LIMIT 10
+"""
+    # MatchDecider: candidates post-filtered by a doc-value predicate
+    q["match_decider"] = _topk_sql(
+        "SELECT docid, round(sum(sumpart), 6) AS score FROM sp "
+        "WHERE term = 'batch' AND docid IN "
+        "(SELECT doc_id + 1 FROM documents WHERE n_chars > 250) "
+        "GROUP BY docid"
     )
 
     # parser: '"slow fast" OR dup' — weight of the phrase subtree counts

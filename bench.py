@@ -134,6 +134,37 @@ def main():
         result["scaling"] = scaling_run(SF_DIR)
 
     spark = get_spark("bench")
+
+    # true build throughput needs enough rows to amortize fixed job costs:
+    # deterministic x20 amplification (seeded arithmetic, no external data)
+    base = load_docs(spark, SF_DIR)
+    nb = base.count()
+    amp = (
+        base.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(19))))
+        .withColumn("docid", (F.col("doc_id") + 1 + F.col("rep") * nb).cast("long"))
+        .withColumn(
+            "text",
+            F.concat(F.lit("rep"), F.col("rep").cast("string"), F.lit(" "),
+                     F.col("text")),
+        )
+        .drop("rep")
+        .repartition(256)
+        .persist()
+    )
+    n_amp = amp.count()
+    t0 = time.perf_counter()
+    aidx = build_index(spark, amp, content_col="text", docid_col="docid")
+    persist_index(aidx)
+    aidx.term_stats.count()
+    amp_sec = time.perf_counter() - t0
+    result["build_amplified_docs"] = n_amp
+    result["build_amplified_sec"] = round(amp_sec, 3)
+    result["build_amplified_docs_per_sec"] = round(n_amp / amp_sec, 1)
+    for df in (aidx.postings, aidx.doclens, aidx.term_stats, aidx.termlists):
+        if df is not None:
+            df.unpersist()
+    amp.unpersist()
+
     idx, n_docs, build_sec = build_timed(spark, SF_DIR)
     qtimes = run_queries(idx)
     query_total = sum(qtimes.values())

@@ -173,6 +173,9 @@ class Enquire:
         self._collapse_key: str | None = None
         self._collapse_max = 1
         self._sort_by: list[tuple[str, bool]] | None = None
+        self._decider_sql: str | None = None
+        self._matchspies: list[str] = []
+        self._spy_results: dict[str, list[tuple]] = {}
 
     def set_query(self, query: ast.Node | str) -> None:
         if isinstance(query, str):
@@ -192,10 +195,47 @@ class Enquire:
     def set_sort_by_value(self, column: str, reverse: bool = False) -> None:
         self._sort_by = [(column, reverse)]
 
+    def set_match_decider(self, sql_predicate: str) -> None:
+        """MatchDecider (deciderpostlist.cc): arbitrary row predicate over
+        the doc columns, applied to candidates — here a SQL boolean
+        expression, e.g. "n_chars > 100 AND lang = 'en'"."""
+        self._decider_sql = sql_predicate
+
+    def add_matchspy(self, column: str) -> None:
+        """ValueCountMatchSpy (matchspy.h:205): collect value->count facets
+        over the FULL match set during get_mset."""
+        self._matchspies.append(column)
+
+    def get_matchspy_results(self, column: str) -> list[tuple]:
+        """[(value, count)] sorted by count desc, value — docs/facets.rst."""
+        return self._spy_results.get(column, [])
+
     def _matches(self) -> DataFrame:
         if self._query is None:
             raise ValueError("set_query first")
-        return Planner(self.db.index, self._weight).plan(self._query)
+        m = Planner(self.db.index, self._weight).plan(self._query)
+        if self._decider_sql:
+            docs = self.db.index.docs
+            m = m.join(
+                docs.select(
+                    *[c for c in docs.columns if c != "score"]
+                ),
+                "docid",
+            ).where(F.expr(self._decider_sql)).select("docid", "score")
+        if self._matchspies:
+            docs = self.db.index.docs
+            spy_df = m.join(
+                docs.select("docid", *self._matchspies), "docid"
+            )
+            for col in self._matchspies:
+                rows = (
+                    spy_df.groupBy(col)
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                    .orderBy(F.desc("cnt"), F.asc(col))
+                    .collect()
+                )
+                self._spy_results[col] = [(r[col], r["cnt"]) for r in rows]
+        return m
 
     def get_mset(self, first: int, maxitems: int) -> MSet:
         m = self._matches()

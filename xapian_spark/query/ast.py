@@ -152,6 +152,20 @@ class Near(Node):
 
 
 @dataclass(frozen=True)
+class ValueWeightSource(Node):
+    """ExternalPostList / ValueWeightPostingSource
+    (externalpostlist.cc, api/postingsource.cc): matches every doc whose
+    value column is non-null, weighted by that column (x scale).  Spark
+    values are real typed columns, so no sortable_serialise round-trip."""
+
+    field: str
+    scale: float = 1.0
+
+    def describe(self) -> str:
+        return f"VALUE_WEIGHT {self.field} * {self.scale}"
+
+
+@dataclass(frozen=True)
 class EliteSet(Node):
     """OP_ELITE_SET: keep the set_size best subqueries by maxweight, then
     OR them (query.h:166-213; selection queryinternal.cc:433-439, default

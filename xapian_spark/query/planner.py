@@ -381,6 +381,16 @@ class Planner:
             match = match & pos_ok
             return _Ev(match, weight)
 
+        if isinstance(node, ast.ValueWeightSource):
+            col = F.col(node.field)
+            match = col.isNotNull()
+            if factor == 0.0:
+                return _Ev(match, F0)
+            w = F.when(
+                match, col.cast("double") * F.lit(node.scale * factor)
+            ).otherwise(0.0)
+            return _Ev(match, w)
+
         if isinstance(node, ast.ValueRange):
             col = F.col(node.field)
             if node.lo is not None and node.hi is not None:
@@ -452,12 +462,14 @@ class Planner:
         self._gather_syn(query, tstats, syn_stats)
 
         need_pos = self._contains(query, (ast.Phrase, ast.Near))
-        need_all = self._contains(query, ast.MatchAll)
+        need_all = self._contains(
+            query, (ast.MatchAll, ast.ValueWeightSource)
+        )
         vr_fields = sorted(
             {
                 nd.field
                 for nd in _walk(query)
-                if isinstance(nd, ast.ValueRange)
+                if isinstance(nd, (ast.ValueRange, ast.ValueWeightSource))
             }
         )
         cand = self._candidates(terms, need_pos, need_all, vr_fields)
@@ -494,9 +506,12 @@ class Planner:
                 wqf[t.term] = wqf.get(t.term, 0) + t.wqf
             all_terms.update(wqf)
             need_pos = need_pos or self._contains(q, (ast.Phrase, ast.Near))
-            need_all = need_all or self._contains(q, ast.MatchAll)
+            need_all = need_all or self._contains(
+                q, (ast.MatchAll, ast.ValueWeightSource)
+            )
             vr_fields.update(
-                nd.field for nd in _walk(q) if isinstance(nd, ast.ValueRange)
+                nd.field for nd in _walk(q)
+                if isinstance(nd, (ast.ValueRange, ast.ValueWeightSource))
             )
             prepared[name] = (q, wqf)
 

@@ -401,10 +401,143 @@ class BM25PlusWeight(Weight):
         )
 
 
+@dataclass(frozen=True)
+class InL2TermWeight(TermWeight):
+    """DFR InL2 (inl2weight.cc:123-134):
+    wdfn = wdf * log2(1 + c*avlen/len); w = wqf*idf * wdfn/(wdfn+1)."""
+
+    termweight: float = 0.0
+    k1: float = 0.0
+    b: float = 0.0
+    min_normlen: float = 0.0
+    len_factor: float = 0.0
+    wqf_idf: float = 0.0
+    c_avlen: float = 0.0
+
+    def sumpart_expr(self, wdf: Column, doclen: Column) -> Column:
+        wdfn = wdf.cast("double") * F.log2(
+            F.lit(1.0) + F.lit(self.c_avlen) / doclen.cast("double")
+        )
+        return F.when(
+            wdf > 0, F.lit(self.wqf_idf) * (wdfn / (wdfn + F.lit(1.0)))
+        ).otherwise(0.0)
+
+    def sumpart_py(self, wdf: float, doclen: float) -> float:
+        if wdf <= 0:
+            return 0.0
+        wdfn = wdf * math.log2(1.0 + self.c_avlen / doclen)
+        return self.wqf_idf * (wdfn / (wdfn + 1.0))
+
+    def maxpart(self, wdf_max: int, doclen_lower_bound: int) -> float:
+        if wdf_max == 0 or doclen_lower_bound <= 0:
+            return 0.0
+        return self.sumpart_py(wdf_max, doclen_lower_bound)
+
+    def maxpart_expr(self, wdf_max: Column, doclen_lower_bound: int) -> Column:
+        if doclen_lower_bound <= 0:
+            return F.lit(0.0)
+        wdfn = wdf_max.cast("double") * F.lit(
+            math.log2(1.0 + self.c_avlen / doclen_lower_bound)
+        )
+        return F.when(
+            wdf_max > 0, F.lit(self.wqf_idf) * (wdfn / (wdfn + F.lit(1.0)))
+        ).otherwise(0.0)
+
+
+@dataclass
+class InL2Weight(Weight):
+    """DFR InL2 (inl2weight.cc): idf = log2((N+1)/(tf+0.5)), document-length
+    normalisation 2 with parameter c (default 1)."""
+
+    c: float = 1.0
+    name: str = field(default="inl2", init=False)
+
+    def init_term(
+        self, stats: GlobalStats, ts: TermStats, wqf: int = 1, factor: float = 1.0
+    ) -> TermWeight:
+        if ts.tf == 0:
+            return InL2TermWeight(wqf_idf=0.0, c_avlen=0.0)
+        idf = math.log2((stats.doccount + 1) / (ts.tf + 0.5))
+        return InL2TermWeight(
+            wqf_idf=wqf * idf * factor,
+            c_avlen=self.c * stats.average_length,
+        )
+
+
+@dataclass(frozen=True)
+class LMDirichletTermWeight(TermWeight):
+    """LMWeight with Dirichlet smoothing (lmweight.cc:180-182,205-206):
+    p = (wdf + mu*p_c) / (len + mu); sumpart = ln(p * param_log) when the
+    product exceeds 1 (log-trick ranking), else 0."""
+
+    termweight: float = 0.0
+    k1: float = 0.0
+    b: float = 0.0
+    min_normlen: float = 0.0
+    len_factor: float = 0.0
+    mu: float = 2000.0
+    p_c: float = 0.0  # collection LM: cf / total_doclen
+    param_log: float = 1.0  # doclen upper bound by default
+    factor: float = 1.0
+
+    def sumpart_expr(self, wdf: Column, doclen: Column) -> Column:
+        p = (wdf.cast("double") + F.lit(self.mu * self.p_c)) / (
+            doclen.cast("double") + F.lit(self.mu)
+        )
+        product = p * F.lit(self.param_log)
+        return F.when(
+            product > 1.0, F.lit(self.factor) * F.log(product)
+        ).otherwise(0.0)
+
+    def sumpart_py(self, wdf: float, doclen: float) -> float:
+        p = (wdf + self.mu * self.p_c) / (doclen + self.mu)
+        product = p * self.param_log
+        return self.factor * math.log(product) if product > 1.0 else 0.0
+
+    def maxpart(self, wdf_max: int, doclen_lower_bound: int) -> float:
+        # lmweight.cc:212-237: bound via doclen upper bound; we are given
+        # the lower bound here, so evaluate at (wdf_max, doclen_lb) which
+        # upper-bounds p for any len >= doclen_lb
+        return self.sumpart_py(wdf_max, max(doclen_lower_bound, 1))
+
+    def maxpart_expr(self, wdf_max: Column, doclen_lower_bound: int) -> Column:
+        p = (wdf_max.cast("double") + F.lit(self.mu * self.p_c)) / (
+            F.lit(float(max(doclen_lower_bound, 1)) + self.mu)
+        )
+        product = p * F.lit(self.param_log)
+        return F.when(
+            product > 1.0, F.lit(self.factor) * F.log(product)
+        ).otherwise(0.0)
+
+
+@dataclass
+class LMWeight(Weight):
+    """Unigram language model, Dirichlet smoothing defaults
+    (lmweight.cc: mu=2000; param_log defaults to doclen upper bound)."""
+
+    mu: float = 2000.0
+    param_log: float = 0.0
+    name: str = field(default="lm", init=False)
+
+    def init_term(
+        self, stats: GlobalStats, ts: TermStats, wqf: int = 1, factor: float = 1.0
+    ) -> TermWeight:
+        p_c = (
+            ts.cf / stats.total_doclen if stats.total_doclen > 0 else 0.0
+        )
+        plog = self.param_log or float(stats.doclen_upper_bound)
+        return LMDirichletTermWeight(
+            mu=self.mu, p_c=p_c, param_log=plog,
+            factor=factor,
+        )
+
+
 WEIGHT_SCHEMES = {
     "bm25": BM25Weight,
     "bm25plus": BM25PlusWeight,
     "trad": TradWeight,
+    "inl2": InL2Weight,
+    "lm": LMWeight,
     "coord": CoordWeight,
     "bool": BoolWeight,
     "tfidf": TfIdfWeight,
