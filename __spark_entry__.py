@@ -173,6 +173,20 @@ def _q_match_decider(spark, sf_dir):
     )
 
 
+def _q_geo_nearest(spark, sf_dir):
+    """LatLong nearest-k (latlong_distance_keymaker.cc analogue) over
+    deterministic synthetic coordinates derived from doc_id."""
+    from xapian_spark.ops import geo
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        (F.col("doc_id") + 1).cast("long").alias("docid"),
+        ((F.col("doc_id") % 180) - 90 + 0.5).cast("double").alias("lat"),
+        (((F.col("doc_id") * 7) % 360) - 180 + 0.5).cast("double").alias("lon"),
+    )
+    out = geo.nearest(d, 10.0, 20.0, k=10)
+    return out.select("docid", F.round("distance_m", 4).alias("distance_m"))
+
+
 def _q_parser_mixed(spark, sf_dir):
     """String query through the QueryParser: phrase OR term."""
     from xapian_spark.query.parser import QueryParser
@@ -391,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_weight": _search(ast.Term("dup"), weight=LMWeight),
         "value_weight_source": _q_value_weight,
         "match_decider": _q_match_decider,
+        "geo_nearest": _q_geo_nearest,
         # -- parser / expansion / serving (SURVEY §2.6, §2.3, §2.5)
         "parser_mixed": _q_parser_mixed,
         "elite_set": _q_elite_set,
@@ -721,6 +736,26 @@ SELECT docid, score FROM (
         "GROUP BY docid"
     )
 
+    # geospatial nearest-k: haversine over synthetic coords from doc_id
+    q["geo_nearest"] = """
+WITH pts AS (
+  SELECT doc_id + 1 AS docid,
+         CAST((doc_id % 180) - 90 + 0.5 AS DOUBLE) AS lat,
+         CAST(((doc_id * 7) % 360) - 180 + 0.5 AS DOUBLE) AS lon
+  FROM documents
+),
+d AS (
+  SELECT docid,
+    (2.0 * 6371008.8) * asin(sqrt(
+      sin((10.0 - lat) * (pi() / 180.0) / 2.0) * sin((10.0 - lat) * (pi() / 180.0) / 2.0)
+      + cos(lat * (pi() / 180.0)) * cos(10.0 * (pi() / 180.0))
+        * sin((20.0 - lon) * (pi() / 180.0) / 2.0) * sin((20.0 - lon) * (pi() / 180.0) / 2.0)
+    )) AS dist
+  FROM pts
+)
+SELECT docid, round(dist, 4) AS distance_m
+FROM d ORDER BY dist ASC, docid LIMIT 10
+"""
     # parser: '"slow fast" OR dup' — weight of the phrase subtree counts
     # only where the phrase itself matches (matching-subquery sum)
     q["parser_mixed"] = (

@@ -304,3 +304,18 @@ def test_or_of_phrase_gates_weights(planner):
         r[0]: r[1] for r in run(planner, ast.Term("indexing"))
     }
     assert got[2] == pytest.approx(only_indexing[2], abs=1e-12)
+
+
+def test_wqf_affects_bm25_k3_part(planner, simple_index):
+    """Repeated query terms: wqf=2 multiplies termweight by
+    (k3+1)*wqf/(k3+wqf) = 4/3 with k3=1 (bm25weight.cc:102-111)."""
+    single = {r["docid"]: r["score"] for r in
+              planner.search(ast.Term("search"), k=10).collect()}
+    doubled = {r["docid"]: r["score"] for r in
+               planner.search(
+                   ast.Or((ast.Term("search"), ast.Term("search"))), k=10
+               ).collect()}
+    assert set(single) == set(doubled)
+    for d, s in single.items():
+        # each leaf contributes wqf=2-weighted sumpart; two leaves -> x2
+        assert doubled[d] == pytest.approx(2 * (4.0 / 3.0) * s, rel=1e-9)
