@@ -34,8 +34,12 @@ from xapian_spark.ranking.weights import (
     BM25PlusWeight,
     BoolWeight,
     CoordWeight,
+    DiceCoeffWeight,
+    DPHWeight,
+    IfB2Weight,
     InL2Weight,
     LMWeight,
+    PL2Weight,
     TfIdfWeight,
     TradWeight,
 )
@@ -402,6 +406,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_weight": _search(ast.Term("dup"), weight=BoolWeight),
         "bm25plus_weight": _search(ast.Term("dup"), weight=BM25PlusWeight),
         "inl2_weight": _search(ast.Term("dup"), weight=InL2Weight),
+        "pl2_weight": _search(ast.Term("dup"), weight=PL2Weight),
+        "dph_weight": _search(ast.Term("dup"), weight=DPHWeight),
+        "ifb2_weight": _search(ast.Term("dup"), weight=IfB2Weight),
+        "dice_weight": _search(
+            ast.Or((ast.Term("dup"), ast.Term("key"))), weight=DiceCoeffWeight
+        ),
         "lm_weight": _search(ast.Term("dup"), weight=LMWeight),
         "value_weight_source": _q_value_weight,
         "match_decider": _q_match_decider,
@@ -701,6 +711,86 @@ SELECT docid, score FROM (
          / ((p.wdf * log2(1 + (1.0 * (g.total / g.n)) / l.doclen)) + 1.0)), 6) AS score
   FROM post p JOIN dl l ON l.docid = p.docid JOIN bm b ON b.term = p.term
   CROSS JOIN g WHERE p.term = 'dup' AND p.wdf > 0
+) ORDER BY score DESC, docid LIMIT 10
+"""
+    )
+    # DFR PL2 (pl2weight.cc:160-175), c=1: wdfn=wdf*log2(1+avlen/len);
+    # P = P1 + (wdfn+0.5)*log2(wdfn) - P2*wdfn; score = P/(wdfn+1) when P>0
+    # with mean=cf/N, P1=mean/ln2 + 0.5*log2(2pi), P2=log2(mean)+1/ln2
+    q["pl2_weight"] = (
+        _PRELUDE
+        + """
+, c AS (
+  SELECT b.cf / (1.0 * g.n) AS mean,
+         (b.cf / (1.0 * g.n)) / ln(2) + 0.5 * log2(2 * pi()) AS p1,
+         log2(b.cf / (1.0 * g.n)) + 1.0 / ln(2) AS p2,
+         g.total / g.n AS avlen
+  FROM bm b CROSS JOIN g WHERE b.term = 'dup'
+),
+w AS (
+  SELECT p.docid,
+         p.wdf * log2(1 + c.avlen / l.doclen) AS wdfn,
+         c.p1, c.p2
+  FROM post p JOIN dl l ON l.docid = p.docid CROSS JOIN c
+  WHERE p.term = 'dup' AND p.wdf > 0
+)
+SELECT docid, score FROM (
+  SELECT docid,
+         round(CASE WHEN p1 + (wdfn + 0.5) * log2(wdfn) - p2 * wdfn > 0
+               THEN (p1 + (wdfn + 0.5) * log2(wdfn) - p2 * wdfn) / (wdfn + 1.0)
+               ELSE 0.0 END, 6) AS score
+  FROM w
+) ORDER BY score DESC, docid LIMIT 10
+"""
+    )
+    # DFR DPH (dphweight.cc:139-156), parameter-free:
+    # norm=(1-wdf/len)^2/(wdf+1);
+    # wt = norm*(wdf*(log2(wdf/len)+log2(total/cf)) + 0.5*log2(2pi*wdf*(1-wdf/len)))
+    q["dph_weight"] = (
+        _PRELUDE
+        + """
+SELECT docid, score FROM (
+  SELECT p.docid,
+    round(CASE WHEN p.wdf = l.doclen THEN 0.0 ELSE
+      greatest(
+        ((1.0 - p.wdf / (1.0 * l.doclen)) * (1.0 - p.wdf / (1.0 * l.doclen)) / (p.wdf + 1.0))
+        * (p.wdf * (log2(p.wdf / (1.0 * l.doclen)) + log2(g.total / b.cf))
+           + 0.5 * log2(2 * pi() * p.wdf * (1.0 - p.wdf / (1.0 * l.doclen)))),
+        0.0) END, 6) AS score
+  FROM post p JOIN dl l ON l.docid = p.docid JOIN bm b ON b.term = p.term
+  CROSS JOIN g WHERE p.term = 'dup' AND p.wdf > 0
+) ORDER BY score DESC, docid LIMIT 10
+"""
+    )
+    # DFR IfB2 (ifb2weight.cc): idf=log2((N+1)/(cf+0.5)); B=(cf+1)/tf;
+    # wdfn=wdf*log2(1+avlen/len); score = idf * wdfn*B/(wdfn+1)
+    q["ifb2_weight"] = (
+        _PRELUDE
+        + """
+SELECT docid, score FROM (
+  SELECT p.docid,
+    round(log2((g.n + 1.0) / (b.cf + 0.5))
+      * ((p.wdf * log2(1 + (g.total / g.n) / l.doclen)) * ((b.cf + 1.0) / b.tf)
+         / ((p.wdf * log2(1 + (g.total / g.n) / l.doclen)) + 1.0)), 6) AS score
+  FROM post p JOIN dl l ON l.docid = p.docid JOIN bm b ON b.term = p.term
+  CROSS JOIN g WHERE p.term = 'dup' AND p.wdf > 0
+) ORDER BY score DESC, docid LIMIT 10
+"""
+    )
+    # DiceCoeffWeight (dicecoeffweight.cc): per matching query term
+    # 2/(qlen + uniqterms); uniqterms = full termlist incl. the 2 boolean
+    # field terms (S<source>, L<lang>) the index adds per doc
+    q["dice_weight"] = (
+        _PRELUDE
+        + """
+, uniq AS (
+  SELECT docid, count(DISTINCT term) + 2 AS uniqterms FROM toks GROUP BY docid
+)
+SELECT docid, score FROM (
+  SELECT p.docid, round(sum(2.0 / (2.0 + u.uniqterms)), 6) AS score
+  FROM post p JOIN uniq u ON u.docid = p.docid
+  WHERE p.term IN ('dup', 'key') AND p.wdf > 0
+  GROUP BY p.docid
 ) ORDER BY score DESC, docid LIMIT 10
 """
     )

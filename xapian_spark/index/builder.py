@@ -305,7 +305,7 @@ def build_index(
         keep_cols=["docid", *pf_cols],
         mode=mode,
         stopwords=stopwords,
-    ).withColumn("uniqterms", F.coalesce(F.size("plist"), F.lit(0)).cast("long"))
+    )
 
     if prefix_fields:
         # Boolean field terms (wdf=0, positionless) appended to the termlist
@@ -324,7 +324,12 @@ def build_index(
         termlists = termlists.withColumn(
             "plist", F.concat("plist", bool_entries)
         )
-    termlists = termlists.select("docid", "plist", "doclen", "uniqterms")
+    # uniqterms counts the FULL termlist, boolean field terms included,
+    # matching the reference's get_unique_terms() (the termlist B-tree row
+    # count per doc; used by DiceCoeffWeight).
+    termlists = termlists.withColumn(
+        "uniqterms", F.coalesce(F.size("plist"), F.lit(0)).cast("long")
+    ).select("docid", "plist", "doclen", "uniqterms")
 
     # One in-memory materialization of the termlists feeds every derived
     # table (postings, doclens, stats) without re-running the tokenizer.

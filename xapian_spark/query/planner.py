@@ -171,6 +171,7 @@ class Planner:
         value_fields: list[str],
     ) -> DataFrame:
         idx = self.index
+        need_uniq = getattr(self.weight, "needs_uniqterms", False)
         p = idx.postings.where(F.col("term").isin(terms)) if terms else None
         if p is not None:
             entry_val = (
@@ -195,6 +196,12 @@ class Planner:
                     "tmap",
                     F.lit(None).cast("map<string,struct<wdf:int>>"),
                 )
+        if need_uniq and cand is not None:
+            # DiceCoeffWeight needs the per-doc unique-term count; it lives
+            # in the doclens table (uniqterms column, builder.py).
+            cand = cand.join(
+                idx.doclens.select("docid", "uniqterms"), "docid", "left"
+            )
         if value_fields:
             cand = cand.join(
                 idx.docs.select("docid", *value_fields), "docid", "left"
@@ -456,6 +463,11 @@ class Planner:
             wqf[t.term] = wqf.get(t.term, 0) + t.wqf
 
         tstats = self.index.collect_term_stats(terms)
+
+        # query_length = sum of wqf (enquire.cc:279-281); DiceCoeffWeight
+        # folds it into its per-term constants.
+        if hasattr(self.weight, "set_query_length"):
+            self.weight.set_query_length(sum(wqf.values()))
 
         # Exact synonym stats (one tiny job per synonym group).
         syn_stats: dict[int, TermStats] = {}

@@ -532,13 +532,646 @@ class LMWeight(Weight):
         )
 
 
+_LOG2 = math.log(2.0)
+_BASE_CHANGE = 1.0 / _LOG2  # 1/ln(2), reference's base_change
+
+
+@dataclass(frozen=True)
+class PL2TermWeight(TermWeight):
+    """DFR PL2 (pl2weight.cc:160-175): wdfn = wdf*log2(1 + c*avlen/len);
+    P = P1 + (wdfn+0.5)*log2(wdfn) - P2*wdfn; sumpart = factor*P/(wdfn+1)
+    with P1 = mean/ln2 + 0.5*log2(2*pi), P2 = log2(mean) + 1/ln2,
+    mean = cf/N (pl2weight.cc:79-87)."""
+
+    termweight: float = 0.0  # factor * wqf (pl2weight.cc:80)
+    k1: float = 0.0
+    b: float = 0.0
+    min_normlen: float = 0.0
+    len_factor: float = 0.0
+    cl: float = 0.0  # c * average_length
+    P1: float = 0.0
+    P2: float = 0.0
+    len_upper: float = 1.0  # doclength upper bound (for the maxpart bound)
+    delta_w: float = 0.0  # PL2+ dw term; 0 for vanilla PL2
+    mean: float = 1.0  # cf/N; PL2+ bails out when mean < 1
+
+    def _plus(self) -> bool:
+        return self.delta_w != 0.0
+
+    def sumpart_expr(self, wdf: Column, doclen: Column) -> Column:
+        if self._plus() and self.mean < 1:
+            return F.lit(0.0)
+        wdfn = wdf.cast("double") * F.log2(
+            F.lit(1.0) + F.lit(self.cl) / doclen.cast("double")
+        )
+        P = (
+            F.lit(self.P1)
+            + (wdfn + F.lit(0.5)) * F.log2(wdfn)
+            - F.lit(self.P2) * wdfn
+        )
+        wt = P / (wdfn + F.lit(1.0)) + F.lit(self.delta_w)
+        if self._plus():
+            # PL2+ (pl2plusweight.cc:168-177): dw added before the <=0 guard
+            return F.when(
+                (wdf > 0) & (wt > 0), F.lit(self.termweight) * wt
+            ).otherwise(0.0)
+        # vanilla PL2 guards P <= 0 (pl2weight.cc:168-172)
+        return F.when(
+            (wdf > 0) & (P > 0), F.lit(self.termweight) * P / (wdfn + F.lit(1.0))
+        ).otherwise(0.0)
+
+    def sumpart_py(self, wdf: float, doclen: float) -> float:
+        if wdf == 0:
+            return 0.0
+        if self._plus() and self.mean < 1:
+            return 0.0
+        wdfn = wdf * math.log2(1.0 + self.cl / doclen)
+        P = self.P1 + (wdfn + 0.5) * math.log2(wdfn) - self.P2 * wdfn
+        if self._plus():
+            wt = P / (wdfn + 1.0) + self.delta_w
+            return self.termweight * wt if wt > 0 else 0.0
+        if P <= 0:
+            return 0.0
+        return self.termweight * P / (wdfn + 1.0)
+
+    def maxpart(self, wdf_max: int, doclen_lower_bound: int) -> float:
+        """Reference bound (pl2weight.cc:90-127 / pl2plusweight.cc:100-147)
+        evaluated with wdf_upper := the given wdf_max (term- or block-level)."""
+        if wdf_max == 0:
+            return 0.0
+        if self._plus() and self.mean < 1:
+            return 0.0
+        wdfn_lower = math.log2(1.0 + self.cl / max(self.len_upper, 1.0))
+        divisor = max(wdf_max, doclen_lower_bound)
+        wdfn_upper = wdf_max * math.log2(1.0 + self.cl / max(divisor, 1))
+        if wdfn_upper <= 0:
+            return 0.0
+        P_max2a = (
+            (wdfn_upper + 0.5) * math.log2(wdfn_upper) / (wdfn_upper + 1.0)
+        )
+        wdfn_optb = wdfn_upper if self.P1 + self.P2 > 0 else wdfn_lower
+        P_max2b = (self.P1 - self.P2 * wdfn_optb) / (wdfn_optb + 1.0)
+        ub = self.termweight * (P_max2a + P_max2b + self.delta_w)
+        return max(ub, 0.0)
+
+    def maxpart_expr(self, wdf_max: Column, doclen_lower_bound: int) -> Column:
+        # Columnar twin of maxpart(); per-block bound for block-max pruning.
+        wdf_d = wdf_max.cast("double")
+        wdfn_lower = math.log2(1.0 + self.cl / max(self.len_upper, 1.0))
+        divisor = F.greatest(wdf_d, F.lit(float(max(doclen_lower_bound, 1))))
+        wdfn_upper = wdf_d * F.log2(F.lit(1.0) + F.lit(self.cl) / divisor)
+        P_max2a = (
+            (wdfn_upper + F.lit(0.5)) * F.log2(wdfn_upper)
+            / (wdfn_upper + F.lit(1.0))
+        )
+        if self.P1 + self.P2 > 0:
+            optb = wdfn_upper
+        else:
+            optb = F.lit(wdfn_lower)
+        P_max2b = (F.lit(self.P1) - F.lit(self.P2) * optb) / (optb + F.lit(1.0))
+        ub = F.lit(self.termweight) * (P_max2a + P_max2b + F.lit(self.delta_w))
+        if self._plus() and self.mean < 1:
+            return F.lit(0.0)
+        return F.when((wdf_max > 0) & (ub > 0), ub).otherwise(0.0)
+
+
+@dataclass
+class PL2Weight(Weight):
+    """DFR PL2 (pl2weight.cc), Poisson + Laplace + length-norm 2; c=1."""
+
+    c: float = 1.0
+    name: str = field(default="pl2", init=False)
+
+    def init_term(
+        self, stats: GlobalStats, ts: TermStats, wqf: int = 1, factor: float = 1.0
+    ) -> TermWeight:
+        if ts.tf == 0 or stats.doccount == 0:
+            return PL2TermWeight()
+        mean = ts.cf / stats.doccount
+        return PL2TermWeight(
+            termweight=factor * wqf,
+            cl=self.c * stats.average_length,
+            P1=mean * _BASE_CHANGE + 0.5 * math.log2(2.0 * math.pi),
+            P2=math.log2(mean) + _BASE_CHANGE,
+            len_upper=float(stats.doclen_upper_bound),
+            mean=mean,
+        )
+
+
+@dataclass
+class PL2PlusWeight(Weight):
+    """DFR PL2+ (pl2plusweight.cc): PL2 with a lower-bound bonus dw =
+    P(delta)/(delta+1); defaults c=1, delta=0.8 (weight.h:1630-1631)."""
+
+    c: float = 1.0
+    delta: float = 0.8
+    name: str = field(default="pl2plus", init=False)
+
+    def init_term(
+        self, stats: GlobalStats, ts: TermStats, wqf: int = 1, factor: float = 1.0
+    ) -> TermWeight:
+        if ts.tf == 0 or stats.doccount == 0:
+            return PL2TermWeight(delta_w=1e-300)  # mark as "+" with no weight
+        mean = ts.cf / stats.doccount
+        P1 = mean * _BASE_CHANGE + 0.5 * math.log2(2.0 * math.pi)
+        P2 = math.log2(mean) + _BASE_CHANGE
+        d = self.delta
+        P_delta = P1 + (d + 0.5) * math.log2(d) - P2 * d
+        return PL2TermWeight(
+            termweight=factor * wqf,
+            cl=self.c * stats.average_length,
+            P1=P1,
+            P2=P2,
+            len_upper=float(stats.doclen_upper_bound),
+            delta_w=P_delta / (d + 1.0),
+            mean=mean,
+        )
+
+
+@dataclass(frozen=True)
+class DPHTermWeight(TermWeight):
+    """DFR DPH (dphweight.cc:139-156), parameter-free:
+    norm = (1 - wdf/len)^2 / (wdf+1);
+    wt = norm * (wdf*(log2(wdf/len) + log2(total_len/cf))
+                 + 0.5*log2(2*pi*wdf*(1 - wdf/len)))."""
+
+    termweight: float = 0.0  # wqf * factor
+    k1: float = 0.0
+    b: float = 0.0
+    min_normlen: float = 0.0
+    len_factor: float = 0.0
+    log_constant: float = 0.0  # log2(total_len / cf)
+    len_upper: float = 1.0
+
+    def sumpart_expr(self, wdf: Column, doclen: Column) -> Column:
+        wdf_d = wdf.cast("double")
+        len_d = doclen.cast("double")
+        r = wdf_d / len_d
+        x = F.lit(1.0) - r
+        norm = x * x / (wdf_d + F.lit(1.0))
+        wt = norm * (
+            wdf_d * (F.log2(r) + F.lit(self.log_constant))
+            + F.lit(0.5) * F.log2(F.lit(2.0 * math.pi) * wdf_d * x)
+        )
+        return F.when(
+            (wdf > 0) & (wdf_d != len_d) & (wt > 0),
+            F.lit(self.termweight) * wt,
+        ).otherwise(0.0)
+
+    def sumpart_py(self, wdf: float, doclen: float) -> float:
+        if wdf == 0 or wdf == doclen:
+            return 0.0
+        r = wdf / doclen
+        x = 1.0 - r
+        norm = x * x / (wdf + 1.0)
+        wt = norm * (
+            wdf * (math.log2(r) + self.log_constant)
+            + 0.5 * math.log2(2.0 * math.pi * wdf * x)
+        )
+        return self.termweight * wt if wt > 0 else 0.0
+
+    def maxpart(self, wdf_max: int, doclen_lower_bound: int) -> float:
+        """Reference bound (dphweight.cc:52-110) with wdf_upper := wdf_max."""
+        if wdf_max == 0:
+            return 0.0
+        len_upper = max(self.len_upper, 1.0)
+        wdf_lower = 1.0
+        min_wdf_to_len = wdf_lower / len_upper
+        max_product_1 = wdf_max * (1.0 - min_wdf_to_len)
+        wdf_var = min(float(wdf_max), len_upper / 2.0)
+        max_product_2 = wdf_var * (1.0 - wdf_var / len_upper)
+        max_product = max(min(max_product_1, max_product_2), 1e-9)
+        wdf_root = 0.25 * (math.sqrt(8.0 * len_upper + 9.0) - 3.0)
+        wdf_root = min(max(wdf_root, wdf_lower), float(wdf_max))
+        x = 1.0 - wdf_root / len_upper
+        max_norm = wdf_root / (wdf_root + 1.0) * x * x
+        max_weight = max_norm * (
+            self.log_constant + 0.5 * math.log2(2.0 * math.pi * max_product)
+        )
+        return max(self.termweight * max_weight, 0.0)
+
+    def maxpart_expr(self, wdf_max: Column, doclen_lower_bound: int) -> Column:
+        wdf_d = wdf_max.cast("double")
+        len_upper = max(self.len_upper, 1.0)
+        mp1 = wdf_d * F.lit(1.0 - 1.0 / len_upper)
+        wdf_var = F.least(wdf_d, F.lit(len_upper / 2.0))
+        mp2 = wdf_var * (F.lit(1.0) - wdf_var / F.lit(len_upper))
+        max_product = F.greatest(F.least(mp1, mp2), F.lit(1e-9))
+        wdf_root_s = 0.25 * (math.sqrt(8.0 * len_upper + 9.0) - 3.0)
+        wdf_root = F.least(F.greatest(F.lit(wdf_root_s), F.lit(1.0)), wdf_d)
+        x = F.lit(1.0) - wdf_root / F.lit(len_upper)
+        max_norm = wdf_root / (wdf_root + F.lit(1.0)) * x * x
+        max_weight = max_norm * (
+            F.lit(self.log_constant)
+            + F.lit(0.5) * F.log2(F.lit(2.0 * math.pi) * max_product)
+        )
+        ub = F.lit(self.termweight) * max_weight
+        return F.when((wdf_max > 0) & (ub > 0), ub).otherwise(0.0)
+
+
+@dataclass
+class DPHWeight(Weight):
+    """DFR DPH (dphweight.cc), hypergeometric + Popper norm; parameter-free."""
+
+    name: str = field(default="dph", init=False)
+
+    def init_term(
+        self, stats: GlobalStats, ts: TermStats, wqf: int = 1, factor: float = 1.0
+    ) -> TermWeight:
+        if ts.tf == 0 or ts.cf == 0:
+            return DPHTermWeight()
+        return DPHTermWeight(
+            termweight=wqf * factor,
+            log_constant=math.log2(stats.total_doclen / ts.cf),
+            len_upper=float(stats.doclen_upper_bound),
+        )
+
+
+@dataclass(frozen=True)
+class DLHTermWeight(TermWeight):
+    """DFR DLH (dlhweight.cc): wt = (wdf*log2((wdf/len)*L) +
+    (len-wdf)*log2(1 - wdf/len) + 0.5*log2(2*pi*wdf*(1-wdf/len)))
+    / (wdf + 0.5), L = total_len/cf; parameter-free."""
+
+    termweight: float = 0.0  # wqf * factor
+    k1: float = 0.0
+    b: float = 0.0
+    min_normlen: float = 0.0
+    len_factor: float = 0.0
+    log_constant: float = 0.0  # total_len / cf (NOT logged; dlhweight.cc)
+    len_upper: float = 1.0
+    len_lower: float = 1.0
+
+    def sumpart_expr(self, wdf: Column, doclen: Column) -> Column:
+        wdf_d = wdf.cast("double")
+        len_d = doclen.cast("double")
+        r = wdf_d / len_d
+        omr = F.lit(1.0) - r
+        wt = (
+            wdf_d * F.log2(r * F.lit(self.log_constant))
+            + (len_d - wdf_d) * F.log2(omr)
+            + F.lit(0.5) * F.log2(F.lit(2.0 * math.pi) * wdf_d * omr)
+        )
+        return F.when(
+            (wdf > 0) & (wdf_d != len_d) & (wt > 0),
+            F.lit(self.termweight) * wt / (wdf_d + F.lit(0.5)),
+        ).otherwise(0.0)
+
+    def sumpart_py(self, wdf: float, doclen: float) -> float:
+        if wdf == 0 or wdf == doclen:
+            return 0.0
+        r = wdf / doclen
+        omr = 1.0 - r
+        wt = (
+            wdf * math.log2(r * self.log_constant)
+            + (doclen - wdf) * math.log2(omr)
+            + 0.5 * math.log2(2.0 * math.pi * wdf * omr)
+        )
+        return self.termweight * wt / (wdf + 0.5) if wt > 0 else 0.0
+
+    def maxpart(self, wdf_max: int, doclen_lower_bound: int) -> float:
+        """Provably safe (looser than dlhweight.cc:50-110's) bound:
+        wt = [T1 + T2 + T3]/(w+0.5) with T2 = (l-w)*log2(1-w/l) <= 0, so
+        wt <= T1/(w+0.5) + max(T3,0)/(w+0.5)
+           <= max(log2(max_w_over_l * L), 0) + max(0.5*log2(2*pi*w_max), 0)."""
+        if wdf_max == 0:
+            return 0.0
+        len_lower = max(float(doclen_lower_bound), self.len_lower, 1.0)
+        max_wdf_over_l = wdf_max / len_lower if wdf_max < len_lower else 1.0
+        logged = max_wdf_over_l * self.log_constant
+        A = max(math.log2(logged), 0.0) if logged > 0 else 0.0
+        C = max(0.5 * math.log2(2.0 * math.pi * wdf_max), 0.0)
+        return max(self.termweight * (A + C), 0.0)
+
+    def maxpart_expr(self, wdf_max: Column, doclen_lower_bound: int) -> Column:
+        # Per-block bound via the same safe formula, monotone in wdf_max.
+        len_lower = max(float(doclen_lower_bound), self.len_lower, 1.0)
+        wdf_d = wdf_max.cast("double")
+        ratio = F.least(wdf_d / F.lit(len_lower), F.lit(1.0))
+        logged = ratio * F.lit(self.log_constant)
+        A = F.greatest(F.log2(F.greatest(logged, F.lit(1e-300))), F.lit(0.0))
+        C = F.greatest(
+            F.lit(0.5) * F.log2(F.lit(2.0 * math.pi) * wdf_d), F.lit(0.0)
+        )
+        return F.when(
+            wdf_max > 0, F.lit(self.termweight) * (A + C)
+        ).otherwise(0.0)
+
+
+@dataclass
+class DLHWeight(Weight):
+    """DFR DLH (dlhweight.cc), hyper-geometric with Laplace after-effect;
+    parameter-free."""
+
+    name: str = field(default="dlh", init=False)
+
+    def init_term(
+        self, stats: GlobalStats, ts: TermStats, wqf: int = 1, factor: float = 1.0
+    ) -> TermWeight:
+        if ts.tf == 0 or ts.cf == 0:
+            return DLHTermWeight()
+        return DLHTermWeight(
+            termweight=wqf * factor,
+            log_constant=stats.total_doclen / ts.cf,
+            len_upper=float(stats.doclen_upper_bound),
+            len_lower=float(stats.doclen_lower_bound),
+        )
+
+
+@dataclass(frozen=True)
+class IfB2TermWeight(TermWeight):
+    """DFR IfB2/IneB2 shared shape (ifb2weight.cc / ineb2weight.cc):
+    wdfn = wdf*log2(1 + c*avlen/len);
+    sumpart = wqf*idf * wdfn*B/(wdfn+1), B = (cf+1)/tf."""
+
+    termweight: float = 0.0  # wqf * idf * factor
+    k1: float = 0.0
+    b: float = 0.0
+    min_normlen: float = 0.0
+    len_factor: float = 0.0
+    c_avlen: float = 0.0
+    B_constant: float = 0.0
+
+    def sumpart_expr(self, wdf: Column, doclen: Column) -> Column:
+        wdfn = wdf.cast("double") * F.log2(
+            F.lit(1.0) + F.lit(self.c_avlen) / doclen.cast("double")
+        )
+        return F.when(
+            wdf > 0,
+            F.lit(self.termweight)
+            * (wdfn * F.lit(self.B_constant) / (wdfn + F.lit(1.0))),
+        ).otherwise(0.0)
+
+    def sumpart_py(self, wdf: float, doclen: float) -> float:
+        if wdf <= 0:
+            return 0.0
+        wdfn = wdf * math.log2(1.0 + self.c_avlen / doclen)
+        return self.termweight * (wdfn * self.B_constant / (wdfn + 1.0))
+
+    def maxpart(self, wdf_max: int, doclen_lower_bound: int) -> float:
+        # monotone increasing in wdfn -> evaluate at (wdf_max, doclen_lb)
+        if wdf_max == 0 or doclen_lower_bound <= 0:
+            return 0.0
+        return self.sumpart_py(wdf_max, doclen_lower_bound)
+
+    def maxpart_expr(self, wdf_max: Column, doclen_lower_bound: int) -> Column:
+        if doclen_lower_bound <= 0:
+            return F.lit(0.0)
+        wdfn = wdf_max.cast("double") * F.lit(
+            math.log2(1.0 + self.c_avlen / doclen_lower_bound)
+        )
+        return F.when(
+            wdf_max > 0,
+            F.lit(self.termweight)
+            * (wdfn * F.lit(self.B_constant) / (wdfn + F.lit(1.0))),
+        ).otherwise(0.0)
+
+
+@dataclass
+class IfB2Weight(Weight):
+    """DFR IfB2 (ifb2weight.cc): idf = log2((N+1)/(cf+0.5)), Bernoulli
+    after-effect, length-norm 2 with parameter c (default 1)."""
+
+    c: float = 1.0
+    name: str = field(default="ifb2", init=False)
+
+    def init_term(
+        self, stats: GlobalStats, ts: TermStats, wqf: int = 1, factor: float = 1.0
+    ) -> TermWeight:
+        if ts.tf == 0:
+            return IfB2TermWeight()
+        idf = math.log2((stats.doccount + 1.0) / (ts.cf + 0.5))
+        return IfB2TermWeight(
+            termweight=wqf * idf * factor,
+            c_avlen=self.c * stats.average_length,
+            B_constant=(ts.cf + 1.0) / ts.tf,
+        )
+
+
+@dataclass
+class IneB2Weight(Weight):
+    """DFR IneB2 (ineb2weight.cc): idf uses the EXPECTED termfreq under a
+    Poisson model: idf = log2((N+1)/(N*(1-e^{-cf/N}) + 0.5))."""
+
+    c: float = 1.0
+    name: str = field(default="ineb2", init=False)
+
+    def init_term(
+        self, stats: GlobalStats, ts: TermStats, wqf: int = 1, factor: float = 1.0
+    ) -> TermWeight:
+        if ts.tf == 0 or stats.doccount == 0:
+            return IfB2TermWeight()
+        N = float(stats.doccount)
+        mean = ts.cf / N
+        expected = N * (1.0 - math.exp(-mean))
+        idf = math.log2((N + 1.0) / (expected + 0.5))
+        return IfB2TermWeight(
+            termweight=wqf * idf * factor,
+            c_avlen=self.c * stats.average_length,
+            B_constant=(ts.cf + 1.0) / ts.tf,
+        )
+
+
+def _stirling_value(difference: float, y: float, c: float) -> float:
+    """(bb2weight.cc:38-41)"""
+    return (y + 0.5) * (c - math.log2(y)) + difference * c
+
+
+@dataclass(frozen=True)
+class BB2TermWeight(TermWeight):
+    """DFR BB2 (bb2weight.cc:150-180): Bose-Einstein with Stirling approx;
+    B = wqf*factor*(F+1)/tf / (wdfn+1);
+    wt = B * (-1/ln2 - log2(N-1) + stirling diff)."""
+
+    termweight: float = 0.0  # wqf * factor * (F+1)/tf  == B_constant
+    k1: float = 0.0
+    b: float = 0.0
+    min_normlen: float = 0.0
+    len_factor: float = 0.0
+    c_avlen: float = 0.0
+    cf: float = 1.0  # collection freq F
+    N: float = 2.0  # clamped collection size
+    len_upper: float = 1.0
+    wdf_ub: int = 0  # term-level wdf upper bound (for maxpart_expr)
+
+    @property
+    def _wt(self) -> float:
+        return -_BASE_CHANGE - math.log2(self.N - 1.0)
+
+    @property
+    def _sc1(self) -> float:
+        return math.log2(self.N + self.cf - 1.0)
+
+    @property
+    def _sc2(self) -> float:
+        return math.log2(self.cf)
+
+    def sumpart_py(self, wdf: float, doclen: float) -> float:
+        if wdf == 0:
+            return 0.0
+        wdfn = wdf * math.log2(1.0 + self.c_avlen / doclen)
+        if wdfn >= self.cf - 1:
+            wdfn = self.cf - 1
+        if wdfn <= 0:
+            return 0.0
+        N_less_2 = 0.0 if self.N <= 2 else self.N - 2
+        y2 = self.cf - wdfn
+        y1 = N_less_2 + y2
+        stirling = _stirling_value(wdfn + 1.0, y1, self._sc1) - _stirling_value(
+            wdfn, y2, self._sc2
+        )
+        B = self.termweight / (wdfn + 1.0)
+        w = B * (self._wt + stirling)
+        return max(w, 0.0)
+
+    def sumpart_expr(self, wdf: Column, doclen: Column) -> Column:
+        wdfn_raw = wdf.cast("double") * F.log2(
+            F.lit(1.0) + F.lit(self.c_avlen) / doclen.cast("double")
+        )
+        wdfn = F.least(wdfn_raw, F.lit(self.cf - 1.0))
+        N_less_2 = 0.0 if self.N <= 2 else self.N - 2.0
+        y2 = F.lit(self.cf) - wdfn
+        y1 = F.lit(N_less_2) + y2
+        sc1, sc2 = self._sc1, self._sc2
+        st1 = (y1 + F.lit(0.5)) * (F.lit(sc1) - F.log2(y1)) + (
+            wdfn + F.lit(1.0)
+        ) * F.lit(sc1)
+        st2 = (y2 + F.lit(0.5)) * (F.lit(sc2) - F.log2(y2)) + wdfn * F.lit(sc2)
+        B = F.lit(self.termweight) / (wdfn + F.lit(1.0))
+        w = B * (F.lit(self._wt) + st1 - st2)
+        return F.when((wdf > 0) & (wdfn > 0) & (w > 0), w).otherwise(0.0)
+
+    def maxpart(self, wdf_max: int, doclen_lower_bound: int) -> float:
+        """Reference bound (bb2weight.cc:68-124) with wdf_upper := wdf_max."""
+        if wdf_max == 0:
+            return 0.0
+        wdfn_lower = math.log2(1.0 + self.c_avlen / max(self.len_upper, 1.0))
+        dl_lb = max(doclen_lower_bound, 1)
+        wdfn_upper = wdf_max * math.log2(1.0 + self.c_avlen / dl_lb)
+        Fc = self.cf
+        if wdfn_lower >= Fc - 1:
+            wdfn_upper = Fc - 1
+        if wdfn_upper >= Fc - 1:
+            wdfn_upper = Fc - 1
+        if wdfn_upper <= 0 or wdfn_lower <= 0:
+            return 0.0
+        y_min = Fc - wdfn_upper
+        y_max = self.N + Fc - wdfn_lower - 2.0
+        if y_min <= 0 or y_max <= 0:
+            return 0.0
+        stirling_max = _stirling_value(
+            wdfn_upper + 1.0, y_max, self._sc1
+        ) - _stirling_value(wdfn_lower, y_min, self._sc2)
+        B_max = self.termweight / (wdfn_lower + 1.0)
+        return max(B_max * (self._wt + stirling_max), 0.0)
+
+    def maxpart_expr(self, wdf_max: Column, doclen_lower_bound: int) -> Column:
+        # Per-block bound: the reference bound formula is monotone
+        # non-decreasing in wdf_upper, so evaluating the scalar bound at
+        # the TERM-level wdf upper bound (wdf_ub) is safe for every block.
+        return F.lit(self.maxpart(self.wdf_ub, doclen_lower_bound)) + F.lit(
+            0.0
+        ) * wdf_max.cast("double")
+
+
+@dataclass
+class BB2Weight(Weight):
+    """DFR BB2 (bb2weight.cc), c default 1."""
+
+    c: float = 1.0
+    name: str = field(default="bb2", init=False)
+
+    def init_term(
+        self, stats: GlobalStats, ts: TermStats, wqf: int = 1, factor: float = 1.0
+    ) -> TermWeight:
+        if ts.tf == 0:
+            return BB2TermWeight()
+        N = 2.0 if stats.doccount <= 2 else float(stats.doccount)
+        return BB2TermWeight(
+            termweight=wqf * factor * (ts.cf + 1.0) / ts.tf,
+            c_avlen=self.c * stats.average_length,
+            cf=float(ts.cf),
+            N=N,
+            len_upper=float(stats.doclen_upper_bound),
+            wdf_ub=ts.wdf_max,
+        )
+
+
+@dataclass(frozen=True)
+class DiceTermWeight(TermWeight):
+    """DiceCoeffWeight (dicecoeffweight.cc): sumpart =
+    wqf*factor * 2 / (query_length + uniqterms).  Needs the per-doc unique
+    term count, which the planner exposes as a `uniqterms` column."""
+
+    termweight: float = 0.0  # wqf * factor
+    k1: float = 0.0
+    b: float = 0.0
+    min_normlen: float = 0.0
+    len_factor: float = 0.0
+    query_length: int = 1
+
+    def sumpart_expr(self, wdf: Column, doclen: Column) -> Column:
+        uniq = F.col("uniqterms").cast("double")
+        return F.when(
+            wdf > 0,
+            F.lit(self.termweight * 2.0) / (F.lit(float(self.query_length)) + uniq),
+        ).otherwise(0.0)
+
+    def sumpart_py(self, wdf: float, doclen: float, uniqterms: float = 1.0) -> float:
+        if wdf <= 0:
+            return 0.0
+        return self.termweight * 2.0 / (self.query_length + uniqterms)
+
+    def maxpart(self, wdf_max: int, doclen_lower_bound: int) -> float:
+        # dicecoeffweight.cc init: |d| lower bound kept at 1 (their FIXME)
+        return self.termweight * 2.0 / (self.query_length + 1.0)
+
+    def maxpart_expr(self, wdf_max: Column, doclen_lower_bound: int) -> Column:
+        return F.lit(self.maxpart(0, doclen_lower_bound)) + F.lit(
+            0.0
+        ) * wdf_max.cast("double")
+
+
+@dataclass
+class DiceCoeffWeight(Weight):
+    """Dice coefficient similarity: 2*|q ∩ d| / (|q| + |d|)
+    (dicecoeffweight.cc).  `query_length` is sum of wqf over the query
+    (enquire.cc:279-281); set by the planner before init_term via
+    set_query_length()."""
+
+    name: str = field(default="dice", init=False)
+    query_length: int = 1
+
+    needs_uniqterms = True
+
+    def set_query_length(self, qlen: int) -> None:
+        self.query_length = max(qlen, 1)
+
+    def init_term(
+        self, stats: GlobalStats, ts: TermStats, wqf: int = 1, factor: float = 1.0
+    ) -> TermWeight:
+        if ts.tf == 0:
+            return DiceTermWeight()
+        return DiceTermWeight(
+            termweight=wqf * factor, query_length=self.query_length
+        )
+
+
 WEIGHT_SCHEMES = {
     "bm25": BM25Weight,
     "bm25plus": BM25PlusWeight,
     "trad": TradWeight,
     "inl2": InL2Weight,
+    "ifb2": IfB2Weight,
+    "ineb2": IneB2Weight,
+    "bb2": BB2Weight,
+    "pl2": PL2Weight,
+    "pl2plus": PL2PlusWeight,
+    "dph": DPHWeight,
+    "dlh": DLHWeight,
     "lm": LMWeight,
     "coord": CoordWeight,
     "bool": BoolWeight,
     "tfidf": TfIdfWeight,
+    "dice": DiceCoeffWeight,
 }
