@@ -224,6 +224,38 @@ def _q_spelling(spark, sf_dir):
     )
 
 
+_STEM_IDX_CACHE: dict[str, object] = {}
+
+
+def _q_stemmed_search(spark, sf_dir):
+    """STEM_SOME index + stemmed query (Z-terms): morphological variants
+    unify under one posting list (termgenerator_internal.cc:318-362).
+    Rows-only check: Porter2 is not expressible in ANSI SQL."""
+    from xapian_spark.query.parser import QueryParser
+    from xapian_spark.text.stem import Stemmer
+
+    idx = _STEM_IDX_CACHE.get(sf_dir)
+    if idx is None:
+        idx = build_index(
+            spark,
+            _docs(spark, sf_dir),
+            content_col="text",
+            docid_col="docid",
+            stemmer=Stemmer("en"),
+            stem_strategy="some",
+        )
+        persist_index(idx)
+        _STEM_IDX_CACHE[sf_dir] = idx
+    qp = QueryParser(stemmer=Stemmer("en"))
+    q = qp.parse_query("merges scanning")
+    m = Planner(idx).plan(q)
+    return (
+        m.select("docid", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(10)
+    )
+
+
 def _q_bo1_eset(spark, sf_dir):
     from xapian_spark.query.expand import bo1_eset
 
@@ -421,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "elite_set": _q_elite_set,
         "fuzzy_edit_distance": _q_fuzzy,
         "spelling_suggest": _q_spelling,
+        "stemmed_search": _q_stemmed_search,  # rows-only: Porter2 not in SQL
         "bo1_eset": _q_bo1_eset,
         "percent_scores": _q_percent,
         "batch_or_serving": _q_batch_or,

@@ -40,7 +40,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from xapian_spark.ranking.weights import GlobalStats, TermStats
-from xapian_spark.text.tokenizer import tokenize_batch, tokenize_with_positions
+from xapian_spark.text.tokenizer import (
+    invert_doc,
+    tokenize_batch,
+    tokenize_with_positions,
+)
 
 TOKENS_TYPE = T.ArrayType(
     T.StructType(
@@ -112,6 +116,9 @@ def invert_arrow(
     keep_cols: list[str],
     mode: str = "xapian",
     stopwords: frozenset[str] | None = None,
+    stemmer=None,
+    stem_strategy: str = "some",
+    stop_mode: str = "all",
 ) -> DataFrame:
     """mapInArrow inverter: (keep_cols..., content) ->
     (keep_cols..., plist, doclen).
@@ -143,18 +150,16 @@ def invert_arrow(
             flat_pos: list[int] = []
             doclens: list[int] = []
             for text in texts:
-                acc: dict[str, list[int]] = {}
-                for term, pos in tokenize_with_positions(
-                    text or "", mode=mode, stopwords=stopwords
-                ):
-                    acc.setdefault(term, []).append(pos)
-                dl = 0
-                for t, ps in acc.items():
+                entries, dl = invert_doc(
+                    text or "", mode=mode, stopwords=stopwords,
+                    stemmer=stemmer, strategy=stem_strategy,
+                    stop_mode=stop_mode,
+                )
+                for t, w, ps in entries:
                     terms.append(t)
-                    wdfs.append(len(ps))
+                    wdfs.append(w)
                     flat_pos.extend(ps)
                     pos_off.append(len(flat_pos))
-                    dl += len(ps)
                 doc_off.append(len(terms))
                 doclens.append(dl)
             struct = pa.StructArray.from_arrays(
@@ -281,12 +286,20 @@ def build_index(
     prefix_fields: dict[str, str] | None = None,
     mode: str = "xapian",
     stopwords: frozenset[str] | None = None,
+    stemmer=None,
+    stem_strategy: str = "some",
+    stop_mode: str = "all",
 ) -> InvertedIndex:
     """Build the logical index tables from a corpus DataFrame.
 
     prefix_fields: {column -> term prefix} indexed as boolean terms (wdf=0,
     no positions), the omega `add_boolean_prefix` convention
     (api_queryparser.cc:63-79).
+
+    stemmer/stem_strategy/stop_mode: TermGenerator stemming strategies
+    (termgenerator_internal.cc:318-362); see tokenizer.invert_doc.  With a
+    stemmer and the default "some" strategy, positionless Z-prefixed stems
+    are indexed alongside the unstemmed positional terms.
     """
     if docid_col is None:
         docs = assign_docids(docs, order_cols or docs.columns[:1])
@@ -305,6 +318,9 @@ def build_index(
         keep_cols=["docid", *pf_cols],
         mode=mode,
         stopwords=stopwords,
+        stemmer=stemmer,
+        stem_strategy=stem_strategy,
+        stop_mode=stop_mode,
     )
 
     if prefix_fields:

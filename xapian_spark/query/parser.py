@@ -26,9 +26,13 @@ wildcard + ranges; default op OR, queryparser_internal.h:87):
   wild*             -> OP_WILDCARD (:1234-1247)
   field:lo..hi      -> RangeProcessor -> OP_VALUE_RANGE (:2236-2247)
 
-Stemming is STEM_NONE (code corpus); terms are lowercased by the same
-Unicode folding as the index tokenizer, so parser terms and index terms
-always agree.
+Stemming defaults to STEM_NONE (code corpus); terms are lowercased by the
+same Unicode folding as the index tokenizer, so parser terms and index
+terms always agree.  With a `stemmer` set, free probabilistic terms become
+`Z`-prefixed stems (Term::make_term, queryparser.lemony:328-340) UNLESS
+they need positions (inside quotes / compounds / NEAR / ADJ) or were
+capitalized in the raw query — both reference behaviors
+(queryparser.lemony:171-173 need_positions drops stemming).
 """
 
 from __future__ import annotations
@@ -37,7 +41,7 @@ import re
 from dataclasses import dataclass, field
 
 from xapian_spark.query import ast
-from xapian_spark.text.tokenizer import parse_terms
+from xapian_spark.text.tokenizer import parse_terms, should_stem
 
 _KEYWORDS = {"AND", "OR", "NOT", "XOR", "NEAR", "ADJ"}
 
@@ -73,6 +77,8 @@ class QueryParser:
     # (FLAG_SYNONYM/FLAG_AUTO_SYNONYMS, queryparser.h:577-590)
     synonyms: dict[str, tuple[str, ...]] = field(default_factory=dict)
     auto_synonyms: bool = False
+    # query-time stemming (STEM_SOME when set): free terms -> Z+prefix+stem
+    stemmer: object = None
 
     def __post_init__(self):
         self._pos = 0  # query-wide term position counter
@@ -99,15 +105,33 @@ class QueryParser:
         self._pos += 1
         return self._pos
 
-    def _terms_of(self, text: str, prefix: str = "") -> list[ast.Term]:
+    def _terms_of(
+        self, text: str, prefix: str = "", positional: bool = False
+    ) -> list[ast.Term]:
         """Tokenize a word/compound into positional Term leaves using the
-        SAME folding as the index tokenizer."""
+        SAME folding as the index tokenizer.  Non-positional single terms
+        are stemmed to Z-terms when a stemmer is configured (STEM_SOME,
+        Term::make_term queryparser.lemony:328-340); capitalized raw words
+        stay unstemmed (reference behavior)."""
+        raw_terms = parse_terms(text)
+        stem_ok = (
+            self.stemmer is not None
+            and not positional
+            and len(raw_terms) == 1  # compounds become phrases (positional)
+            and not (text and text[0].isupper())
+        )
         out = []
-        for t in parse_terms(text):
+        for t in raw_terms:
             if self.stopwords and t in self.stopwords:
                 self._next_pos()
                 continue
-            out.append(ast.Term(prefix + t, pos=self._next_pos()))
+            if stem_ok and should_stem(t):
+                out.append(
+                    ast.Term("Z" + prefix + self.stemmer(t),
+                             pos=self._next_pos())
+                )
+            else:
+                out.append(ast.Term(prefix + t, pos=self._next_pos()))
         return out
 
     def _synonym_node(self, term: ast.Term) -> ast.Node:
@@ -116,7 +140,9 @@ class QueryParser:
             return term
         return ast.Synonym((term,) + tuple(ast.Term(s) for s in syns))
 
-    def _word_node(self, text: str, prefix: str = "") -> ast.Node:
+    def _word_node(
+        self, text: str, prefix: str = "", positional: bool = False
+    ) -> ast.Node:
         """One word token -> Term / Phrase (compound) / Wildcard /
         EditDistance / Synonym."""
         if text.endswith("*") and len(text) > 1:
@@ -130,7 +156,7 @@ class QueryParser:
         explicit_syn = text.startswith("~")
         if explicit_syn:
             text = text[1:]
-        terms = self._terms_of(text, prefix)
+        terms = self._terms_of(text, prefix, positional=positional)
         if not terms:
             return ast.MatchNothing()
         if len(terms) == 1:
@@ -242,7 +268,7 @@ class QueryParser:
                 parts = t.text.split("/")
                 ordered = parts[0] == "ADJ"
                 left = normal.pop()
-                sub, i2, _ = self._parse_primary(toks, i + 1)
+                sub, i2, _ = self._parse_primary(toks, i + 1, positional=True)
                 if sub is None:
                     i = i2
                     continue
@@ -271,7 +297,14 @@ class QueryParser:
                 if sub is not None:
                     hated.append(sub)
                 continue
-            sub, i, fg = self._parse_primary(toks, i)
+            next_positional = (
+                i + 1 < len(toks)
+                and toks[i + 1].kind == "op"
+                and toks[i + 1].text.startswith(("NEAR", "ADJ"))
+            )
+            sub, i, fg = self._parse_primary(
+                toks, i, positional=next_positional
+            )
             if sub is not None:
                 if fg:
                     filters.setdefault(fg, []).append(sub)
@@ -305,7 +338,7 @@ class QueryParser:
                 base = ast.AndNot(base, hate)
         return base, i
 
-    def _parse_primary(self, toks, i):
+    def _parse_primary(self, toks, i, positional=False):
         """-> (node, next_i, filter_group|None)."""
         if i >= len(toks):
             return None, i, None
@@ -317,7 +350,7 @@ class QueryParser:
             return node, i, None
         if t.kind == "quoted":
             inner = t.text.strip('"')
-            terms = self._terms_of(inner)
+            terms = self._terms_of(inner, positional=True)
             if not terms:
                 return None, i + 1, None
             if len(terms) == 1:
@@ -331,7 +364,7 @@ class QueryParser:
                 if node is not None:
                     return node, i + 1, fg
                 # unknown field: index the whole token as words
-            return self._word_node(text), i + 1, None
+            return self._word_node(text, positional=positional), i + 1, None
         return None, i + 1, None
 
     # -- free text (the wand/batch serving path) ----------------------------

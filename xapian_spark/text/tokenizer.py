@@ -251,3 +251,76 @@ def tokenize_batch(
         tokenize_with_positions(t or "", mode=mode, stopwords=stopwords)
         for t in texts
     ]
+
+
+_SHOULD_STEM_CATS = frozenset(("Ll", "Lt", "Lm", "Lo"))
+
+
+def should_stem(term: str) -> bool:
+    """Stem only terms starting with a (lower/title/modifier/other-case)
+    letter (reference `should_stem`, termgenerator_internal.cc:64-73) —
+    i.e. skip digit-initial terms."""
+    if not term:
+        return False
+    ch = term[0]
+    if "a" <= ch <= "z":  # ASCII fast path
+        return True
+    if "0" <= ch <= "9":
+        return False
+    return unicodedata.category(ch) in _SHOULD_STEM_CATS
+
+
+def invert_doc(
+    text: str,
+    mode: str = "xapian",
+    stopwords: frozenset[str] | None = None,
+    stemmer=None,
+    strategy: str = "some",
+    stop_mode: str = "all",
+) -> tuple[list[tuple[str, int, list[int]]], int]:
+    """Per-document termlist: -> ([(term, wdf, positions)], doclen).
+
+    Mirrors TermGenerator::Internal::index_text strategy handling
+    (termgenerator_internal.cc:318-362):
+
+    - strategy "none" (or stemmer None): unstemmed positional terms only.
+    - "some" (reference default with a stemmer): unstemmed positional terms
+      PLUS positionless `Z`-prefixed stems, one wdf increment each — so
+      doclen counts both, as the reference's termlist-wdf sum does.
+    - "some_full_pos": like "some" but the Z-terms keep positions.
+    - "all": each token replaced by its stem (no Z prefix), positional.
+    - "all_z": like "all" with the Z prefix.
+
+    stop_mode "all" removes stopworded tokens from the stream (STOP_ALL);
+    "stemmed" keeps them unstemmed but suppresses their Z-stems
+    (STOP_STEMMED, termgenerator_internal.cc:338-341); "none" ignores the
+    stopword list.
+    """
+    stream_stop = stopwords if stop_mode == "all" else None
+    toks = tokenize_with_positions(text or "", mode=mode, stopwords=stream_stop)
+    if stemmer is not None and strategy in ("all", "all_z"):
+        pre = "Z" if strategy == "all_z" else ""
+        toks = [(pre + stemmer(t), p) for t, p in toks]
+    acc: dict[str, list[int]] = {}
+    for t, p in toks:
+        acc.setdefault(t, []).append(p)
+    entries = [(t, len(ps), ps) for t, ps in acc.items()]
+    if stemmer is not None and strategy in ("some", "some_full_pos"):
+        zacc: dict[str, list[int]] = {}
+        for t, ps in acc.items():
+            if stop_mode == "stemmed" and stopwords and t in stopwords:
+                continue
+            if not should_stem(t):
+                continue
+            s = stemmer(t)
+            if not s:
+                continue
+            zacc.setdefault("Z" + s, []).extend(ps)
+        if strategy == "some":
+            entries += [(zt, len(ps), []) for zt, ps in zacc.items()]
+        else:
+            entries += [
+                (zt, len(ps), sorted(ps)) for zt, ps in zacc.items()
+            ]
+    doclen = sum(w for _, w, _ in entries)
+    return entries, doclen
