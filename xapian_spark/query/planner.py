@@ -166,12 +166,81 @@ class Planner:
 
     # -- candidate construction ---------------------------------------------
 
+    # Above this many distinct query terms the per-entry array_contains scan
+    # of the doc-major termlist path costs more than the term-major
+    # explode+shuffle path; batch serving with big term unions takes the
+    # latter.
+    _TERMLIST_PATH_MAX_TERMS = 64
+
+    def _candidates_from_termlists(
+        self, terms: list[str], need_positions: bool, need_all_docs: bool,
+        need_uniq: bool,
+    ) -> DataFrame:
+        """ZERO-shuffle candidate map: termlists are doc-major (docid,
+        plist, doclen), so the per-doc term->wdf map is a pure projection —
+        filter the termlist array to the query's terms and map_from_entries
+        it.  No explode, no groupBy(docid) exchange.  This is the resident
+        -index fast path; the warehouse path keeps term-major postings so
+        a 1000-executor scan prunes to the query's terms via parquet
+        predicate pushdown instead of reading every termlist."""
+        tl = self.index.termlists
+        terms_arr = F.array(*[F.lit(t) for t in terms])
+        matched = F.filter(
+            F.col("plist"),
+            lambda e: F.array_contains(terms_arr, e.getField("term")),
+        )
+        if need_positions:
+            entries = lambda e: F.struct(  # noqa: E731
+                e.getField("term").alias("term"),
+                F.struct(
+                    e.getField("wdf").alias("wdf"),
+                    e.getField("positions").alias("positions"),
+                ).alias("v"),
+            )
+        else:
+            entries = lambda e: F.struct(  # noqa: E731
+                e.getField("term").alias("term"),
+                F.struct(e.getField("wdf").alias("wdf")).alias("v"),
+            )
+        if not need_all_docs:
+            # cheap row gate on the RAW array (one exists-scan) so the
+            # pushed-down filter doesn't rebuild the tmap expression
+            tl = tl.where(
+                F.exists(
+                    F.col("plist"),
+                    lambda e: F.array_contains(
+                        terms_arr, e.getField("term")
+                    ),
+                )
+            )
+        cols = [
+            F.col("docid"),
+            F.map_from_entries(F.transform(matched, entries)).alias("tmap"),
+            F.col("doclen"),
+        ]
+        if need_uniq:
+            cols.append(F.col("uniqterms"))
+        return tl.select(*cols)
+
     def _candidates(
         self, terms: list[str], need_positions: bool, need_all_docs: bool,
         value_fields: list[str],
     ) -> DataFrame:
         idx = self.index
         need_uniq = getattr(self.weight, "needs_uniqterms", False)
+        if (
+            terms
+            and getattr(idx, "termlists", None) is not None
+            and len(terms) <= self._TERMLIST_PATH_MAX_TERMS
+        ):
+            cand = self._candidates_from_termlists(
+                terms, need_positions, need_all_docs, need_uniq
+            )
+            if value_fields:
+                cand = cand.join(
+                    idx.docs.select("docid", *value_fields), "docid", "left"
+                )
+            return cand
         p = idx.postings.where(F.col("term").isin(terms)) if terms else None
         if p is not None:
             entry_val = (
