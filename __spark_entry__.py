@@ -54,8 +54,14 @@ PREFIX_FIELDS = {"source": "S", "lang": "L"}  # boolean field terms
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
-        "docid", (F.col("doc_id") + 1).cast("long")
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("docid", (F.col("doc_id") + 1).cast("long"))
+        # deterministic value that DECREASES with docid: exercises the
+        # DecreasingValueWeightPostingSource early-termination contract
+        .withColumn(
+            "decreasing_val", (F.lit(1000000.0) - F.col("docid")).cast("double")
+        )
     )
 
 
@@ -222,6 +228,39 @@ def _q_spelling(spark, sf_dir):
     return spark.createDataFrame(
         [("batcg", sug)], "word string, suggestion string"
     )
+
+
+def _q_decreasing_value(spark, sf_dir):
+    """DecreasingValueWeightPostingSource (decvalwtsource.cc): the planner
+    prunes the in-range scan to the first k docids under the caller's
+    non-increasing-by-docid promise; results identical to the unpruned
+    value source."""
+    idx = _index(spark, sf_dir)
+    q = ast.DecreasingValueWeightSource(
+        "decreasing_val", scale=0.001, range_start=1, range_end=0
+    )
+    return (
+        Planner(idx)
+        .search(q, k=10)
+        .select("docid", F.round("score", 6).alias("score"))
+    )
+
+
+def _q_diversify(spark, sf_dir):
+    """GLS diversification re-rank (diversify.cc) of a BM25 top-20 using
+    the embeddings table; iterative local search -> rows-only check."""
+    from xapian_spark.ops.diversify import diversify
+
+    idx = _index(spark, sf_dir)
+    mset = (
+        Planner(idx)
+        .search(ast.Or((ast.Term("dup"), ast.Term("vector"))), k=20)
+        .select("docid", "score")
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        (F.col("vec_id") + 1).cast("long").alias("docid"), "embedding"
+    )
+    return diversify(mset, emb, k=10)
 
 
 _STEM_IDX_CACHE: dict[str, object] = {}
@@ -446,6 +485,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "lm_weight": _search(ast.Term("dup"), weight=LMWeight),
         "value_weight_source": _q_value_weight,
+        "tfidf_pivoted": _search(
+            ast.Term("dup"),
+            weight=lambda: TfIdfWeight(normalizations="Ptn"),
+        ),
+        "decreasing_value_source": _q_decreasing_value,
+        "diversify_rerank": _q_diversify,  # iterative GLS: rows-only
         "match_decider": _q_match_decider,
         "geo_nearest": _q_geo_nearest,
         # -- parser / expansion / serving (SURVEY §2.6, §2.3, §2.5)
@@ -747,6 +792,30 @@ SELECT docid, score FROM (
 ) ORDER BY score DESC, docid LIMIT 10
 """
     )
+    # TfIdf "Ptn" (tfidfweight.cc:263-268): wdfn = (1+ln(1+ln(wdf))) *
+    # 1/(1-slope+slope*doclen/avg) + delta (slope=.2 delta=1); idfn=ln(N/tf)
+    q["tfidf_pivoted"] = (
+        _PRELUDE
+        + """
+SELECT docid, score FROM (
+  SELECT p.docid,
+    round(((1.0 + ln(1.0 + ln(p.wdf)))
+           * (1.0 / (0.8 + 0.2 * (l.doclen / (g.total / g.n)))) + 1.0)
+          * ln(g.n / b.tf), 6) AS score
+  FROM post p JOIN dl l ON l.docid = p.docid JOIN bm b ON b.term = p.term
+  CROSS JOIN g WHERE p.term = 'dup' AND p.wdf > 0
+) ORDER BY score DESC, docid LIMIT 10
+"""
+    )
+    # DecreasingValueWeightPostingSource: weight = (1e6 - docid) * 0.001,
+    # non-increasing by docid -> top-10 = first 10 docids
+    q["decreasing_value_source"] = """
+SELECT docid, score FROM (
+  SELECT doc_id + 1 AS docid,
+         CAST(round((1000000.0 - (doc_id + 1)) * 0.001, 6) AS DOUBLE) AS score
+  FROM documents
+) ORDER BY score DESC, docid LIMIT 10
+"""
     # DFR PL2 (pl2weight.cc:160-175), c=1: wdfn=wdf*log2(1+avlen/len);
     # P = P1 + (wdfn+0.5)*log2(wdfn) - P2*wdfn; score = P/(wdfn+1) when P>0
     # with mean=cf/N, P1=mean/ln2 + 0.5*log2(2pi), P2=log2(mean)+1/ln2

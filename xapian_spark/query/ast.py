@@ -166,6 +166,25 @@ class ValueWeightSource(Node):
 
 
 @dataclass(frozen=True)
+class DecreasingValueWeightSource(ValueWeightSource):
+    """DecreasingValueWeightPostingSource (api/decvalwtsource.cc): same
+    matches and weights as ValueWeightSource, plus the caller's promise
+    that within docid range [range_start, range_end] (range_end 0 = to the
+    end) weights are non-increasing by docid.  The promise is purely an
+    early-termination licence (decvalwtsource.cc:94-100); the planner uses
+    it to prune the in-range scan to the first k docids for top-k."""
+
+    range_start: int = 0
+    range_end: int = 0
+
+    def describe(self) -> str:
+        return (
+            f"DECREASING_VALUE_WEIGHT {self.field} * {self.scale} "
+            f"[{self.range_start}, {self.range_end or 'inf'}]"
+        )
+
+
+@dataclass(frozen=True)
 class EliteSet(Node):
     """OP_ELITE_SET: keep the set_size best subqueries by maxweight, then
     OR them (query.h:166-213; selection queryinternal.cc:433-439, default

@@ -701,6 +701,23 @@ class Planner:
     def search(self, query: ast.Node, k: int = 10, offset: int = 0) -> DataFrame:
         """Top-k MSet: (rank, docid, score); rank 1-based after offset."""
         matches = self.plan(query)
+        if (
+            isinstance(query, ast.DecreasingValueWeightSource)
+            and (query.range_start or query.range_end)
+        ):
+            # Early-termination licence (decvalwtsource.cc:94-100): within
+            # the promised range, weight is non-increasing by docid, so only
+            # the first offset+k in-range docids can reach the top-k.
+            lo, hi = query.range_start, query.range_end
+            in_range = F.col("docid") >= F.lit(lo)
+            if hi:
+                in_range = in_range & (F.col("docid") <= F.lit(hi))
+            pruned_in = (
+                matches.where(in_range)
+                .orderBy(F.asc("docid"))
+                .limit(offset + k)
+            )
+            matches = matches.where(~in_range).unionByName(pruned_in)
         top = matches.orderBy(F.desc("score"), F.asc("docid")).limit(offset + k)
         # The limit()ed set is tiny: a driver-side window is fine.
         from pyspark.sql import Window

@@ -241,20 +241,181 @@ class BoolWeight(Weight):
         )
 
 
+@dataclass(frozen=True)
+class TfIdfTermWeight(TermWeight):
+    """General TfIdf: sumpart = wdfn(wdf, doclen) * idfn * wqf * factor
+    (tfidfweight.cc:217-218; wdfn variants :249-306)."""
+
+    termweight: float = 0.0  # idfn * wqf * factor
+    k1: float = 0.0
+    b: float = 0.0
+    min_normlen: float = 0.0
+    len_factor: float = 0.0
+    wdf_norm: str = "n"
+    avg_len: float = 1.0
+    slope: float = 0.2
+    delta: float = 1.0
+
+    def _wdfn_py(self, wdf: float, doclen: float, uniqterms: float = 1.0) -> float:
+        n = self.wdf_norm
+        if wdf == 0 and n != "s":
+            return 0.0
+        if n == "n":
+            return float(wdf)
+        if n == "b":
+            return 1.0
+        if n == "s":
+            return float(wdf) * wdf
+        if n == "l":
+            return 1.0 + math.log(wdf)
+        if n == "P":
+            normlen = doclen / self.avg_len if self.avg_len else 1.0
+            nf = 1.0 / (1.0 - self.slope + self.slope * normlen)
+            return (1.0 + math.log(1.0 + math.log(wdf))) * nf + self.delta
+        if n == "L":
+            wdf_avg = (
+                doclen / uniqterms if doclen and uniqterms else 1.0
+            )
+            return (1.0 + math.log(wdf)) / (1.0 + math.log(wdf_avg))
+        raise ValueError(f"unsupported wdf normalization: {n!r}")
+
+    def sumpart_py(self, wdf: float, doclen: float, uniqterms: float = 1.0) -> float:
+        return self.termweight * self._wdfn_py(wdf, doclen, uniqterms)
+
+    def sumpart_expr(self, wdf: Column, doclen: Column) -> Column:
+        n = self.wdf_norm
+        w = wdf.cast("double")
+        if n == "n":
+            wdfn = w
+        elif n == "b":
+            wdfn = F.when(wdf > 0, F.lit(1.0)).otherwise(0.0)
+        elif n == "s":
+            wdfn = w * w
+        elif n == "l":
+            wdfn = F.when(wdf > 0, F.lit(1.0) + F.log(w)).otherwise(0.0)
+        elif n == "P":
+            normlen = doclen.cast("double") / F.lit(self.avg_len)
+            nf = F.lit(1.0) / (
+                F.lit(1.0 - self.slope) + F.lit(self.slope) * normlen
+            )
+            wdfn = F.when(
+                wdf > 0,
+                (F.lit(1.0) + F.log(F.lit(1.0) + F.log(w))) * nf
+                + F.lit(self.delta),
+            ).otherwise(0.0)
+        elif n == "L":
+            uniq = F.col("uniqterms").cast("double")
+            wdf_avg = F.when(
+                (doclen > 0) & (uniq > 0), doclen.cast("double") / uniq
+            ).otherwise(1.0)
+            wdfn = F.when(
+                wdf > 0,
+                (F.lit(1.0) + F.log(w)) / (F.lit(1.0) + F.log(wdf_avg)),
+            ).otherwise(0.0)
+        else:
+            raise ValueError(f"unsupported wdf normalization: {n!r}")
+        return F.lit(self.termweight) * wdfn
+
+    def maxpart(self, wdf_max: int, doclen_lower_bound: int) -> float:
+        # tfidfweight.cc:228: wdfn evaluated at (wdf_max, len_min, len_min)
+        if wdf_max == 0:
+            return 0.0
+        dl = max(doclen_lower_bound, 1)
+        return self.termweight * self._wdfn_py(wdf_max, dl, dl)
+
+    def maxpart_expr(self, wdf_max: Column, doclen_lower_bound: int) -> Column:
+        # every supported wdfn is non-decreasing in wdf at fixed doclen, so
+        # the scalar bound at the block's wdf_max is safe; express it as the
+        # scalar formula over the wdf_max column via a tiny case analysis
+        n = self.wdf_norm
+        w = wdf_max.cast("double")
+        dl = float(max(doclen_lower_bound, 1))
+        if n == "n":
+            wdfn = w
+        elif n == "b":
+            wdfn = F.when(wdf_max > 0, F.lit(1.0)).otherwise(0.0)
+        elif n == "s":
+            wdfn = w * w
+        elif n in ("l", "L"):
+            # 'L' bound uses wdf_avg = dl/dl = 1 -> same as 'l'
+            wdfn = F.when(wdf_max > 0, F.lit(1.0) + F.log(w)).otherwise(0.0)
+        elif n == "P":
+            normlen = dl / self.avg_len if self.avg_len else 1.0
+            nf = 1.0 / (1.0 - self.slope + self.slope * normlen)
+            wdfn = F.when(
+                wdf_max > 0,
+                (F.lit(1.0) + F.log(F.lit(1.0) + F.log(w))) * F.lit(nf)
+                + F.lit(self.delta),
+            ).otherwise(0.0)
+        else:
+            raise ValueError(f"unsupported wdf normalization: {n!r}")
+        return F.lit(self.termweight) * wdfn
+
+
 @dataclass
 class TfIdfWeight(Weight):
-    """tf*idf, "ntn" normalization default (xapian-core/weight/tfidfweight.cc):
-    wdfn = wdf, idfn = log(N/tf), weight = wdfn * idfn * wqf_factor."""
+    """TfIdf with the reference's 3-letter normalization codes
+    (tfidfweight.cc:42-101): wdf norm in {n,b,s,l,P,L}, idf norm in
+    {n,t,p,f,s,P}, wt norm 'n'.  Default "ntn": wdfn = wdf,
+    idfn = log(N/tf)."""
+
+    normalizations: str = "ntn"
+    slope: float = 0.2
+    delta: float = 1.0
 
     name: str = field(default="tfidf", init=False)
+
+    def __post_init__(self):
+        if len(self.normalizations) != 3:
+            raise ValueError("normalization string must have 3 letters")
+        if self.normalizations[0] not in "nbslPL":
+            raise ValueError(
+                f"unsupported wdf normalization {self.normalizations[0]!r}"
+            )
+        if self.normalizations[1] not in "ntpfsP":
+            raise ValueError(
+                f"unsupported idf normalization {self.normalizations[1]!r}"
+            )
+        if self.normalizations[2] != "n":
+            raise ValueError("only wt normalization 'n' exists (reference)")
+
+    @property
+    def needs_uniqterms(self) -> bool:
+        return self.normalizations[0] == "L"
+
+    def _idfn(self, stats: GlobalStats, ts: TermStats) -> float:
+        code = self.normalizations[1]
+        tf = ts.tf
+        if code == "n":
+            return 1.0
+        if tf <= 0:
+            return 0.0
+        N = float(stats.doccount)
+        if code == "t":
+            return math.log(N / tf)
+        if code == "p":
+            return 0.0 if N == tf else math.log((N - tf) / tf)
+        if code == "f":
+            return 1.0 / tf
+        if code == "s":
+            x = math.log(N / tf)
+            return x * x
+        if code == "P":
+            return math.log((N + 1.0) / tf)
+        raise ValueError(code)
 
     def init_term(
         self, stats: GlobalStats, ts: TermStats, wqf: int = 1, factor: float = 1.0
     ) -> TermWeight:
-        idf = math.log(stats.doccount / ts.tf) if ts.tf > 0 else 0.0
-        # sumpart = termweight * wdf  -> TermWeight with k1=0,b=0: tw*wdf/wdf
-        # doesn't give wdf-proportional; use LinearTermWeight instead.
-        return LinearTermWeight(termweight=idf * factor)
+        if ts.tf == 0:
+            return TfIdfTermWeight()
+        return TfIdfTermWeight(
+            termweight=self._idfn(stats, ts) * wqf * factor,
+            wdf_norm=self.normalizations[0],
+            avg_len=stats.average_length or 1.0,
+            slope=self.slope,
+            delta=self.delta,
+        )
 
 
 @dataclass(frozen=True)
