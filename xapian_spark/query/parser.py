@@ -49,8 +49,8 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<lparen>\() | (?P<rparen>\)) |
     (?P<quoted>"[^"]*"?) |
-    (?P<love>\+(?=\S)) | (?P<hate>-(?=\S)) |
-    (?P<word>[^\s()"+]+)
+    (?P<love>(?<![^\s("])\+(?=\S)) | (?P<hate>(?<![^\s("])-(?=\S)) |
+    (?P<word>[^\s()"]+)
     """,
     re.VERBOSE,
 )
@@ -60,6 +60,14 @@ _TOKEN_RE = re.compile(
 class _Tok:
     kind: str
     text: str
+
+
+@dataclass(frozen=True)
+class _NegOnly:
+    """Internal marker: a prob clause consisting only of hated terms
+    ("AND -lager") — consumed by the enclosing AND as an AND_NOT."""
+
+    node: ast.Node
 
 
 @dataclass
@@ -156,6 +164,22 @@ class QueryParser:
         explicit_syn = text.startswith("~")
         if explicit_syn:
             text = text[1:]
+        raw_terms = parse_terms(text)
+        if len(raw_terms) > 1 and not self._phrase_joined(text, raw_terms):
+            # terms split by a non-phrase separator (e.g. '#', '+'):
+            # default-op combination of independently-stemmed terms, like
+            # the reference lexer emitting separate TERM tokens
+            subs = []
+            for sub_raw in self._token_spans(text, raw_terms):
+                subs.extend(
+                    self._terms_of(sub_raw, prefix, positional=positional)
+                )
+            if not subs:
+                return ast.MatchNothing()
+            if len(subs) == 1:
+                return subs[0]
+            cls = ast.And if self.default_op == "and" else ast.Or
+            return cls(tuple(subs))
         terms = self._terms_of(text, prefix, positional=positional)
         if not terms:
             return ast.MatchNothing()
@@ -165,6 +189,40 @@ class QueryParser:
             return terms[0]
         # phrased compound: window = number of terms (:2455-2468)
         return ast.Phrase(tuple(terms), len(terms))
+
+    _PHRASE_JOINERS = frozenset("-.:,/\\'")
+
+    def _spans(self, text: str, raw_terms: list[str]):
+        """Byte spans of each term in the (lowercased) raw text; None when
+        a term can't be located (acronym folding etc.)."""
+        low = text.lower()
+        out, pos = [], 0
+        for t in raw_terms:
+            i = low.find(t, pos)
+            if i < 0:
+                return None
+            out.append((i, i + len(t)))
+            pos = i + len(t)
+        return out
+
+    def _token_spans(self, text: str, raw_terms: list[str]) -> list[str]:
+        spans = self._spans(text, raw_terms)
+        if spans is None:
+            return [text]
+        return [text[a:b] for a, b in spans]
+
+    def _phrase_joined(self, text: str, raw_terms: list[str]) -> bool:
+        """True when every inter-term separator is a phrase generator
+        ('-', '.', ':', ... — queryparser.lemony:2455-2468); separators
+        like '#' or '+' split into independent terms instead."""
+        spans = self._spans(text, raw_terms)
+        if spans is None:
+            return True  # conservative: keep the phrase behavior
+        for (_, e), (s2, _) in zip(spans, spans[1:]):
+            gap = text[e:s2]
+            if any(ch not in self._PHRASE_JOINERS for ch in gap):
+                return False
+        return True
 
     def _field_node(self, fname: str, rest: str):
         """-> (node, filter_group) where filter_group is a non-None key when
@@ -193,6 +251,8 @@ class QueryParser:
         self._pos = 0
         toks = self._lex(s)
         node, i = self._parse_or(toks, 0)
+        if isinstance(node, _NegOnly):
+            node = None  # pure "-term" query matches nothing
         if node is None:
             return ast.MatchNothing()
         return node
@@ -236,6 +296,8 @@ class QueryParser:
                 negate = True
                 i += 1
             right, i = self._parse_prob(toks, i)
+            if isinstance(right, _NegOnly):
+                negate, right = True, right.node
             if left is None or right is None:
                 left = left or right
                 continue
@@ -336,6 +398,10 @@ class QueryParser:
             hate = ast.Or(tuple(hated)) if len(hated) > 1 else hated[0]
             if base is not None:
                 base = ast.AndNot(base, hate)
+            else:
+                # "A AND -C": the hate attaches to the LEFT of the AND
+                # (queryparser.lemony love/hate in boolean context)
+                base = _NegOnly(hate)
         return base, i
 
     def _parse_primary(self, toks, i, positional=False):
@@ -358,6 +424,23 @@ class QueryParser:
             return ast.Phrase(tuple(terms), len(terms)), i + 1, None
         if t.kind == "word" or (t.kind == "op"):
             text = t.text
+            mq = re.match(r"^([A-Za-z_][\w]*):$", text)
+            if (
+                mq
+                and i + 1 < len(toks)
+                and toks[i + 1].kind == "quoted"
+                and mq.group(1).lower() in self.prefixes
+            ):
+                # field:"quoted phrase" (api_queryparser.cc:63-79): quoted
+                # content prefixed, positional (unstemmed)
+                prefix = self.prefixes[mq.group(1).lower()]
+                inner = toks[i + 1].text.strip('"')
+                terms = self._terms_of(inner, prefix, positional=True)
+                if not terms:
+                    return None, i + 2, None
+                if len(terms) == 1:
+                    return terms[0], i + 2, None
+                return ast.Phrase(tuple(terms), len(terms)), i + 2, None
             m = re.match(r"^([A-Za-z_][\w]*):(.+)$", text)
             if m:
                 node, fg = self._field_node(m.group(1).lower(), m.group(2))

@@ -90,6 +90,7 @@ class Planner:
             terms = self.index.expand_wildcard(
                 node.pattern, limit=node.limit or None,
                 most_frequent=node.most_frequent,
+                limit_mode=getattr(node, "limit_mode", "error"),
             )
             if not terms:
                 return ast.MatchNothing()
@@ -560,8 +561,13 @@ class Planner:
                 [], "docid long, score double"
             )
         ev = self._eval(query, 1.0, tstats, wqf, syn_stats)
+        # doc-only sumextra added once per matching doc (weight.h:245-275;
+        # e.g. the BM25 k2 part) — zero literal unless the scheme uses it
+        extra = self.weight.sumextra_expr(
+            F.col("doclen"), sum(wqf.values()), self.index.stats
+        )
         return (
-            cand.withColumn("score", ev.weight)
+            cand.withColumn("score", ev.weight + extra)
             .where(ev.match)
             .select("docid", "score")
         )
@@ -609,11 +615,14 @@ class Planner:
             syn_stats: dict[int, TermStats] = {}
             self._gather_syn(q, tstats, syn_stats)
             ev = self._eval(q, 1.0, tstats, wqf, syn_stats)
+            extra = self.weight.sumextra_expr(
+                F.col("doclen"), sum(wqf.values()), self.index.stats
+            )
             entries.append(
                 F.struct(
                     F.lit(name).alias("query"),
                     ev.match.alias("m"),
-                    ev.weight.alias("score"),
+                    (ev.weight + extra).alias("score"),
                 )
             )
         return (

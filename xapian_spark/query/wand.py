@@ -77,6 +77,13 @@ def wand_topk(
     ).orderBy(F.desc("s")).limit(k).collect()
     threshold = star_scores[-1]["s"] if len(star_scores) >= k else 0.0
 
+    qlen = sum(wqf.get(t, 1) for t in live)
+    if weight.maxextra(stats, qlen) > 0:
+        # Doc-dependent extra part (e.g. BM25 k2): the pass-0 threshold
+        # ignores it, so pruning on it would be unsafe — disable pruning
+        # (threshold 0 keeps every block) and add sumextra at rescore.
+        threshold = 0.0
+
     # -- pass 1: block-max pruning (metadata only, no payload decode) -------
     bound = None
     for t in live:
@@ -111,7 +118,11 @@ def wand_topk(
             tws[t].sumpart_expr(F.col("wdf"), F.col("doclen")),
         )
     sumpart = sumpart.otherwise(0.0)
-    return post.groupBy("docid").agg(F.sum(sumpart).alias("score"))
+    agg = post.groupBy("docid").agg(
+        F.sum(sumpart).alias("_s"), F.max("doclen").alias("_dl")
+    )
+    extra = weight.sumextra_expr(F.col("_dl"), qlen, stats)
+    return agg.select("docid", (F.col("_s") + extra).alias("score"))
 
 
 def brute_topk(
@@ -142,4 +153,9 @@ def brute_topk(
         else:
             sumpart = sumpart.when(F.col("term") == t, part_expr)
     sumpart = sumpart.otherwise(0.0)
-    return post.groupBy("docid").agg(F.sum(sumpart).alias("score"))
+    qlen = sum(wqf.get(t, 1) for t in live)
+    agg = post.groupBy("docid").agg(
+        F.sum(sumpart).alias("_s"), F.max("doclen").alias("_dl")
+    )
+    extra = weight.sumextra_expr(F.col("_dl"), qlen, stats)
+    return agg.select("docid", (F.col("_s") + extra).alias("score"))

@@ -67,7 +67,11 @@ class Weight:
     ) -> "TermWeight":
         raise NotImplementedError
 
-    def sumextra_expr(self, doclen: Column, query_length: int) -> Column:
+    def sumextra_expr(
+        self, doclen: Column, query_length: int, stats: GlobalStats
+    ) -> Column:
+        """Doc-only weight part, added once per matching doc
+        (Weight::get_sumextra, weight.h:245-275)."""
         return F.lit(0.0)
 
     def maxextra(self, stats: GlobalStats, query_length: int) -> float:
@@ -175,15 +179,30 @@ class BM25Weight(Weight):
             len_factor=self._len_factor(stats),
         )
 
-    def sumextra_expr(self, doclen: Column, query_length: int) -> Column:
+    def sumextra_expr(
+        self, doclen: Column, query_length: int, stats: GlobalStats
+    ) -> Column:
+        """k2 part (bm25weight.cc:219-227):
+        2*k2*query_length / (1 + max(len*len_factor, min_normlen))."""
         if self.k2 == 0:
             return F.lit(0.0)
         num = 2.0 * self.k2 * query_length
         normlen = F.greatest(
-            doclen.cast("double") * F.lit(1.0),  # len_factor applied by caller
+            doclen.cast("double") * F.lit(self._len_factor(stats)),
             F.lit(self.min_normlen),
         )
         return F.lit(num) / (F.lit(1.0) + normlen)
+
+    def maxextra(self, stats: GlobalStats, query_length: int) -> float:
+        """bm25weight.cc:229-238: evaluated at the doclen lower bound."""
+        if self.k2 == 0:
+            return 0.0
+        num = 2.0 * self.k2 * query_length
+        normlen = max(
+            stats.doclen_lower_bound * self._len_factor(stats),
+            self.min_normlen,
+        )
+        return num / (1.0 + normlen)
 
 
 @dataclass
