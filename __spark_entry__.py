@@ -400,6 +400,18 @@ def _q_cosine_topk(spark, sf_dir):
     )
 
 
+def _q_ivf_cosine(spark, sf_dir):
+    """IVF coarse-quantizer ANN (exhaustive probe -> exact, oracle-checked;
+    partial-probe recall covered in tests/test_ops.py)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.ivf_cosine_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=5, n_cells=4, nprobe=4
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "nn_rank"
+    )
+
+
 def _q_lsh_cosine_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = similarity.lsh_cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
@@ -513,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "cosine_topk": _q_cosine_topk,
         "lsh_cosine_topk": _q_lsh_cosine_topk,  # approx: rows-only check
+        "ivf_cosine_topk": _q_ivf_cosine,  # exhaustive probe: oracle-exact
         "embedding_near_dup": _q_embedding_near_dup,  # approx: rows-only
         "multimodal_features": _q_multimodal_features,  # stubbed decode
     }
@@ -1173,6 +1186,24 @@ h AS (
 SELECT d.doc_id AS id,
        coalesce((SELECT sum(h.v) % 2147483647 FROM h WHERE h.id = d.doc_id), 0) AS fingerprint
 FROM documents d
+"""
+    q["ivf_cosine_topk"] = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+p AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+    CASE WHEN sqrt(list_dot_product(q.e, q.e)) > 0 AND sqrt(list_dot_product(v.e, v.e)) > 0
+      THEN list_dot_product(v.e, q.e) / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(v.e, v.e)))
+      ELSE 0.0 END AS cosine
+  FROM v CROSS JOIN (SELECT * FROM v WHERE vec_id < 5) q
+  WHERE v.vec_id <> q.vec_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS nn_rank
+  FROM p
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, nn_rank
+FROM r WHERE nn_rank <= 5
 """
     q["cosine_topk"] = """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -122,3 +122,59 @@ def test_inmemory_database(spark, corpus):
 def test_allterms_prefix(db):
     terms = db.allterms(prefix="s")
     assert terms and all(t.startswith("s") for t in terms)
+
+
+def test_enquire_sort_modes(db):
+    docs = {
+        r["docid"]: r["n_chars"]
+        for r in db.index.docs.select("docid", "n_chars").collect()
+    }
+    # relevance_then_value: scores non-increasing; within a score tie the
+    # value decides (ascending by default)
+    e2 = Enquire(db)
+    e2.set_query(ast.Term("dup"))
+    e2.set_sort_by_relevance_then_value("n_chars")
+    rtv = e2.get_mset(0, 30)
+    weights = [m.weight for m in rtv]
+    assert weights == sorted(weights, reverse=True)
+    for a, b in zip(rtv, rtv[1:]):
+        if a.weight == b.weight:
+            assert docs[a.docid] <= docs[b.docid]
+
+    # value_then_relevance orders by the value first
+    e3 = Enquire(db)
+    e3.set_query(ast.Term("dup"))
+    e3.set_sort_by_value_then_relevance("n_chars", reverse=True)
+    vals = [m.docid for m in e3.get_mset(0, 10)]
+    docs = {
+        r["docid"]: r["n_chars"]
+        for r in db.index.docs.select("docid", "n_chars").collect()
+    }
+    chars = [docs[d] for d in vals]
+    assert chars == sorted(chars, reverse=True)
+
+
+def test_enquire_docid_order_descending(db):
+    e = Enquire(db)
+    e.set_query(ast.Term("dup"))
+    e.set_weighting_scheme("bool")  # all scores 0 -> pure docid order
+    e.set_docid_order(ascending=False)
+    got = [m.docid for m in e.get_mset(0, 5)]
+    assert got == sorted(got, reverse=True)
+
+
+def test_enquire_cutoffs(db):
+    e = Enquire(db)
+    e.set_query(ast.Term("dup"))
+    full = e.get_mset(0, 50)
+    e.set_cutoff(percent_cutoff=80)
+    cut = e.get_mset(0, 50)
+    assert all(m.percent >= 80 for m in cut)
+    assert len(cut) <= len(full)
+    e2 = Enquire(db)
+    e2.set_query(ast.Term("dup"))
+    wmax = max(m.weight for m in full)
+    e2.set_cutoff(0, weight_cutoff=wmax)  # only the best doc(s) survive
+    top = e2.get_mset(0, 50)
+    assert all(m.weight >= wmax for m in top)
+    assert len(top) >= 1

@@ -209,3 +209,37 @@ def test_multimodal_plumbing(spark):
         extract_features(media, decode="real").collect()
     plan = frame_sample_plan(media, every_ms=5000)
     assert plan.count() > 0
+
+
+def test_ivf_exhaustive_probe_equals_exact(spark, embeddings):
+    from xapian_spark.ops.similarity import cosine_topk, ivf_cosine_topk
+
+    queries = embeddings.where(F.col("vec_id") < 3)
+    exact = cosine_topk(embeddings, queries, k=3).collect()
+    # nprobe == n_cells probes every cell -> must equal brute force
+    full = ivf_cosine_topk(
+        embeddings, queries, k=3, n_cells=4, nprobe=4
+    ).collect()
+    key = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["nn_rank"], r["neighbor_id"]) for r in rows
+    )
+    assert key(full) == key(exact)
+
+
+def test_ivf_partial_probe_recall(spark, embeddings):
+    from xapian_spark.ops.similarity import cosine_topk, ivf_cosine_topk
+
+    queries = embeddings.where(F.col("vec_id") < 5)
+    exact = cosine_topk(embeddings, queries, k=3).collect()
+    approx = ivf_cosine_topk(
+        embeddings, queries, k=3, n_cells=8, nprobe=4
+    ).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5  # half the cells probed
+    # every query still gets k results
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in approx)
+    assert all(v == 3 for v in per_q.values())

@@ -319,3 +319,22 @@ def test_wqf_affects_bm25_k3_part(planner, simple_index):
     for d, s in single.items():
         # each leaf contributes wqf=2-weighted sumpart; two leaves -> x2
         assert doubled[d] == pytest.approx(2 * (4.0 / 3.0) * s, rel=1e-9)
+
+
+def test_wildcard_limit_modes(simple_index):
+    # "pa*" matches multiple dictionary terms (paragraph, pasta, ...)
+    all_terms = simple_index.expand_wildcard("pa")
+    assert len(all_terms) >= 2
+    # FIRST: sort-order-first N (WILDCARD_LIMIT_FIRST)
+    first = simple_index.expand_wildcard("pa", limit=1, limit_mode="first")
+    assert first == all_terms[:1]
+    # MOST_FREQUENT keeps the highest-tf term
+    mf = simple_index.expand_wildcard(
+        "pa", limit=1, limit_mode="most_frequent"
+    )
+    assert mf == ["paragraph"]
+    # ERROR raises when over the limit
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        simple_index.expand_wildcard("pa", limit=1)

@@ -173,6 +173,10 @@ class Enquire:
         self._collapse_key: str | None = None
         self._collapse_max = 1
         self._sort_by: list[tuple[str, bool]] | None = None
+        self._sort_mode: str = "relevance"  # enquire.h:170-270 sort modes
+        self._docid_asc = True  # set_docid_order(ASCENDING) default
+        self._percent_cutoff = 0
+        self._weight_cutoff = 0.0
         self._decider_sql: str | None = None
         self._matchspies: list[str] = []
         self._spy_results: dict[str, list[tuple]] = {}
@@ -192,8 +196,37 @@ class Enquire:
         self._collapse_key = column
         self._collapse_max = collapse_max
 
+    def set_sort_by_relevance(self) -> None:
+        self._sort_by = None
+        self._sort_mode = "relevance"
+
     def set_sort_by_value(self, column: str, reverse: bool = False) -> None:
+        """Pure value sort; docid breaks ties (msetcmp.cc value order)."""
         self._sort_by = [(column, reverse)]
+        self._sort_mode = "value"
+
+    def set_sort_by_value_then_relevance(
+        self, column: str, reverse: bool = False
+    ) -> None:
+        self._sort_by = [(column, reverse)]
+        self._sort_mode = "value_then_relevance"
+
+    def set_sort_by_relevance_then_value(
+        self, column: str, reverse: bool = False
+    ) -> None:
+        self._sort_by = [(column, reverse)]
+        self._sort_mode = "relevance_then_value"
+
+    def set_docid_order(self, ascending: bool = True) -> None:
+        """Enquire::set_docid_order (enquire.h): tie-break direction.
+        ASCENDING (default) / DESCENDING; DONT_CARE == ASCENDING here."""
+        self._docid_asc = ascending
+
+    def set_cutoff(self, percent_cutoff: int, weight_cutoff: float = 0.0) -> None:
+        """Enquire::set_cutoff: drop results below a percent of the best
+        weight and/or below an absolute weight."""
+        self._percent_cutoff = percent_cutoff
+        self._weight_cutoff = weight_cutoff
 
     def set_match_decider(self, sql_predicate: str) -> None:
         """MatchDecider (deciderpostlist.cc): arbitrary row predicate over
@@ -252,22 +285,33 @@ class Enquire:
                 .where(F.col("_cr") <= self._collapse_max)
                 .drop("_cr", self._collapse_key)
             )
+        if self._weight_cutoff:
+            m = m.where(F.col("score") >= F.lit(self._weight_cutoff))
+        did = F.asc("docid") if self._docid_asc else F.desc("docid")
         if self._sort_by:
-            order = [
+            vals = [
                 (F.asc(c) if not rev else F.desc(c))
                 for c, rev in self._sort_by
-            ] + [F.desc("score"), F.asc("docid")]
+            ]
+            if self._sort_mode == "value":
+                order = vals + [did]
+            elif self._sort_mode == "relevance_then_value":
+                order = [F.desc("score")] + vals + [did]
+            else:  # value_then_relevance (and legacy set_sort_by_value path)
+                order = vals + [F.desc("score"), did]
             cols = [c for c, _ in self._sort_by]
             m = m.join(self.db.index.docs.select("docid", *cols), "docid")
             top = m.orderBy(*order).limit(first + maxitems)
         else:
-            top = m.orderBy(F.desc("score"), F.asc("docid")).limit(
+            top = m.orderBy(F.desc("score"), did).limit(
                 first + maxitems
             )
         rows = with_percent(top, "score").collect()
         out = MSet()
         for i, r in enumerate(rows):
             if i < first:
+                continue
+            if self._percent_cutoff and r["percent"] < self._percent_cutoff:
                 continue
             out.append(
                 MSetItem(

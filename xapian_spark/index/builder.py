@@ -251,19 +251,29 @@ class InvertedIndex:
         return sorted(r["term"] for r in rows)
 
     def expand_wildcard(
-        self, pattern_head: str, limit: int | None = None, most_frequent: bool = False
+        self, pattern_head: str, limit: int | None = None,
+        most_frequent: bool = False, limit_mode: str = "error",
     ) -> list[str]:
         """OP_WILDCARD expansion against the term dictionary
-        (queryinternal.cc:213-267): prefix match, optional limit."""
+        (queryinternal.cc:213-267).  Limit policies: ERROR raises,
+        FIRST keeps the sort-order-first N (WILDCARD_LIMIT_FIRST),
+        MOST_FREQUENT keeps the N highest-tf (WILDCARD_LIMIT_MOST_FREQUENT,
+        orderBy(tf desc).limit(m) -- a tiny driver-side top-k over the
+        dictionary)."""
+        if most_frequent:
+            limit_mode = "most_frequent"
         df = self.term_stats.where(F.col("term").startswith(pattern_head))
-        if most_frequent and limit:
+        if limit and limit_mode == "most_frequent":
             df = df.orderBy(F.col("tf").desc(), F.col("term")).limit(limit)
         rows = df.select("term").collect()
         terms = sorted(r["term"] for r in rows)
-        if limit and not most_frequent and len(terms) > limit:
-            raise ValueError(
-                f"wildcard expands to {len(terms)} terms > limit {limit}"
-            )
+        if limit and len(terms) > limit:
+            if limit_mode == "error":
+                raise ValueError(
+                    f"wildcard expands to {len(terms)} terms > limit {limit}"
+                )
+            if limit_mode == "first":
+                terms = terms[:limit]
         return terms
 
 

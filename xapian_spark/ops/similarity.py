@@ -180,3 +180,95 @@ def embedding_near_dup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def ivf_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    include_self: bool = False,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine: the second ANN scale
+    path next to LSH.
+
+    - train: deterministic Lloyd's k-means (ops.cluster.kmeans) gives
+      n_cells coarse centroids; at 100 TB you train on a sample — here the
+      corpus is the sample.
+    - index: each vector is assigned map-side to its nearest centroid
+      (broadcast centroid list, no shuffle beyond kmeans itself); the cell
+      id is the IVF partition key (a real deployment writes
+      partitionBy(cell) parquet so probes prune partitions).
+    - probe: each query scores only vectors in its `nprobe` nearest cells,
+      then exact cosine re-rank — candidate volume drops from |corpus| to
+      ~|corpus| * nprobe / n_cells per query.
+
+    Returns (query_id, neighbor_id, cosine, nn_rank) like cosine_topk.
+    """
+    from xapian_spark.ops.cluster import kmeans
+
+    assigned = kmeans(
+        vectors, k=n_cells, id_col=id_col, vec_col=vec_col
+    ).select(F.col("id").alias("neighbor_id"), F.col("cluster").alias("cell"))
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+    ).join(assigned, "neighbor_id")
+
+    # centroids (tiny) to the driver -> literal probe map per query
+    cents = (
+        v.groupBy("cell")
+        .agg(
+            F.array(
+                *[
+                    F.avg(F.element_at("vec", i + 1)).alias(f"c{i}")
+                    for i in range(
+                        len(vectors.select(vec_col).first()[0])
+                    )
+                ]
+            ).alias("centroid")
+        )
+        .collect()
+    )
+    cent_map = {r["cell"]: list(r["centroid"]) for r in cents}
+
+    def _probes(qv: list[float]) -> list[int]:
+        import math as _m
+
+        def cos(a, b):
+            num = sum(x * y for x, y in zip(a, b))
+            da = _m.sqrt(sum(x * x for x in a))
+            db = _m.sqrt(sum(x * x for x in b))
+            return num / (da * db) if da and db else 0.0
+
+        ranked = sorted(
+            cent_map, key=lambda c: (-cos(qv, cent_map[c]), c)
+        )
+        return ranked[:nprobe]
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).collect()
+    spark = vectors.sparkSession
+    probe_df = spark.createDataFrame(
+        [
+            (r["query_id"], [float(x) for x in r["qvec"]], c)
+            for r in q_rows
+            for c in _probes([float(x) for x in r["qvec"]])
+        ],
+        "query_id long, qvec array<double>, cell int",
+    )
+    pairs = v.join(F.broadcast(probe_df), "cell")
+    if not include_self:
+        pairs = pairs.where(F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.withColumn("cosine", _cos("qvec", "vec"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "nn_rank")
+    )

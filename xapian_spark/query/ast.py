@@ -224,6 +224,11 @@ class Wildcard(Node):
     pattern: str  # head before '*'
     limit: int = 0
     most_frequent: bool = False
+    # limit policy when > limit terms match (queryinternal.cc:213-267):
+    # "error" (WILDCARD_LIMIT_ERROR, the default), "first"
+    # (WILDCARD_LIMIT_FIRST: keep the N sort-order-first terms), or
+    # most_frequent=True (WILDCARD_LIMIT_MOST_FREQUENT)
+    limit_mode: str = "error"
     combiner: str = "synonym"  # reference default: OP_SYNONYM
 
     def describe(self) -> str:
