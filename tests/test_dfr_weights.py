@@ -251,3 +251,61 @@ def test_dice_coefficient(simple_index, brute):
     assert set(got) == set(want)
     for docid, w in want.items():
         assert got[docid] == pytest.approx(w, abs=1e-9), docid
+
+
+def test_pl2_maxpart_safe_for_high_frequency_terms():
+    """Regression: the reference bound (pl2weight.cc:118) picks the wrong
+    end of the decreasing (P1 - P2*w)/(w+1) component when P1+P2 > 0,
+    which under-bounds high-frequency terms (mean >= 1); our divergent
+    bound must dominate every realizable sumpart."""
+    from xapian_spark.ranking.weights import GlobalStats, PL2Weight
+
+    gs = GlobalStats(
+        doccount=1000, total_doclen=100000,
+        doclen_lower_bound=1, doclen_upper_bound=10000,
+    )
+    ts = TermStats(term="t", tf=900, cf=10000, wdf_max=20)
+    tw = PL2Weight().init_term(gs, ts)
+    bound = tw.maxpart(ts.wdf_max, gs.doclen_lower_bound)
+    for wdf in (1, 2, 5, 10, 20):
+        for dl in (1, 10, 100, 1000, 10000):
+            if wdf > dl:
+                continue
+            sp = tw.sumpart_py(wdf, dl)
+            assert sp <= bound + 1e-9, (wdf, dl, sp, bound)
+
+
+def test_wand_rejects_uniqterms_weights(simple_index):
+    """DiceCoeffWeight needs uniqterms, which blocked postings lack —
+    wand must fail loudly, not with an unresolved-column error."""
+    import pytest as _pytest
+
+    from xapian_spark.index.blocks import pack_blocks
+    from xapian_spark.query.wand import wand_topk
+
+    blocked = pack_blocks(simple_index.postings)
+    tstats = simple_index.collect_term_stats(["paragraph"])
+    with _pytest.raises(ValueError, match="uniqterms"):
+        wand_topk(
+            blocked, simple_index.stats, tstats, ["paragraph"], 5,
+            DiceCoeffWeight(),
+        )
+
+
+def test_dice_batch_matches_single(simple_index):
+    """Regression: plan_batch must bake each query's own query_length
+    into the Dice constants, same as plan()."""
+    from xapian_spark.query.planner import Planner
+
+    q = ast.Or((ast.Term("search"), ast.Term("ranking")))
+    single = {
+        (r["docid"], round(r["score"], 9))
+        for r in Planner(simple_index, weight=DiceCoeffWeight())
+        .search(q, k=10).select("docid", "score").collect()
+    }
+    batch = {
+        (r["docid"], round(r["score"], 9))
+        for r in Planner(simple_index, weight=DiceCoeffWeight())
+        .search_batch({"q": q}, k=10).select("docid", "score").collect()
+    }
+    assert single == batch

@@ -165,3 +165,20 @@ def test_stemmed_golden(query, expected):
         boolean_prefixes={"site": "H"},
     )
     assert qp.parse_query(query).describe() == expected
+
+
+@pytest.mark.parametrize(
+    "query,expected",
+    [
+        ("-a OR b", "b@2"),
+        ("-a AND b", "b@2"),
+        ("-a XOR b", "b@2"),
+        ("(-a) b", "b@2"),
+        ("-a", ""),
+        ("a AND -b OR c", "((a@1 AND_NOT b@2) OR c@3)"),
+    ],
+)
+def test_hate_only_clauses_do_not_crash(query, expected):
+    """Regression: hate-only prob clauses leaked an internal marker into
+    composed AST nodes."""
+    assert QueryParser().parse_query(query).describe() == expected

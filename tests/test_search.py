@@ -338,3 +338,10 @@ def test_wildcard_limit_modes(simple_index):
 
     with _pytest.raises(ValueError):
         simple_index.expand_wildcard("pa", limit=1)
+
+
+def test_wildcard_unknown_limit_mode_rejected(simple_index):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="limit_mode"):
+        simple_index.expand_wildcard("pa", limit=1, limit_mode="FIRST")

@@ -306,17 +306,37 @@ class Enquire:
             top = m.orderBy(F.desc("score"), did).limit(
                 first + maxitems
             )
-        rows = with_percent(top, "score").collect()
+        if self._sort_by:
+            # Under a value sort the collected window need not contain the
+            # best-weight doc, and percents are relative to the best weight
+            # OVERALL (mset.cc:253-271) — fetch the global max separately.
+            global_max = m.agg(F.max("score")).collect()[0][0] or 0.0
+            rows = top.collect()
+            pct_of = lambda s: (  # noqa: E731
+                max(1, int(round(100.0 * s / global_max)))
+                if s > 0 and global_max > 0
+                else 0
+            )
+            rows = [
+                (r["docid"], r["score"], pct_of(r["score"])) for r in rows
+            ]
+        else:
+            rows = [
+                (r["docid"], r["score"], r["percent"])
+                for r in with_percent(top, "score").collect()
+            ]
         out = MSet()
-        for i, r in enumerate(rows):
+        rank = -1
+        for i, (docid, score, percent) in enumerate(rows):
             if i < first:
                 continue
-            if self._percent_cutoff and r["percent"] < self._percent_cutoff:
+            if self._percent_cutoff and percent < self._percent_cutoff:
                 continue
+            rank += 1
             out.append(
                 MSetItem(
-                    rank=i, docid=r["docid"], weight=r["score"],
-                    percent=r["percent"],
+                    rank=first + rank, docid=docid, weight=score,
+                    percent=percent,
                 )
             )
         return out

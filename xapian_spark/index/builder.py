@@ -262,6 +262,8 @@ class InvertedIndex:
         dictionary)."""
         if most_frequent:
             limit_mode = "most_frequent"
+        if limit_mode not in ("error", "first", "most_frequent"):
+            raise ValueError(f"unknown wildcard limit_mode: {limit_mode!r}")
         df = self.term_stats.where(F.col("term").startswith(pattern_head))
         if limit and limit_mode == "most_frequent":
             df = df.orderBy(F.col("tf").desc(), F.col("term")).limit(limit)

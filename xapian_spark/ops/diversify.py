@@ -73,8 +73,10 @@ def diversify_mset(
     sigma_sqr: float = 1e-3,
 ) -> list[int]:
     """Driver-side GLS (diversify.cc:161-230). mset_rows: (docid, score)
-    in rank order; vectors: docid -> dense vector.  Returns diversified
-    docid list of length min(k, |mset|)."""
+    in rank order; vectors: docid -> dense vector.  Returns the diversified
+    docid list of length min(k, |mset|) — EXCEPT when k == 0 or
+    |mset| <= 2, where (like the reference, diversify.cc:162-170) the
+    whole mset passes through undiversified."""
     if k == 0 or len(mset_rows) <= 2:
         return [d for d, _ in mset_rows]
     k_ = min(k, len(mset_rows))

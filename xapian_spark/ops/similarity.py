@@ -217,6 +217,15 @@ def ivf_cosine_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
     ).join(assigned, "neighbor_id")
 
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).collect()
+    if not q_rows:
+        return vectors.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, nn_rank int"
+        )
+    dim = len(q_rows[0]["qvec"])
+
     # centroids (tiny) to the driver -> literal probe map per query
     cents = (
         v.groupBy("cell")
@@ -224,9 +233,7 @@ def ivf_cosine_topk(
             F.array(
                 *[
                     F.avg(F.element_at("vec", i + 1)).alias(f"c{i}")
-                    for i in range(
-                        len(vectors.select(vec_col).first()[0])
-                    )
+                    for i in range(dim)
                 ]
             ).alias("centroid")
         )
@@ -248,9 +255,6 @@ def ivf_cosine_topk(
         )
         return ranked[:nprobe]
 
-    q_rows = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    ).collect()
     spark = vectors.sparkSession
     probe_df = spark.createDataFrame(
         [

@@ -259,8 +259,12 @@ class QueryParser:
 
     def _parse_or(self, toks, i):
         left, i = self._parse_xor(toks, i)
+        if isinstance(left, _NegOnly):
+            left = None  # hate-only clause outside an AND matches nothing
         while i < len(toks) and toks[i].kind == "op" and toks[i].text == "OR":
             right, i = self._parse_xor(toks, i + 1)
+            if isinstance(right, _NegOnly):
+                right = None
             if left is None or right is None:
                 left = left or right
                 continue
@@ -273,7 +277,11 @@ class QueryParser:
     def _parse_xor(self, toks, i):
         left, i = self._parse_and(toks, i)
         while i < len(toks) and toks[i].kind == "op" and toks[i].text == "XOR":
+            if isinstance(left, _NegOnly):
+                left = None
             right, i = self._parse_and(toks, i + 1)
+            if isinstance(right, _NegOnly):
+                right = None
             if left is None or right is None:
                 left = left or right
                 continue
@@ -288,6 +296,8 @@ class QueryParser:
         while i < len(toks) and toks[i].kind == "op" and toks[i].text in (
             "AND", "NOT",
         ):
+            if isinstance(left, _NegOnly):
+                left = None
             op = toks[i].text
             i += 1
             negate = op == "NOT"
@@ -411,6 +421,8 @@ class QueryParser:
         t = toks[i]
         if t.kind == "lparen":
             node, i = self._parse_or(toks, i + 1)
+            if isinstance(node, _NegOnly):
+                node = None
             if i < len(toks) and toks[i].kind == "rparen":
                 i += 1
             return node, i, None

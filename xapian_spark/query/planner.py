@@ -614,6 +614,10 @@ class Planner:
         for name, (q, wqf) in prepared.items():
             syn_stats: dict[int, TermStats] = {}
             self._gather_syn(q, tstats, syn_stats)
+            # per-query query_length (DiceCoeffWeight bakes it into the
+            # per-term constants during _eval's init_term calls)
+            if hasattr(self.weight, "set_query_length"):
+                self.weight.set_query_length(sum(wqf.values()))
             ev = self._eval(q, 1.0, tstats, wqf, syn_stats)
             extra = self.weight.sumextra_expr(
                 F.col("doclen"), sum(wqf.values()), self.index.stats

@@ -53,6 +53,11 @@ def wand_topk(
     ends in orderBy(score desc, docid).limit(k) = TakeOrderedAndProject).
     """
     wqf = wqf or {}
+    if getattr(weight, "needs_uniqterms", False):
+        raise ValueError(
+            f"{type(weight).__name__} needs the per-doc uniqterms stat, "
+            "which blocked postings do not carry; use Planner.search"
+        )
     tws = {}
     for t in terms:
         ts = tstats.get(t)
@@ -77,7 +82,7 @@ def wand_topk(
     ).orderBy(F.desc("s")).limit(k).collect()
     threshold = star_scores[-1]["s"] if len(star_scores) >= k else 0.0
 
-    qlen = sum(wqf.get(t, 1) for t in live)
+    qlen = sum(wqf.get(t, 1) for t in terms)
     if weight.maxextra(stats, qlen) > 0:
         # Doc-dependent extra part (e.g. BM25 k2): the pass-0 threshold
         # ignores it, so pruning on it would be unsafe — disable pruning
@@ -143,6 +148,11 @@ def brute_topk(
     }
     if not tws:
         return blocked.sparkSession.createDataFrame([], "docid long, score double")
+    if getattr(weight, "needs_uniqterms", False):
+        raise ValueError(
+            f"{type(weight).__name__} needs the per-doc uniqterms stat, "
+            "which blocked postings do not carry; use Planner.search"
+        )
     live = sorted(tws)
     post = unpack_blocks(blocked.where(F.col("term").isin(live)))
     sumpart = None
@@ -153,7 +163,7 @@ def brute_topk(
         else:
             sumpart = sumpart.when(F.col("term") == t, part_expr)
     sumpart = sumpart.otherwise(0.0)
-    qlen = sum(wqf.get(t, 1) for t in live)
+    qlen = sum(wqf.get(t, 1) for t in terms)
     agg = post.groupBy("docid").agg(
         F.sum(sumpart).alias("_s"), F.max("doclen").alias("_dl")
     )

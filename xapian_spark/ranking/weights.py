@@ -786,29 +786,51 @@ class PL2TermWeight(TermWeight):
         wdfn_upper = wdf_max * math.log2(1.0 + self.cl / max(divisor, 1))
         if wdfn_upper <= 0:
             return 0.0
-        P_max2a = (
-            (wdfn_upper + 0.5) * math.log2(wdfn_upper) / (wdfn_upper + 1.0)
-        )
-        wdfn_optb = wdfn_upper if self.P1 + self.P2 > 0 else wdfn_lower
+        if wdfn_upper > 1.0:
+            P_max2a = (
+                (wdfn_upper + 0.5) * math.log2(wdfn_upper)
+                / (wdfn_upper + 1.0)
+            )
+        else:
+            # (w+0.5)*log2(w)/(w+1) <= 0 for w <= 1; 0 is a safe cap
+            P_max2a = 0.0
+        # Part (b) = (P1 - P2*w)/(w+1) = (P1+P2)/(w+1) - P2 is DECREASING
+        # in w when P1+P2 > 0 (derivative -(P1+P2)/(w+1)^2), so its max is
+        # at wdfn_LOWER.  NOTE: pl2weight.cc:118 picks wdfn_upper in that
+        # branch, contradicting its own derivation comment at :108-117 and
+        # yielding a bound smaller than realizable sumparts for
+        # high-frequency terms (mean >= 1) — deliberate divergence: we take
+        # the safe end so block-max pruning stays exact.
+        wdfn_optb = wdfn_lower if self.P1 + self.P2 > 0 else wdfn_upper
+        wdfn_optb = max(wdfn_optb, 1e-12)
         P_max2b = (self.P1 - self.P2 * wdfn_optb) / (wdfn_optb + 1.0)
-        ub = self.termweight * (P_max2a + P_max2b + self.delta_w)
+        ub = self.termweight * (P_max2a + max(P_max2b, 0.0) + self.delta_w)
         return max(ub, 0.0)
 
     def maxpart_expr(self, wdf_max: Column, doclen_lower_bound: int) -> Column:
         # Columnar twin of maxpart(); per-block bound for block-max pruning.
+        # Same safe-end choice for part (b) as maxpart() — see the
+        # divergence note there (pl2weight.cc:118 vs its :108-117 comment).
         wdf_d = wdf_max.cast("double")
         wdfn_lower = math.log2(1.0 + self.cl / max(self.len_upper, 1.0))
         divisor = F.greatest(wdf_d, F.lit(float(max(doclen_lower_bound, 1))))
         wdfn_upper = wdf_d * F.log2(F.lit(1.0) + F.lit(self.cl) / divisor)
-        P_max2a = (
-            (wdfn_upper + F.lit(0.5)) * F.log2(wdfn_upper)
-            / (wdfn_upper + F.lit(1.0))
+        P_max2a = F.greatest(
+            (wdfn_upper + F.lit(0.5)) * F.log2(F.greatest(wdfn_upper, F.lit(1e-300)))
+            / (wdfn_upper + F.lit(1.0)),
+            F.lit(0.0),
         )
         if self.P1 + self.P2 > 0:
-            optb = wdfn_upper
+            optb_s = max(wdfn_lower, 1e-12)
+            P_max2b = F.lit(
+                max((self.P1 - self.P2 * optb_s) / (optb_s + 1.0), 0.0)
+            )
         else:
-            optb = F.lit(wdfn_lower)
-        P_max2b = (F.lit(self.P1) - F.lit(self.P2) * optb) / (optb + F.lit(1.0))
+            P_max2b = F.greatest(
+                (F.lit(self.P1) - F.lit(self.P2) * wdfn_upper)
+                / (wdfn_upper + F.lit(1.0)),
+                F.lit(0.0),
+            )
         ub = F.lit(self.termweight) * (P_max2a + P_max2b + F.lit(self.delta_w))
         if self._plus() and self.mean < 1:
             return F.lit(0.0)
