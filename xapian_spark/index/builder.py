@@ -35,7 +35,7 @@ import os
 from dataclasses import dataclass
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -279,14 +279,78 @@ class InvertedIndex:
         return terms
 
 
-def assign_docids(docs: DataFrame, order_cols: list[str]) -> DataFrame:
-    """Deterministic dense 1-based docid by natural-key order.
+def assign_docids(
+    docs: DataFrame, order_cols: list[str], num_partitions: int | None = None
+) -> DataFrame:
+    """Deterministic dense 1-based docid by natural-key order — in PARALLEL.
 
-    A global sort (range shuffle) — the price of reproducible docids at any
-    parallelism, required for rank-identity across cluster sizes.
+    Two-phase range-partitioned ranking (the reference assigns docids
+    serially in add_document, `backends/glass/glass_database.cc`; a
+    distributed build needs the same dense ordering without a serial pass):
+
+      1. range-shuffle + local sort by the natural key
+         (repartitionByRange -> sortWithinPartitions): partition p holds a
+         contiguous key range, keys in p sorted — a true distributed sort,
+         every partition works in parallel;
+      2. one TINY driver collect of per-partition row counts -> prefix-sum
+         offsets (num_partitions integers, not data);
+      3. a narrow mapInArrow pass stamps docid = offset[pid] + local row
+         number.
+
+    Identical docids to a global row_number at any parallelism (order_cols
+    must form a unique key for full determinism — ties within a duplicate
+    key get arbitrary but range-local order, same as before).  No
+    single-partition WindowExec anywhere: this is the path that survives a
+    10^12-row corpus.
     """
-    w = Window.orderBy(*[F.col(c) for c in order_cols])
-    return docs.withColumn("docid", F.row_number().over(w).cast("long"))
+    import pyarrow as pa
+
+    spark = docs.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
+        )
+    cols = [F.col(c) for c in order_cols]
+    sorted_df = (
+        docs.repartitionByRange(num_partitions, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+        # persist so the counts job and the stamping job see the SAME
+        # materialized range partitioning (boundaries come from sampling)
+        .persist()
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in sorted_df.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in range(max(counts, default=-1) + 1):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in docs.schema.fields
+    )
+    out_schema = out_fields + ", docid bigint"
+    keep = [f.name for f in docs.schema.fields]
+
+    def stamp(batches):
+        local = 0
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            pid = batch.column("_pid")[0].as_py()
+            start = offsets[pid] + local + 1  # 1-based docids
+            local += n
+            docid = pa.array(range(start, start + n), pa.int64())
+            cols_out = [batch.column(c) for c in keep] + [docid]
+            yield pa.RecordBatch.from_arrays(cols_out, names=keep + ["docid"])
+
+    return sorted_df.mapInArrow(stamp, out_schema)
 
 
 def build_index(

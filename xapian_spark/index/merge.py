@@ -134,6 +134,69 @@ def build_warehouse(
     )
 
 
+def _mass_boundaries(runs: DataFrame, n_ranges: int) -> list[str]:
+    """Boundary terms splitting the dictionary into n_ranges buckets of
+    ~equal cumulative posting mass, computed with a distributed two-phase
+    prefix sum (see the stage-2 comment in _stages_1_to_3).
+
+    Returns the sorted list of bucket-opening terms (bucket 0's opener
+    omitted), semantically identical to the old unpartitioned
+    Window cumsum: bucket(term) = min(floor(cum_inclusive * n / total),
+    n - 1), boundaries = first term of each bucket > 0.
+    """
+    import pyarrow as pa
+
+    spark = runs.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or "32")
+    dict_df = (
+        runs.groupBy("term").agg(F.count(F.lit(1)).alias("mass"))
+        .repartitionByRange(nparts, "term")
+        .sortWithinPartitions("term")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    psums = {
+        r["_pid"]: r["m"]
+        for r in dict_df.groupBy("_pid").agg(F.sum("mass").alias("m")).collect()
+    }
+    total = sum(psums.values()) or 1
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in range(max(psums, default=-1) + 1):
+        offsets[pid] = acc
+        acc += psums.get(pid, 0)
+
+    def emit_boundaries(batches):
+        cum = None
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            if cum is None:
+                cum = offsets[batch.column("_pid")[0].as_py()]
+            terms = batch.column("term").to_pylist()
+            masses = batch.column("mass").to_pylist()
+            out = []
+            for t, m in zip(terms, masses):
+                b_prev = min(cum * n_ranges // total, n_ranges - 1)
+                cum += m
+                b_now = min(cum * n_ranges // total, n_ranges - 1)
+                # term t opens every bucket in (b_prev, b_now] — emit once.
+                # cum > m excludes the global first term (cum_before == 0),
+                # matching the old logic's marks_rows[1:] drop: the first
+                # term can never be a boundary or range 0 would be empty.
+                if b_now > b_prev and cum > m:
+                    out.append(t)
+            if out:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(out, pa.string())], names=["term"]
+                )
+
+    marks_df = dict_df.mapInArrow(emit_boundaries, "term string")
+    marks = sorted({r["term"] for r in marks_df.collect()})
+    dict_df.unpersist()
+    return marks[: n_ranges - 1]
+
+
 def _stages_1_to_3(
     spark: SparkSession,
     path: str,
@@ -178,27 +241,17 @@ def _stages_1_to_3(
         # split the dictionary at equal cumulative POSTING mass, not equal
         # term counts, so stopword-class hot terms get ranges to themselves
         # while the long tail packs densely.
-        from pyspark.sql import Window
-
-        dict_df = runs.groupBy("term").count()
-        w_total = dict_df.agg(F.sum("count")).collect()[0][0] or 1
-        cum_w = (
-            Window.orderBy("term")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        ordered = dict_df.withColumn("cum", F.sum("count").over(cum_w))
-        bucket = F.least(
-            F.floor(F.col("cum") * n_ranges / F.lit(float(w_total))),
-            F.lit(n_ranges - 1),
-        )
-        marks_rows = (
-            ordered.withColumn("bucket", bucket)
-            .groupBy("bucket")
-            .agg(F.min("term").alias("term"))
-            .orderBy("bucket")
-            .collect()
-        )
-        marks = sorted({r["term"] for r in marks_rows[1:]})
+        #
+        # Distributed two-phase cumulative sum — NO unpartitioned window
+        # (a global Window.orderBy would drag the whole dictionary through
+        # one task; at 10^9 terms that is the merge's death):
+        #   1. dictionary range-sorted by term across P partitions,
+        #   2. per-partition posting-mass sums -> driver prefix offsets
+        #      (P integers),
+        #   3. narrow Arrow pass walks each sorted partition with its
+        #      starting offset and emits ONLY the <= n_ranges boundary
+        #      terms where floor(cum * n / total) steps up.
+        marks = _mass_boundaries(runs, n_ranges)
         _commit(path, "ranges", {
             "stage": 2, "boundaries": marks, "n_ranges": len(marks) + 1,
         })
