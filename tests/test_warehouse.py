@@ -170,3 +170,76 @@ def test_wand_matches_planner(spark, wh):
     assert [r["docid"] for r in wt] == [r["docid"] for r in single]
     for a, b in zip(wt, single):
         assert a["score"] == pytest.approx(b["score"], rel=1e-12)
+
+
+@pytest.mark.parametrize("terms", [["dup"], ["scan", "key", "line"]])
+def test_wand_sumextra_exact(spark, wh, terms):
+    """BM25 k2 > 0 has a doc-dependent sumextra.  VERDICT r1 #4: the old
+    code bailed out to threshold=0; the new threshold includes each
+    candidate's own sumextra and the bound adds maxextra — pruning must
+    remain EXACT."""
+    idx = merge.read_warehouse(spark, wh)
+    tstats = idx.collect_term_stats(terms)
+    w = BM25Weight(k2=1.0)
+    wt = (
+        wand_topk(idx.blocked, idx.stats, tstats, terms, 10, w)
+        .orderBy(F.desc("score"), "docid").limit(10).collect()
+    )
+    bt = (
+        brute_topk(idx.blocked, idx.stats, tstats, terms, 10, w)
+        .orderBy(F.desc("score"), "docid").limit(10).collect()
+    )
+    assert [(r["docid"], round(r["score"], 9)) for r in wt] == [
+        (r["docid"], round(r["score"], 9)) for r in bt
+    ]
+
+
+def test_wand_large_candidate_fallback(spark, wh):
+    """max_broadcast_candidates=0 forces the shuffled equality semi-join
+    (the path taken when the surviving-candidate set is too big to
+    broadcast); results must be identical to the broadcast path."""
+    idx = merge.read_warehouse(spark, wh)
+    terms = ["dup", "vector"]
+    tstats = idx.collect_term_stats(terms)
+    w = BM25Weight()
+    a = (
+        wand_topk(idx.blocked, idx.stats, tstats, terms, 10, w,
+                  max_broadcast_candidates=0)
+        .orderBy(F.desc("score"), "docid").limit(10).collect()
+    )
+    b = (
+        wand_topk(idx.blocked, idx.stats, tstats, terms, 10, w)
+        .orderBy(F.desc("score"), "docid").limit(10).collect()
+    )
+    assert [(r["docid"], round(r["score"], 9)) for r in a] == [
+        (r["docid"], round(r["score"], 9)) for r in b
+    ]
+
+
+def test_search_default_routes_through_wand(spark, wh, monkeypatch):
+    """Weighted-OR search over a warehouse index must take the block-max
+    WAND path by default (VERDICT r1 #3), and still rank-match plan()."""
+    from xapian_spark.query import ast, wand
+    from xapian_spark.query.planner import Planner
+
+    idx = merge.read_warehouse(spark, wh)
+    pl = Planner(idx)
+    called = {}
+    orig = wand.wand_topk
+
+    def spy(*a, **kw):
+        called["yes"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(wand, "wand_topk", spy)
+    node = ast.Or((ast.Term("dup"), ast.Term("vector")))
+    got = pl.search(node, k=10).collect()
+    assert called.get("yes"), "search() did not route through wand_topk"
+    brute = (
+        pl.plan(node).orderBy(F.desc("score"), "docid").limit(10).collect()
+    )
+    assert [r["docid"] for r in got] == [r["docid"] for r in brute]
+    # non-OR shapes still take the planner (AND must not be wand-routed)
+    called.clear()
+    pl.search(ast.And((ast.Term("dup"), ast.Term("vector"))), k=10).collect()
+    assert "yes" not in called

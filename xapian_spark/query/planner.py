@@ -711,9 +711,50 @@ class Planner:
             .select("query", "rank", "docid", "score")
         )
 
+    @staticmethod
+    def _as_weighted_or(query: ast.Node) -> dict[str, int] | None:
+        """If `query` is a plain weighted-OR of terms (a single Term or an
+        OR whose children are all Terms), return its wqf map; else None.
+        These are the shapes block-max WAND serves (orpostlist.cc:106-140
+        decaying OR — the reference's dynamic-pruning sweet spot)."""
+        if isinstance(query, ast.Term):
+            return {query.term: query.wqf}
+        if isinstance(query, ast.Or) and all(
+            isinstance(s, ast.Term) for s in query.subs
+        ):
+            wqf: dict[str, int] = {}
+            for s in query.subs:
+                wqf[s.term] = wqf.get(s.term, 0) + s.wqf
+            return wqf
+        return None
+
     def search(self, query: ast.Node, k: int = 10, offset: int = 0) -> DataFrame:
-        """Top-k MSet: (rank, docid, score); rank 1-based after offset."""
-        matches = self.plan(query)
+        """Top-k MSet: (rank, docid, score); rank 1-based after offset.
+
+        Weighted-OR queries over a warehouse-backed index (blocked postings
+        present) are served by block-max WAND (wand.py) — the default
+        serving path does early termination, matching the reference's
+        decaying-OR matcher design (docs/matcherdesign.rst:51-100).  Other
+        shapes (boolean combiners, positional, values) take the full
+        planner."""
+        wqf_or = self._as_weighted_or(query)
+        if (
+            wqf_or is not None
+            and self.index.blocked is not None
+            and not getattr(self.weight, "needs_uniqterms", False)
+        ):
+            from xapian_spark.query.wand import wand_topk
+
+            terms = sorted(wqf_or)
+            tstats = self.index.collect_term_stats(terms)
+            if hasattr(self.weight, "set_query_length"):
+                self.weight.set_query_length(sum(wqf_or.values()))
+            matches = wand_topk(
+                self.index.blocked, self.index.stats, tstats, terms,
+                offset + k, self.weight, wqf=wqf_or,
+            )
+        else:
+            matches = self.plan(query)
         if (
             isinstance(query, ast.DecreasingValueWeightSource)
             and (query.range_start or query.range_end)

@@ -46,11 +46,24 @@ def wand_topk(
     k: int,
     weight: Weight,
     wqf: dict[str, int] | None = None,
+    max_broadcast_candidates: int = 200_000,
 ) -> DataFrame:
     """Exact BM25 top-k for a weighted-OR query over blocked postings.
 
     Returns (docid, score), unordered; caller sorts/limits (the plan already
     ends in orderBy(score desc, docid).limit(k) = TakeOrderedAndProject).
+
+    Doc-dependent sumextra (e.g. BM25 k2) is handled SAFELY without
+    disabling pruning: the pass-0 threshold includes each candidate's own
+    sumextra (a valid lower bound on the true k-th best total), and the
+    pass-1 block bound adds maxextra (a valid upper bound on any doc's
+    extra part) — both sides stay conservative, pruning stays exact.
+
+    max_broadcast_candidates gates the pass-2 join strategy: a small
+    surviving-candidate set is broadcast into a block range join (the
+    skip_to analogue); a large one (weak threshold, hot terms) falls back
+    to decoding the query's blocks and a shuffled equality semi-join —
+    never an unbounded broadcast.
     """
     wqf = wqf or {}
     if getattr(weight, "needs_uniqterms", False):
@@ -75,42 +88,56 @@ def wand_topk(
     qblocks = blocked.where(F.col("term").isin(live))
 
     # -- pass 0: threshold from the highest-impact term ---------------------
+    # Each candidate's (sumpart + its OWN sumextra) is a lower bound on its
+    # true total score, so the k-th best of these is a valid threshold even
+    # for weights with a doc-dependent extra part (bm25weight.cc k2).
+    qlen = sum(wqf.get(t, 1) for t in terms)
     t_star = max(live, key=lambda t: maxparts[t])
     star = unpack_blocks(qblocks.where(F.col("term") == t_star))
-    star_scores = star.select(
-        tws[t_star].sumpart_expr(F.col("wdf"), F.col("doclen")).alias("s")
-    ).orderBy(F.desc("s")).limit(k).collect()
+    star_lb = (
+        tws[t_star].sumpart_expr(F.col("wdf"), F.col("doclen"))
+        + weight.sumextra_expr(F.col("doclen"), qlen, stats)
+    )
+    star_scores = (
+        star.select(star_lb.alias("s")).orderBy(F.desc("s")).limit(k).collect()
+    )
     threshold = star_scores[-1]["s"] if len(star_scores) >= k else 0.0
 
-    qlen = sum(wqf.get(t, 1) for t in terms)
-    if weight.maxextra(stats, qlen) > 0:
-        # Doc-dependent extra part (e.g. BM25 k2): the pass-0 threshold
-        # ignores it, so pruning on it would be unsafe — disable pruning
-        # (threshold 0 keeps every block) and add sumextra at rescore.
-        threshold = 0.0
-
     # -- pass 1: block-max pruning (metadata only, no payload decode) -------
+    # Block upper bound adds maxextra so the comparison stays conservative
+    # against the sumextra-inclusive threshold.
+    mx_extra = weight.maxextra(stats, qlen)
     bound = None
     for t in live:
-        rest = total_max - maxparts[t]
+        rest = total_max - maxparts[t] + mx_extra
         b = tws[t].maxpart_expr(F.col("wdf_max"), dl_lb) + F.lit(rest)
         cond = (F.col("term") == t) & (b >= F.lit(threshold))
         bound = cond if bound is None else (bound | cond)
     surviving = qblocks.where(bound)
 
     # -- pass 2: candidates + exact rescore ---------------------------------
-    cands = unpack_blocks(surviving).select("docid").distinct()
-    # fetch every query-term block that can contain a candidate (skip_to):
-    fetch = (
-        qblocks.alias("b")
-        .join(
-            F.broadcast(cands.alias("c")),
-            (F.col("c.docid") >= F.col("b.first_docid"))
-            & (F.col("c.docid") <= F.col("b.last_docid")),
-            "left_semi",
+    cands = unpack_blocks(surviving).select("docid").distinct().persist()
+    n_cands = cands.count()
+    if n_cands <= max_broadcast_candidates:
+        # fetch every query-term block that can contain a candidate
+        # (skip_to): tiny candidate set broadcast into a range join.
+        fetch = (
+            qblocks.alias("b")
+            .join(
+                F.broadcast(cands.alias("c")),
+                (F.col("c.docid") >= F.col("b.first_docid"))
+                & (F.col("c.docid") <= F.col("b.last_docid")),
+                "left_semi",
+            )
         )
-    )
-    post = unpack_blocks(fetch).join(F.broadcast(cands), "docid", "left_semi")
+        post = unpack_blocks(fetch).join(
+            F.broadcast(cands), "docid", "left_semi"
+        )
+    else:
+        # Weak threshold -> pruning kept most docs; a broadcast would be
+        # unbounded.  Decode the query's blocks once and shuffle-semi-join
+        # on docid equality (hash-partitionable at any scale).
+        post = unpack_blocks(qblocks).join(cands, "docid", "left_semi")
 
     sumpart = None
     for t in live:
