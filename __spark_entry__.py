@@ -1007,22 +1007,29 @@ SELECT docid, score FROM (
 ) ORDER BY score DESC, docid LIMIT 10
 """
     )
-    # OP_EDIT_DISTANCE: dictionary terms within levenshtein 1 of 'scen'
+    # OP_EDIT_DISTANCE: dictionary terms within transposition-aware edit
+    # distance 1 of 'scen' (editdistance.cc counts transpositions as one
+    # edit; at threshold 1 restricted and unrestricted Damerau coincide,
+    # so DuckDB's damerau_levenshtein is an exact oracle)
     q["fuzzy_edit_distance"] = _topk_sql(
         "SELECT docid, round(sum(sumpart), 6) AS score FROM sp "
         "WHERE term IN (SELECT term FROM tstat "
         "  WHERE abs(length(term) - 4) <= 1 "
-        "  AND levenshtein(term, 'scen') <= 1) "
+        "  AND damerau_levenshtein(term, 'scen') <= 1) "
         "GROUP BY docid"
     )
-    # spelling: trigram candidates ranked (distance, tf desc, term)
+    # spelling: trigram candidates ranked (transposition-aware distance,
+    # tf desc, term); damerau_levenshtein matches the engine's OSA on this
+    # dictionary (restricted/unrestricted diverge only on contrived cases)
     q["spelling_suggest"] = (
         _PRELUDE
         + """
 SELECT 'batcg' AS word,
   (SELECT term FROM tstat
-   WHERE abs(length(term) - 5) <= 2 AND levenshtein(term, 'batcg') <= 2
-   ORDER BY levenshtein(term, 'batcg') ASC, tf DESC, term ASC LIMIT 1
+   WHERE abs(length(term) - 5) <= 2
+     AND damerau_levenshtein(term, 'batcg') <= 2
+   ORDER BY damerau_levenshtein(term, 'batcg') ASC, tf DESC, term ASC
+   LIMIT 1
   ) AS suggestion
 """
     )

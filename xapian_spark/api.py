@@ -50,10 +50,24 @@ class MSetItem:
 
 
 class MSet(list):
-    """list[MSetItem] + the reference's convenience accessors."""
+    """list[MSetItem] + the reference's convenience accessors.
+
+    The reference ESTIMATES the total match count from how far the matcher
+    got before terminating (matcher.cc:434-475); a Spark match is a full
+    set-at-a-time evaluation, so the count is EXACT and lower bound ==
+    estimate == upper bound (the reference also collapses the three when
+    it has seen every match)."""
+
+    matches: int = 0
 
     def get_matches_estimated(self) -> int:
-        return len(self)
+        return self.matches
+
+    def get_matches_lower_bound(self) -> int:
+        return self.matches
+
+    def get_matches_upper_bound(self) -> int:
+        return self.matches
 
 
 class Database:
@@ -153,6 +167,21 @@ class InMemoryDatabase(Database):
         super().__init__(spark, index=idx)
 
 
+class MultiValueKeyMaker:
+    """xapian::MultiValueKeyMaker (api/keymaker.cc:36-70): a composite sort
+    key built from value slots, each ascending or descending.  The reference
+    concatenates byte-flipped serialized values into one sortable string;
+    Spark sorts by the typed columns directly with per-column direction —
+    same total order, no serialization."""
+
+    def __init__(self):
+        self.keys: list[tuple[str, bool]] = []
+
+    def add_value(self, column: str, reverse: bool = False) -> "MultiValueKeyMaker":
+        self.keys.append((column, reverse))
+        return self
+
+
 @dataclass
 class RSet:
     """Relevance set (xapian::RSet)."""
@@ -215,6 +244,39 @@ class Enquire:
         self, column: str, reverse: bool = False
     ) -> None:
         self._sort_by = [(column, reverse)]
+        self._sort_mode = "relevance_then_value"
+
+    def _km_keys(
+        self, keymaker: "MultiValueKeyMaker | list[tuple[str, bool]]",
+        reverse: bool,
+    ) -> list[tuple[str, bool]]:
+        keys = keymaker.keys if isinstance(keymaker, MultiValueKeyMaker) \
+            else list(keymaker)
+        # Enquire::set_sort_by_key's `reverse` flips the WHOLE key order
+        # (enquire.h:206-214), i.e. every component's direction.
+        return [(c, rev != reverse) for c, rev in keys]
+
+    def set_sort_by_key(
+        self, keymaker: "MultiValueKeyMaker | list[tuple[str, bool]]",
+        reverse: bool = False,
+    ) -> None:
+        """Enquire::set_sort_by_key (KeyMaker sort, enquire.h:196-214):
+        composite multi-column sort key, docid breaks ties."""
+        self._sort_by = self._km_keys(keymaker, reverse)
+        self._sort_mode = "value"
+
+    def set_sort_by_key_then_relevance(
+        self, keymaker: "MultiValueKeyMaker | list[tuple[str, bool]]",
+        reverse: bool = False,
+    ) -> None:
+        self._sort_by = self._km_keys(keymaker, reverse)
+        self._sort_mode = "value_then_relevance"
+
+    def set_sort_by_relevance_then_key(
+        self, keymaker: "MultiValueKeyMaker | list[tuple[str, bool]]",
+        reverse: bool = False,
+    ) -> None:
+        self._sort_by = self._km_keys(keymaker, reverse)
         self._sort_mode = "relevance_then_value"
 
     def set_docid_order(self, ascending: bool = True) -> None:
@@ -287,6 +349,8 @@ class Enquire:
             )
         if self._weight_cutoff:
             m = m.where(F.col("score") >= F.lit(self._weight_cutoff))
+        # exact total match count (get_matches_estimated; see MSet)
+        n_matches = m.count()
         did = F.asc("docid") if self._docid_asc else F.desc("docid")
         if self._sort_by:
             vals = [
@@ -326,6 +390,7 @@ class Enquire:
                 for r in with_percent(top, "score").collect()
             ]
         out = MSet()
+        out.matches = n_matches
         rank = -1
         for i, (docid, score, percent) in enumerate(rows):
             if i < first:

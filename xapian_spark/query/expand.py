@@ -16,8 +16,10 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from xapian_spark.index.builder import InvertedIndex
 
@@ -61,12 +63,23 @@ def suggest_spelling(
     padded = f"${word}$"
     tris = [padded[i : i + 3] for i in range(max(1, len(padded) - 2))]
     tris = [t for t in tris if len(t) == 3]
+
+    # Transposition-aware distance (editdistance.cc, same contract as the
+    # fuzzy expansion): JVM levenshtein <= 2k prefilter, exact OSA ranking
+    # in an Arrow-batched UDF over the few trigram-blocked candidates.
+    from xapian_spark.text.editdistance import osa_distance
+
+    def _osa(terms: pd.Series) -> pd.Series:
+        return pd.Series([osa_distance(t, word) for t in terms])
+
+    osa_udf = F.pandas_udf(_osa, T.IntegerType())
     cand = (
         sp.where(F.col("trigram").isin(tris))
         .select("term", "tf")
         .distinct()
         .where(F.abs(F.length("term") - F.lit(len(word))) <= max_edit)
-        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(word)))
+        .where(F.levenshtein(F.col("term"), F.lit(word)) <= 2 * max_edit)
+        .withColumn("dist", osa_udf(F.col("term")))
         .where(F.col("dist") <= max_edit)
         .orderBy(F.asc("dist"), F.desc("tf"), F.asc("term"))
         .limit(1)
