@@ -62,6 +62,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "decreasing_val", (F.lit(1000000.0) - F.col("docid")).cast("double")
         )
+        # deterministic YYYYMMDD date value slot (omega date-value
+        # convention) spanning 4 years — exercises DateRangeProcessor
+        .withColumn(
+            "date_val",
+            F.date_format(
+                F.date_add(
+                    F.to_date(F.lit("2020-01-01")),
+                    (F.col("doc_id") % 1461).cast("int"),
+                ),
+                "yyyyMMdd",
+            ),
+        )
     )
 
 
@@ -195,6 +207,32 @@ def _q_geo_nearest(spark, sf_dir):
     )
     out = geo.nearest(d, 10.0, 20.0, k=10)
     return out.select("docid", F.round("distance_m", 4).alias("distance_m"))
+
+
+def _q_date_range(spark, sf_dir):
+    """DateRangeProcessor (valuerangeproc.cc:173-245): `date:D/M/Y..D/M/Y`
+    normalized to YYYYMMDD bounds and attached as an OP_FILTER value range
+    over the date_val slot."""
+    from xapian_spark.query.parser import QueryParser
+    from xapian_spark.query.rangeproc import DateRangeProcessor
+
+    qp = QueryParser()
+    qp.add_rangeprocessor(DateRangeProcessor("date_val", marker="date:"))
+    node = qp.parse_query("join date:01/02/2020..31/10/2020")
+    return _search(node, k=10)(spark, sf_dir)
+
+
+def _q_sort_multi_key(spark, sf_dir):
+    """MultiValueKeyMaker composite sort (api/keymaker.cc:36-70): matches
+    of a term ordered by (source asc, n_chars desc), docid tie-break."""
+    idx = _index(spark, sf_dir)
+    m = Planner(idx).plan(ast.Term("merge"))
+    return (
+        m.join(idx.docs.select("docid", "source", "n_chars"), "docid")
+        .orderBy(F.asc("source"), F.desc("n_chars"), F.asc("docid"))
+        .limit(10)
+        .select("docid", "source", "n_chars")
+    )
 
 
 def _q_parser_mixed(spark, sf_dir):
@@ -477,6 +515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "count_all": _q_count_all,
         "sort_by_value": _q_sort_by_value,
+        "sort_multi_key": _q_sort_multi_key,
+        "date_range": _q_date_range,
         "collapse": _q_collapse,
         "facets": _q_facets,
         # -- weight schemes (SURVEY §2.5)
@@ -704,6 +744,26 @@ SELECT docid, score FROM (
         "WHERE term = 'join' AND docid IN "
         "(SELECT doc_id + 1 FROM documents WHERE n_chars BETWEEN 120 AND 360) "
         "GROUP BY docid"
+    )
+    # DateRangeProcessor: 01/02/2020..31/10/2020 (D/M/Y) -> 20200201..20201031
+    # over the derived YYYYMMDD date_val slot (same arithmetic as _docs)
+    q["date_range"] = _topk_sql(
+        "SELECT docid, round(sum(sumpart), 6) AS score FROM sp "
+        "WHERE term = 'join' AND docid IN "
+        "(SELECT doc_id + 1 FROM documents "
+        " WHERE strftime(DATE '2020-01-01' + (doc_id % 1461)::INT, '%Y%m%d') "
+        "   BETWEEN '20200201' AND '20201031') "
+        "GROUP BY docid"
+    )
+    # MultiValueKeyMaker composite sort: (source asc, n_chars desc, docid)
+    q["sort_multi_key"] = (
+        _PRELUDE
+        + """
+SELECT d.doc_id + 1 AS docid, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id + 1 IN (SELECT docid FROM post WHERE term = 'merge')
+ORDER BY d.source ASC, d.n_chars DESC, docid LIMIT 10
+"""
     )
     q["count_all"] = "SELECT count(*) AS cnt FROM documents"
     q["sort_by_value"] = (

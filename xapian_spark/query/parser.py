@@ -78,6 +78,10 @@ class QueryParser:
     prefixes: dict[str, str] = field(default_factory=dict)  # probabilistic
     boolean_prefixes: dict[str, str] = field(default_factory=dict)
     range_fields: dict[str, str] = field(default_factory=dict)  # field->column
+    # RangeProcessor chain (valuerangeproc.cc; add_rangeprocessor): tried
+    # in order on any `lo..hi` token; first processor whose marker matches
+    # wins (Date/NumberRangeProcessor in rangeproc.py)
+    rangeprocs: list = field(default_factory=list)
     stopwords: frozenset[str] | None = None
     # synonym dictionary (the synonym table of glass_spelling's sibling
     # glass_synonym B-tree): term -> synonyms; used by `~term` syntax and,
@@ -90,6 +94,10 @@ class QueryParser:
 
     def __post_init__(self):
         self._pos = 0  # query-wide term position counter
+
+    def add_rangeprocessor(self, proc) -> None:
+        """QueryParser::add_rangeprocessor (queryparser.h:1070-1090)."""
+        self.rangeprocs.append(proc)
 
     # -- lexer ---------------------------------------------------------------
 
@@ -436,6 +444,19 @@ class QueryParser:
             return ast.Phrase(tuple(terms), len(terms)), i + 1, None
         if t.kind == "word" or (t.kind == "op"):
             text = t.text
+            if ".." in text and self.rangeprocs:
+                b, e = text.split("..", 1)
+                for rp in self.rangeprocs:
+                    node = rp.check_range(b, e)
+                    if node is not None:
+                        # ranges are unweighted filters; group by slot so
+                        # same-slot ranges OR, distinct slots AND
+                        # (queryparser grouping, :2236-2247)
+                        return node, i + 1, f"range:{node.field}"
+                # no processor claimed it: "Unknown range operation"
+                # (queryparser.lemony range handling; api_queryparser.cc
+                # qp_daterange1 expects a parse error)
+                raise ValueError(f"Unknown range operation: {text!r}")
             mq = re.match(r"^([A-Za-z_][\w]*):$", text)
             if (
                 mq
