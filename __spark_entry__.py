@@ -235,6 +235,49 @@ def _q_sort_multi_key(spark, sf_dir):
     )
 
 
+# 26 consecutive CJK ideographs standing in for a-z: a deterministic CJK
+# corpus derived from documents.text, so FLAG_NGRAMS indexing + querying
+# can be oracle-checked end to end (word-breaker.cc semantics)
+_CJK26 = "".join(chr(0x4E00 + i) for i in range(26))
+_CJK_IDX_CACHE: dict[str, InvertedIndex] = {}
+
+
+def _cjk_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    idx = _CJK_IDX_CACHE.get(sf_dir)
+    if idx is None:
+        docs = _docs(spark, sf_dir).withColumn(
+            "cjk_text",
+            F.translate(
+                F.lower(F.col("text")), "abcdefghijklmnopqrstuvwxyz", _CJK26
+            ),
+        )
+        idx = build_index(
+            spark, docs, content_col="cjk_text", docid_col="docid"
+        )
+        persist_index(idx)
+        _CJK_IDX_CACHE[sf_dir] = idx
+    return idx
+
+
+def _q_cjk_ngram(spark, sf_dir):
+    """CJK n-gram search (FLAG_NGRAMS, word-breaker.cc): the query run
+    for 'dup' in the derived CJK corpus parses to the reference's
+    AND-of-grams form (七 AND 七且 AND 且 AND 且丏 AND 丏), scored BM25
+    over the ngram-indexed postings."""
+    from xapian_spark.query.parser import QueryParser
+
+    idx = _cjk_index(spark, sf_dir)
+    cjk_query = "dup".translate(str.maketrans(
+        "abcdefghijklmnopqrstuvwxyz", _CJK26))
+    node = QueryParser().parse_query(cjk_query)
+    m = Planner(idx).plan(node)
+    return (
+        m.select("docid", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(10)
+    )
+
+
 def _q_parser_mixed(spark, sf_dir):
     """String query through the QueryParser: phrase OR term."""
     from xapian_spark.query.parser import QueryParser
@@ -509,6 +552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near": _search(ast.Near((ast.Term("customer"), ast.Term("table")), 10)),
         # -- wildcard expansion (SURVEY §2.3 OP_WILDCARD)
         "wildcard": _search(ast.Wildcard("s", combiner="or")),
+        # -- CJK n-gram word-breaking (word-breaker.cc, FLAG_NGRAMS)
+        "cjk_ngram_search": _q_cjk_ngram,
         # -- values / match-set ops (SURVEY §2.5, §2.7)
         "value_range": _search(
             ast.Filter(ast.Term("join"), ast.ValueRange("n_chars", 120, 360))
@@ -745,6 +790,60 @@ SELECT docid, score FROM (
         "(SELECT doc_id + 1 FROM documents WHERE n_chars BETWEEN 120 AND 360) "
         "GROUP BY docid"
     )
+    # CJK FLAG_NGRAMS end-to-end: ngram tokenization (unigrams + bigrams
+    # per word) -> BM25 AND-of-grams, over the derived CJK corpus
+    cjk_q = "dup".translate(
+        str.maketrans("abcdefghijklmnopqrstuvwxyz", _CJK26)
+    )
+    grams = [cjk_q[0], cjk_q[0:2], cjk_q[1], cjk_q[1:3], cjk_q[2]]
+    gram_list = ", ".join(f"'{g}'" for g in grams)
+    q["cjk_ngram_search"] = f"""
+WITH words AS (
+  SELECT doc_id + 1 AS docid,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+cw AS (SELECT docid,
+              translate(w, 'abcdefghijklmnopqrstuvwxyz', '{_CJK26}') AS w
+       FROM words),
+uni AS (SELECT docid, substr(w, i, 1) AS term FROM cw,
+        LATERAL (SELECT unnest(generate_series(1, length(w))) AS i) t),
+bi AS (SELECT docid, substr(w, i, 2) AS term FROM cw,
+       LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i) t),
+ctoks AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+cpost AS (SELECT term, docid, count(*) AS wdf FROM ctoks
+          GROUP BY term, docid),
+cdl AS (
+  SELECT d.doc_id + 1 AS docid, coalesce(t.doclen, 0) AS doclen
+  FROM documents d
+  LEFT JOIN (SELECT docid, count(*) AS doclen FROM ctoks GROUP BY docid) t
+    ON t.docid = d.doc_id + 1
+),
+cg AS (SELECT count(*) AS n, CAST(sum(doclen) AS DOUBLE) AS total FROM cdl),
+ctstat AS (SELECT term, count(*) AS tf FROM cpost GROUP BY term),
+cbm AS (
+  SELECT t.term,
+         (ln(CASE WHEN (g.n - t.tf + 0.5) / (t.tf + 0.5) < 2
+                  THEN (g.n - t.tf + 0.5) / (t.tf + 0.5) * 0.5 + 1
+                  ELSE (g.n - t.tf + 0.5) / (t.tf + 0.5) END) * 2.0)
+           AS termweight
+  FROM ctstat t, cg g
+),
+csp AS (
+  SELECT p.docid, p.term,
+         b.termweight * (p.wdf / (1.0 * (greatest(l.doclen *
+           (1.0 / (g.total / g.n)), 0.5) * 0.5 + 0.5) + p.wdf)) AS sumpart
+  FROM cpost p
+  JOIN cdl l ON l.docid = p.docid
+  JOIN cbm b ON b.term = p.term
+  CROSS JOIN cg g
+)
+SELECT docid, score FROM (
+  SELECT docid, round(sum(sumpart), 6) AS score FROM csp
+  WHERE term IN ({gram_list})
+  GROUP BY docid HAVING count(*) = 5
+) ORDER BY score DESC, docid LIMIT 10
+"""
     # DateRangeProcessor: 01/02/2020..31/10/2020 (D/M/Y) -> 20200201..20201031
     # over the derived YYYYMMDD date_val slot (same arithmetic as _docs)
     q["date_range"] = _topk_sql(

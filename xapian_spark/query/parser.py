@@ -41,7 +41,12 @@ import re
 from dataclasses import dataclass, field
 
 from xapian_spark.query import ast
-from xapian_spark.text.tokenizer import parse_terms, should_stem
+from xapian_spark.text.tokenizer import (
+    _scan_tokens,
+    ngram_tokens,
+    parse_terms,
+    should_stem,
+)
 
 _KEYWORDS = {"AND", "OR", "NOT", "XOR", "NEAR", "ADJ"}
 
@@ -91,6 +96,11 @@ class QueryParser:
     auto_synonyms: bool = False
     # query-time stemming (STEM_SOME when set): free terms -> Z+prefix+stem
     stemmer: object = None
+    # CJK/unbroken-script n-gram queries (FLAG_NGRAMS): a run becomes an
+    # AND over its unigrams+bigrams at ONE position (queryparser.lemony:
+    # 589-597; api_queryparser qp_default_prefix1 CJK goldens).  Divergence
+    # by design: defaults ON to match the indexer's default.
+    ngrams: bool = True
 
     def __post_init__(self):
         self._pos = 0  # query-wide term position counter
@@ -172,6 +182,10 @@ class QueryParser:
         explicit_syn = text.startswith("~")
         if explicit_syn:
             text = text[1:]
+        if self.ngrams and not text.isascii():
+            scan = list(_scan_tokens(text, ngrams=True))
+            if any(k == "run" for k, _ in scan):
+                return self._ngram_node(text, scan, prefix)
         raw_terms = parse_terms(text)
         if len(raw_terms) > 1 and not self._phrase_joined(text, raw_terms):
             # terms split by a non-phrase separator (e.g. '#', '+'):
@@ -197,6 +211,47 @@ class QueryParser:
             return terms[0]
         # phrased compound: window = number of terms (:2455-2468)
         return ast.Phrase(tuple(terms), len(terms))
+
+    def _ngram_node(self, text: str, scan, prefix: str) -> ast.Node:
+        """Token containing unbroken-script runs: each run -> AND of its
+        unigrams+bigrams, ALL at one position (queryparser.lemony:589-597:
+        Query(prefix + gram, 1, pos) per gram, OP_AND); word fragments
+        keep normal stemming; fragments combine by the default op
+        (golden: "h众ello" -> (Zh@1 OR 众@2 OR Zello@3))."""
+        subs: list[ast.Node] = []
+        # a leading capital suppresses stemming for the word fragments
+        # (the scanner folds case, so approximate the reference's per-word
+        # caps check with the raw token's first char)
+        caps = bool(text and text[0].isupper())
+        for kind, val in scan:
+            if kind == "w":
+                stem_ok = (
+                    self.stemmer is not None and not caps and should_stem(val)
+                )
+                if self.stopwords and val in self.stopwords:
+                    self._next_pos()
+                    continue
+                if stem_ok:
+                    subs.append(
+                        ast.Term("Z" + prefix + self.stemmer(val),
+                                 pos=self._next_pos())
+                    )
+                else:
+                    subs.append(ast.Term(prefix + val, pos=self._next_pos()))
+            else:
+                pos = self._next_pos()
+                grams = [
+                    ast.Term(prefix + g, pos=pos)
+                    for g, _uni in ngram_tokens(val)
+                ]
+                subs.append(grams[0] if len(grams) == 1
+                            else ast.And(tuple(grams)))
+        if not subs:
+            return ast.MatchNothing()
+        if len(subs) == 1:
+            return subs[0]
+        cls = ast.And if self.default_op == "and" else ast.Or
+        return cls(tuple(subs))
 
     _PHRASE_JOINERS = frozenset("-.:,/\\'")
 

@@ -48,6 +48,44 @@ _INFIX_DIGIT = ",.;\u037e\u0589\u060d\u07f8\u2044\ufe10\ufe13\ufe14"
 
 _IGNORE = "\x00"  # sentinel: join with no joiner character
 
+# Scripts written without explicit word breaks (CJK, Thai, Lao, Khmer,
+# Myanmar, Hangul...): last codepoint of each alternating out/in range —
+# binary-chop parity test, re-derived from the reference's table
+# (queryparser/word-breaker.cc:50-134 `is_unbroken_script`).
+_UNBROKEN_SPLITS = (
+    0x0E00 - 1, 0x0EFF,    # Thai, Lao
+    0x1000 - 1, 0x109F,    # Myanmar
+    0x1100 - 1, 0x11FF,    # Hangul Jamo
+    0x1780 - 1, 0x17FF,    # Khmer
+    0x19E0 - 1, 0x19FF,    # Khmer Symbols
+    0x2E80 - 1, 0x9FFF,    # CJK radicals..ideographs, kana, bopomofo
+    0xA700 - 1, 0xA71F,    # Modifier Tone Letters
+    0xA960 - 1, 0xA97F,    # Hangul Jamo Extended-A
+    0xA9E0 - 1, 0xA9FF,    # Myanmar Extended-B
+    0xAA60 - 1, 0xAA7F,    # Myanmar Extended-A
+    0xAC00 - 1, 0xD7FF,    # Hangul Syllables + Jamo Extended-B
+    0xF900 - 1, 0xFAFF,    # CJK Compatibility Ideographs
+    0xFE30 - 1, 0xFE4F,    # CJK Compatibility Forms
+    0xFF65 - 1, 0xFFDC,    # Halfwidth Katakana and Hangul
+    0x1AFF0 - 1, 0x1B16F,  # Kana Extended/Supplement
+    0x1F200 - 1, 0x1F2FF,  # Enclosed Ideographic Supplement
+    0x20000 - 1, 0x2A6DF,  # CJK Ext B
+    0x2A700 - 1, 0x2EE5F,  # CJK Ext C-F, I
+    0x2F800 - 1, 0x2FA1F,  # CJK Compat Ideographs Supplement
+    0x30000 - 1, 0x323AF,  # CJK Ext G-H
+)
+
+
+def is_unbroken_script(cp: int) -> bool:
+    """True for codepoints in scripts written without word breaks."""
+    from bisect import bisect_left
+
+    return bool(bisect_left(_UNBROKEN_SPLITS, cp) & 1)
+
+
+def _is_unbroken_wordchar(ch: str) -> bool:
+    return is_unbroken_script(ord(ch)) and _is_wordchar(ch)
+
 
 def _is_wordchar(ch: str) -> bool:
     return unicodedata.category(ch) in _WORDCHAR_CATS
@@ -86,16 +124,28 @@ def _is_digit(ch: str) -> bool:
     return unicodedata.category(ch) == "Nd"
 
 
-def _parse_terms_slow(s: str) -> list[str]:
-    """Exact re-implementation of parse_terms (no stemming, no word breaks)."""
+def _scan_tokens(s: str, ngrams: bool = False):
+    """Structured scan: yields ("w", term) for normal words and
+    ("run", [chars]) for maximal runs of unbroken-script word chars (CJK
+    etc.) when ngrams is on — the reference's parse_terms with
+    FLAG_NGRAMS (termgenerator_internal.cc:218-236: a run is handed to
+    break_words, and an unbroken-script char terminates an in-progress
+    word immediately, skipping suffix handling)."""
     n = len(s)
     i = 0
-    out: list[str] = []
     while True:
         while i < n and not _is_wordchar(s[i]):
             i += 1
         if i >= n:
-            return out
+            return
+
+        if ngrams and _is_unbroken_wordchar(s[i]):
+            chars: list[str] = []
+            while i < n and _is_unbroken_wordchar(s[i]):
+                chars.append(s[i])
+                i += 1
+            yield ("run", chars)
+            continue
 
         term: list[str] = []
 
@@ -114,7 +164,7 @@ def _parse_terms_slow(s: str) -> list[str]:
                     break
             if len(term) > 1 and (p >= n or not _is_wordchar(s[p])):
                 i = p
-                out.append("".join(term))
+                yield ("w", "".join(term))
                 continue
             term = []
 
@@ -127,6 +177,11 @@ def _parse_terms_slow(s: str) -> list[str]:
                 prevch = ch
                 i += 1
                 if i >= n:
+                    ended = True
+                    break
+                if ngrams and is_unbroken_script(ord(s[i])):
+                    # unbroken-script char ends the word immediately (no
+                    # suffix handling; termgenerator_internal.cc:233-235)
                     ended = True
                     break
                 ch = _check_wordchar(s[i])
@@ -167,7 +222,26 @@ def _parse_terms_slow(s: str) -> list[str]:
             if not ended and i < n and _is_wordchar(s[i]):
                 del term[keep:]
 
-        out.append("".join(term))
+        yield ("w", "".join(term))
+
+
+def _parse_terms_slow(s: str) -> list[str]:
+    """Exact re-implementation of parse_terms (no stemming, no word
+    breaks): flat term list, unbroken scripts treated as ordinary word
+    chars (the reference's behavior with FLAG_NGRAMS off)."""
+    return [t for _, t in _scan_tokens(s, ngrams=False)]
+
+
+def ngram_tokens(chars: list[str]) -> list[tuple[str, bool]]:
+    """NgramIterator emission order (word-breaker.cc:153-186) for one
+    unbroken run: [(token, is_unigram)] = c1, c1c2, c2, c2c3, ..., cn.
+    Unigrams are positional; bigrams are wdf-only."""
+    out: list[tuple[str, bool]] = []
+    for j, c in enumerate(chars):
+        out.append((c, True))
+        if j + 1 < len(chars):
+            out.append((c + chars[j + 1], False))
+    return out
 
 
 # --- fast path: compiled-regex equivalent for pure-ASCII input -------------
@@ -222,23 +296,45 @@ def tokenize_with_positions(
     text: str,
     mode: str = "xapian",
     stopwords: frozenset[str] | None = None,
-) -> list[tuple[str, int]]:
+    ngrams: bool = True,
+) -> list[tuple[str, int | None]]:
     """(term, position) pairs; positions start at 1.
 
     Terms longer than 64 bytes UTF-8 are dropped and do not consume a
     position; STOP_ALL stopwords likewise
     (reference: termgenerator_internal.cc:296-316,317).
+
+    ngrams: unbroken-script runs (CJK, Thai, ...) emit positional unigrams
+    and positionless bigrams (position None, wdf-only) — FLAG_NGRAMS
+    semantics (word-breaker.cc NgramIterator; api_termgen.cc "ngrams"
+    goldens).  Divergence by design: the reference gates this behind
+    FLAG_NGRAMS / $XAPIAN_CJK_NGRAM and defaults OFF; a multilingual
+    100 TB corpus should be searchable out of the box, so we default ON
+    (pass ngrams=False for reference-default behavior).
     """
-    terms = parse_terms(text) if mode == "xapian" else parse_terms_simple(text)
-    out: list[tuple[str, int]] = []
+    if mode != "xapian":
+        toks = [(t, True) for t in parse_terms_simple(text)]
+    elif ngrams and not text.isascii():
+        toks = []
+        for kind, val in _scan_tokens(text, ngrams=True):
+            if kind == "w":
+                toks.append((val, True))
+            else:
+                toks.extend(ngram_tokens(val))
+    else:
+        toks = [(t, True) for t in parse_terms(text)]
+    out: list[tuple[str, int | None]] = []
     pos = 0
-    for t in terms:
+    for t, positional in toks:
         if len(t.encode("utf-8")) > MAX_TERM_BYTES:
             continue
         if stopwords is not None and t in stopwords:
             continue
-        pos += 1
-        out.append((t, pos))
+        if positional:
+            pos += 1
+            out.append((t, pos))
+        else:
+            out.append((t, None))
     return out
 
 
@@ -301,13 +397,20 @@ def invert_doc(
     if stemmer is not None and strategy in ("all", "all_z"):
         pre = "Z" if strategy == "all_z" else ""
         toks = [(pre + stemmer(t), p) for t, p in toks]
-    acc: dict[str, list[int]] = {}
+    # ngram bigrams arrive with position None: they add wdf (and doclen)
+    # without a positional posting (doc.add_term vs add_posting,
+    # termgenerator_internal.cc:320-326)
+    wdf_acc: dict[str, int] = {}
+    pos_acc: dict[str, list[int]] = {}
     for t, p in toks:
-        acc.setdefault(t, []).append(p)
-    entries = [(t, len(ps), ps) for t, ps in acc.items()]
+        wdf_acc[t] = wdf_acc.get(t, 0) + 1
+        if p is not None:
+            pos_acc.setdefault(t, []).append(p)
+    entries = [(t, w, pos_acc.get(t, [])) for t, w in wdf_acc.items()]
     if stemmer is not None and strategy in ("some", "some_full_pos"):
-        zacc: dict[str, list[int]] = {}
-        for t, ps in acc.items():
+        zwdf: dict[str, int] = {}
+        zpos: dict[str, list[int]] = {}
+        for t, w in wdf_acc.items():
             if stop_mode == "stemmed" and stopwords and t in stopwords:
                 continue
             if not should_stem(t):
@@ -315,12 +418,11 @@ def invert_doc(
             s = stemmer(t)
             if not s:
                 continue
-            zacc.setdefault("Z" + s, []).extend(ps)
+            zwdf["Z" + s] = zwdf.get("Z" + s, 0) + w
+            zpos.setdefault("Z" + s, []).extend(pos_acc.get(t, []))
         if strategy == "some":
-            entries += [(zt, len(ps), []) for zt, ps in zacc.items()]
+            entries += [(zt, w, []) for zt, w in zwdf.items()]
         else:
-            entries += [
-                (zt, len(ps), sorted(ps)) for zt, ps in zacc.items()
-            ]
+            entries += [(zt, w, sorted(zpos.get(zt, []))) for zt, w in zwdf.items()]
     doclen = sum(w for _, w, _ in entries)
     return entries, doclen
