@@ -376,6 +376,42 @@ def _q_stemmed_search(spark, sf_dir):
     )
 
 
+_STEM_FR_IDX_CACHE: dict[str, InvertedIndex] = {}
+
+
+def _q_stemmed_search_fr(spark, sf_dir):
+    """French Snowball stemming end-to-end (Stem('french'); algorithm
+    validated byte-exact against the full public Snowball vocabulary in
+    tests/test_stem_multilang.py).  STEM_SOME French index + French
+    stemmed query.  Rows-only check: Snowball French is not expressible
+    in ANSI SQL."""
+    from xapian_spark.query.parser import QueryParser
+    from xapian_spark.text.stem import Stemmer
+
+    idx = _STEM_FR_IDX_CACHE.get(sf_dir)
+    if idx is None:
+        idx = build_index(
+            spark,
+            _docs(spark, sf_dir),
+            content_col="text",
+            docid_col="docid",
+            stemmer=Stemmer("french"),
+            stem_strategy="some",
+        )
+        persist_index(idx)
+        _STEM_FR_IDX_CACHE[sf_dir] = idx
+    qp = QueryParser(stemmer=Stemmer("french"))
+    # French-stemmed forms of corpus-adjacent words: 'merges'/'scanner'
+    # both stem to corpus stems under the French algorithm
+    q = qp.parse_query("merges scanner")
+    m = Planner(idx).plan(q)
+    return (
+        m.select("docid", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(10)
+    )
+
+
 def _q_bo1_eset(spark, sf_dir):
     from xapian_spark.query.expand import bo1_eset
 
@@ -596,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_edit_distance": _q_fuzzy,
         "spelling_suggest": _q_spelling,
         "stemmed_search": _q_stemmed_search,  # rows-only: Porter2 not in SQL
+        "stemmed_search_fr": _q_stemmed_search_fr,  # rows-only: Snowball fr
         "bo1_eset": _q_bo1_eset,
         "percent_scores": _q_percent,
         "batch_or_serving": _q_batch_or,

@@ -1,0 +1,73 @@
+"""Non-English Snowball stemmers: full-vocabulary parity with the public
+Snowball test data the reference validates against
+(xapian-data/stemming/{french,german2,russian}/voc.txt + output.txt),
+plus embedded spot goldens so the suite still tests without the data."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from xapian_spark.text.stem import Stemmer
+
+_DATA = "/root/reference/xapian-data/stemming"
+
+SPOT = {
+    "french": [
+        ("continuité", "continu"),
+        ("majestueusement", "majestu"),
+        ("jouaient", "jou"),
+        ("nationale", "national"),
+        ("conditionnel", "conditionnel"),
+        ("généralement", "général"),
+        ("voyions", "voyion"),
+        ("effluves", "effluv"),
+    ],
+    "german2": [
+        ("aufeinander", "aufeinand"),
+        ("mädchen", "madch"),
+        ("kategorie", "kategori"),
+        ("ergebnisse", "ergebnis"),
+        ("verständnisvoll", "verstandnisvoll"),
+        ("dankbarkeit", "dankbar"),
+        ("quae", "quae"),
+    ],
+    "russian": [
+        ("вопросы", "вопрос"),
+        ("пример", "пример"),
+        ("быстрее", "быстр"),
+        ("плохими", "плох"),
+    ],
+}
+
+
+@pytest.mark.parametrize("lang", sorted(SPOT))
+def test_spot_goldens(lang):
+    st = Stemmer(lang)
+    for word, want in SPOT[lang]:
+        assert st(word) == want, (lang, word)
+
+
+@pytest.mark.parametrize("lang", ["french", "german2", "russian"])
+def test_full_snowball_vocabulary(lang):
+    voc = os.path.join(_DATA, lang, "voc.txt")
+    out = os.path.join(_DATA, lang, "output.txt")
+    if not os.path.exists(voc):
+        pytest.skip("snowball vocabulary not available")
+    st = Stemmer(lang)
+    words = open(voc, encoding="utf-8").read().split()
+    wants = open(out, encoding="utf-8").read().split()
+    assert len(words) == len(wants)
+    bad = [
+        (w, st(w), o) for w, o in zip(words, wants) if st(w) != o
+    ]
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:5]}"
+
+
+def test_aliases_and_none():
+    assert Stemmer("fr").language == "french"
+    assert Stemmer("ru")("побежали") == Stemmer("russian")("побежали")
+    assert Stemmer("none")("running") == "running"
+    with pytest.raises(ValueError):
+        Stemmer("klingon")

@@ -275,17 +275,44 @@ def stem_tokens(tokens: list[str]) -> list[str]:
 
 
 class Stemmer:
-    """Language-dispatch facade mirroring Xapian::Stem."""
+    """Language-dispatch facade mirroring Xapian::Stem (languages/stem.cc
+    language table).  Each language is a from-scratch implementation of
+    the published Snowball algorithm, validated against the full public
+    Snowball vocabularies (xapian-data/stemming/<lang>): english (Porter2),
+    french, german2 (ae/oe/ue folding variant), russian."""
+
+    _ALIASES = {
+        "en": "english", "english": "english",
+        "fr": "french", "french": "french",
+        "de2": "german2", "german2": "german2",
+        "ru": "russian", "russian": "russian",
+        "none": "none",
+    }
 
     def __init__(self, language: str = "en"):
-        if language not in ("en", "english", "none"):
+        lang = self._ALIASES.get(language)
+        if lang is None:
             raise ValueError(f"unsupported stemmer language: {language}")
-        self.language = language
+        self.language = lang
+        if lang == "english":
+            self._fn = stem_en
+        elif lang == "french":
+            from xapian_spark.text.stem_fr import stem_fr
+
+            self._fn = stem_fr
+        elif lang == "german2":
+            from xapian_spark.text.stem_de import stem_de2
+
+            self._fn = stem_de2
+        elif lang == "russian":
+            from xapian_spark.text.stem_ru import stem_ru
+
+            self._fn = stem_ru
+        else:
+            self._fn = lambda w: w
 
     def __call__(self, word: str) -> str:
-        if self.language == "none":
-            return word
-        return stem_en(word)
+        return self._fn(word)
 
     @property
     def is_none(self) -> bool:
