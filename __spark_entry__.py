@@ -586,6 +586,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- positional (SURVEY §2.4)
         "phrase": _search(ast.Phrase((ast.Term("slow"), ast.Term("fast")), 2)),
         "near": _search(ast.Near((ast.Term("customer"), ast.Term("table")), 10)),
+        # OR under positional (orpositionlist.cc): merged position lists
+        "or_phrase": _search(
+            ast.Phrase(
+                (ast.Or((ast.Term("slow"), ast.Term("dup"))),
+                 ast.Term("fast")), 2,
+            )
+        ),
         # -- wildcard expansion (SURVEY §2.3 OP_WILDCARD)
         "wildcard": _search(ast.Wildcard("s", combiner="or")),
         # -- CJK n-gram word-breaking (word-breaker.cc, FLAG_NGRAMS)
@@ -804,6 +811,16 @@ SELECT docid, score FROM (
         "  SELECT a.docid FROM toks a JOIN toks b ON b.docid = a.docid"
         "  WHERE a.term = 'slow' AND b.term = 'fast' AND b.pos = a.pos + 1)"
         "GROUP BY docid HAVING count(*) = 2"
+    )
+    # ("slow" OR "dup") PHRASE "fast": merged position lists
+    # (orpositionlist.cc); weight = every present query term's sumpart
+    q["or_phrase"] = _topk_sql(
+        "SELECT docid, round(sum(sumpart), 6) AS score FROM sp "
+        "WHERE term IN ('slow', 'dup', 'fast') AND docid IN ("
+        "  SELECT a.docid FROM toks a JOIN toks b ON b.docid = a.docid"
+        "  WHERE a.term IN ('slow', 'dup') AND b.term = 'fast'"
+        "  AND b.pos = a.pos + 1)"
+        "GROUP BY docid"
     )
     # NEAR window=10: any order, span <= 9 (nearpostlist.cc:75-160)
     q["near"] = _topk_sql(

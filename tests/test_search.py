@@ -345,3 +345,74 @@ def test_wildcard_unknown_limit_mode_rejected(simple_index):
 
     with _pytest.raises(ValueError, match="limit_mode"):
         simple_index.expand_wildcard("pa", limit=1, limit_mode="FIRST")
+
+
+# -- OR under positional operators (orpositionlist.cc / orpospostlist.cc) --
+
+def _mk_pos_index(spark):
+    from xapian_spark.index.builder import build_index
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "delta beta gamma"),
+        (3, "alpha gamma beta"),
+        (4, "beta alpha gamma epsilon"),
+        (5, "alpha epsilon near gamma"),
+    ]
+    docs = spark.createDataFrame(rows, "docid long, content string")
+    return build_index(spark, docs, content_col="content", docid_col="docid")
+
+
+def test_or_under_phrase(spark):
+    """("alpha" OR "delta") PHRASE "beta": merged position lists — docs 1
+    and 2 have alpha/delta immediately before beta; doc 3/4 do not."""
+    idx = _mk_pos_index(spark)
+    pl = Planner(idx)
+    node = ast.Phrase(
+        (ast.Or((ast.Term("alpha"), ast.Term("delta"))), ast.Term("beta")), 2
+    )
+    got = sorted(r["docid"] for r in pl.plan(node).collect())
+    assert got == [1, 2]
+
+
+def test_or_under_near(spark):
+    """NEAR with an OR child: window over merged positions."""
+    idx = _mk_pos_index(spark)
+    pl = Planner(idx)
+    node = ast.Near(
+        (ast.Or((ast.Term("alpha"), ast.Term("delta"))),
+         ast.Term("gamma")), 2
+    )
+    got = sorted(r["docid"] for r in pl.plan(node).collect())
+    # window 2 -> |dist| <= 1: alpha adjacent to gamma in docs 3 and 4
+    # (doc 2's delta..gamma distance is 2 -> excluded)
+    assert got == [3, 4]
+
+
+def test_synonym_under_phrase(spark):
+    """Synonym child merges positions the same way, weighted as the
+    synonym pseudo-term (synonympostlist.cc + orpositionlist.cc)."""
+    idx = _mk_pos_index(spark)
+    pl = Planner(idx)
+    node = ast.Phrase(
+        (ast.Synonym((ast.Term("alpha"), ast.Term("delta"))),
+         ast.Term("beta")), 2
+    )
+    got = sorted(r["docid"] for r in pl.plan(node).collect())
+    assert got == [1, 2]
+    # scores positive and present
+    scores = {r["docid"]: r["score"] for r in pl.plan(node).collect()}
+    assert all(s > 0 for s in scores.values())
+
+
+def test_or_under_phrase_three_groups(spark):
+    """3-element phrase with an OR group falls through to the windowed
+    sweep; merged lists must still produce exact matches."""
+    idx = _mk_pos_index(spark)
+    pl = Planner(idx)
+    node = ast.Phrase(
+        (ast.Or((ast.Term("beta"), ast.Term("epsilon"))),
+         ast.Term("alpha"), ast.Term("gamma")), 3
+    )
+    got = sorted(r["docid"] for r in pl.plan(node).collect())
+    assert got == [4]  # beta alpha gamma consecutively

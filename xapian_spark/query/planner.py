@@ -401,20 +401,59 @@ class Planner:
             return self._eval(node.sub, factor * node.factor, tstats, wqf, syn_stats)
 
         if isinstance(node, (ast.Phrase, ast.Near)):
-            subterms = [t.term for t in ast.leaf_terms(node)]
-            evs = [
-                self._eval(ast.Term(t), factor, tstats, wqf, syn_stats)
-                for t in subterms
-            ]
+            # Each child is one positional ELEMENT.  OR/Synonym children
+            # merge their terms' position lists (OrPosPostList,
+            # matcher/orpositionlist.cc): ("a" OR "b") PHRASE c matches
+            # where either a or b is adjacent to c.
+            def _child_terms(ch: ast.Node) -> list[str]:
+                if isinstance(ch, ast.Term):
+                    return [ch.term]
+                if isinstance(ch, (ast.Or, ast.Synonym)) and all(
+                    isinstance(x, ast.Term) for x in ch.subs
+                ):
+                    return [x.term for x in ch.subs]
+                raise TypeError(
+                    "positional operator over unsupported child: "
+                    f"{type(ch).__name__}"
+                )
+
+            groups = [_child_terms(c) for c in node.subs]
+            evs = []
+            for c in node.subs:
+                if isinstance(c, ast.Term):
+                    evs.append(
+                        self._eval(ast.Term(c.term), factor, tstats, wqf,
+                                   syn_stats)
+                    )
+                else:
+                    evs.append(self._eval(c, factor, tstats, wqf, syn_stats))
+            # child weights are self-gated (Terms by presence, Or/Synonym
+            # by their own match logic), so a plain sum is correct
             match = evs[0].match
             weight = evs[0].weight
             for e in evs[1:]:
                 match = match & e.match
                 weight = weight + e.weight
-            plists = [
-                F.col("tmap").getItem(t).getField("positions") for t in subterms
-            ]
-            n = len(subterms)
+
+            def _plist_of(terms: list[str]) -> Column:
+                if len(terms) == 1:
+                    return (
+                        F.col("tmap").getItem(terms[0]).getField("positions")
+                    )
+                arrs = [
+                    F.coalesce(
+                        F.col("tmap").getItem(t).getField("positions"),
+                        F.array().cast("array<int>"),
+                    )
+                    for t in terms
+                ]
+                merged = arrs[0]
+                for a in arrs[1:]:
+                    merged = F.array_union(merged, a)
+                return F.array_sort(merged)
+
+            plists = [_plist_of(g) for g in groups]
+            n = len(groups)
             w = node.window
             ordered = isinstance(node, ast.Phrase)
             # JVM fast paths (whole-stage codegen, no Python): the hot shapes.
@@ -512,7 +551,8 @@ class Planner:
                 ts = TermStats(term="(syn)", tf=tf, cf=cf, wdf_max=wdf_max)
                 cache[key] = ts
             syn_stats[id(nd)] = ts
-        if isinstance(nd, (ast.And, ast.Or, ast.Xor, ast.Max, ast.Synonym)):
+        if isinstance(nd, (ast.And, ast.Or, ast.Xor, ast.Max, ast.Synonym,
+                           ast.Phrase, ast.Near)):
             for s in nd.subs:
                 self._gather_syn(s, tstats, syn_stats)
         elif isinstance(nd, (ast.AndNot, ast.AndMaybe, ast.Filter)):
