@@ -222,6 +222,48 @@ def test_fuzzy_transposition(db):
     assert db.index.expand_edit_distance("dpu", max_edit=0) == []
 
 
+def test_synonym_table_roundtrip(spark, db):
+    """Indexed synonym table (glass_synonym.h analogue): add_synonym ->
+    commit -> persisted in the warehouse, readable after reopen, consumed
+    by the parser's ~term and FLAG_AUTO_SYNONYMS expansion."""
+    from xapian_spark.query import ast as A
+    from xapian_spark.query.parser import QueryParser
+
+    db.add_synonym("dup", "vector")
+    db.add_synonym("dup", "clone")
+    db.add_synonym("fast", "quick")
+    db.commit()
+    assert db.get_synonyms("dup") == ["clone", "vector"]
+    assert db.synonym_keys() == ["dup", "fast"]
+    assert db.synonym_keys(prefix="d") == ["dup"]
+    assert db.get_synonyms("nothere") == []
+
+    # reopen readonly: table persisted
+    ro = Database(spark, db.path)
+    assert ro.get_synonyms("fast") == ["quick"]
+
+    # ~term uses the database table (FLAG_SYNONYM)
+    qp = QueryParser(synonym_source=ro)
+    node = qp.parse_query("~dup")
+    assert isinstance(node, A.Synonym)
+    assert sorted(t.term for t in node.subs) == ["clone", "dup", "vector"]
+    # FLAG_AUTO_SYNONYMS: plain terms expand too
+    qp2 = QueryParser(synonym_source=ro, auto_synonyms=True)
+    node2 = qp2.parse_query("dup")
+    assert isinstance(node2, A.Synonym)
+    # terms without synonyms stay plain
+    assert isinstance(qp2.parse_query("merge"), A.Term)
+
+
+def test_allterms_limit_contract(db):
+    with pytest.raises(ValueError, match="exceeds limit"):
+        db.allterms(limit=3)
+    # streaming iterator path
+    it = db.allterms(limit=None)
+    first = next(iter(it))
+    assert isinstance(first, str)
+
+
 def test_enquire_cutoffs(db):
     e = Enquire(db)
     e.set_query(ast.Term("dup"))

@@ -105,11 +105,35 @@ class Database:
     def get_spelling_suggestion(self, word: str, max_edit: int = 2):
         return suggest_spelling(self.index, word, max_edit=max_edit)
 
-    def allterms(self, prefix: str = "") -> list[str]:
+    def allterms(self, prefix: str = "", limit: int | None = 100_000):
+        """Iterator over dictionary terms (Database::allterms_begin).
+
+        SCALE CONTRACT: the reference walks a B-tree cursor; a distributed
+        dictionary can be billions of terms, so this driver-side iterator
+        is guarded by `limit` (default 100k).  Pass limit=None to stream
+        the full dictionary via toLocalIterator (one partition at a time
+        on the driver — bounded memory, still a full scan)."""
         df = self.index.term_stats
         if prefix:
             df = df.where(F.col("term").startswith(prefix))
-        return sorted(r["term"] for r in df.select("term").collect())
+        df = df.select("term").orderBy("term")
+        if limit is not None:
+            rows = df.limit(limit + 1).collect()
+            if len(rows) > limit:
+                raise ValueError(
+                    f"allterms: dictionary exceeds limit={limit}; raise the "
+                    "limit or pass limit=None to stream via toLocalIterator"
+                )
+            return [r["term"] for r in rows]
+        return (r["term"] for r in df.toLocalIterator())
+
+    # -- synonym table (glass_synonym.h; Database::synonyms_begin) ---------
+
+    def get_synonyms(self, term: str) -> list[str]:
+        return self.index.get_synonyms(term)
+
+    def synonym_keys(self, prefix: str = "") -> list[str]:
+        return self.index.synonym_keys(prefix)
 
 
 class WritableDatabase(Database):
@@ -126,6 +150,7 @@ class WritableDatabase(Database):
         self.prefix_fields = prefix_fields
         self.n_ranges = n_ranges
         self._pending: list[tuple[DataFrame, str, str]] = []
+        self._pending_synonyms: list[tuple[str, str]] = []
         self.index = None
         if os.path.exists(path) and merge.warehouse_complete(path):
             self.index = merge.read_warehouse(spark, path)
@@ -134,20 +159,42 @@ class WritableDatabase(Database):
                       docid_col: str = "docid") -> None:
         self._pending.append((docs, content_col, docid_col))
 
+    def add_synonym(self, term: str, synonym: str) -> None:
+        """WritableDatabase::add_synonym (glass synonym table): buffered,
+        written to the warehouse at commit()."""
+        self._pending_synonyms.append((term, synonym))
+
     def commit(self) -> None:
-        if not self._pending:
-            return
-        if len(self._pending) > 1:
-            raise NotImplementedError(
-                "multiple add_documents batches per commit: union them"
+        if self._pending:
+            if len(self._pending) > 1:
+                raise NotImplementedError(
+                    "multiple add_documents batches per commit: union them"
+                )
+            docs, content_col, docid_col = self._pending.pop()
+            merge.build_warehouse(
+                self.spark, docs, self.path,
+                content_col=content_col, docid_col=docid_col, mode=self.mode,
+                prefix_fields=self.prefix_fields, n_ranges=self.n_ranges,
             )
-        docs, content_col, docid_col = self._pending.pop()
-        merge.build_warehouse(
-            self.spark, docs, self.path,
-            content_col=content_col, docid_col=docid_col, mode=self.mode,
-            prefix_fields=self.prefix_fields, n_ranges=self.n_ranges,
-        )
-        self.index = merge.read_warehouse(self.spark, self.path)
+        if self._pending_synonyms:
+            syn_path = os.path.join(self.path, "synonyms")
+            new = self.spark.createDataFrame(
+                self._pending_synonyms, "term string, synonym string"
+            )
+            if os.path.exists(syn_path):
+                new = self.spark.read.parquet(syn_path).unionByName(new)
+            new = new.distinct().persist()
+            new.count()  # materialize before overwrite of the source path
+            new.write.mode("overwrite").parquet(syn_path + ".tmp")
+            new.unpersist()
+            import shutil
+
+            if os.path.exists(syn_path):
+                shutil.rmtree(syn_path)
+            os.replace(syn_path + ".tmp", syn_path)
+            self._pending_synonyms = []
+        if merge.warehouse_complete(self.path):
+            self.index = merge.read_warehouse(self.spark, self.path)
 
 
 class InMemoryDatabase(Database):
@@ -157,13 +204,19 @@ class InMemoryDatabase(Database):
     def __init__(self, spark: SparkSession, docs: DataFrame,
                  content_col: str = "content", docid_col: str = "docid",
                  mode: str = "xapian",
-                 prefix_fields: dict[str, str] | None = None):
+                 prefix_fields: dict[str, str] | None = None,
+                 synonyms: dict[str, list[str]] | None = None):
         idx = persist_index(
             build_index(
                 spark, docs, content_col=content_col, docid_col=docid_col,
                 mode=mode, prefix_fields=prefix_fields,
             )
         )
+        if synonyms:
+            rows = [(t, s) for t, ss in synonyms.items() for s in ss]
+            idx.synonyms = spark.createDataFrame(
+                rows, "term string, synonym string"
+            )
         super().__init__(spark, index=idx)
 
 

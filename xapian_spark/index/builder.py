@@ -206,6 +206,10 @@ class InvertedIndex:
     tokenizer_mode: str = "xapian"
     blocked: DataFrame | None = None
     termlists: DataFrame | None = None
+    # synonym table (term, synonym) — the glass synonym B-tree analogue
+    # (backends/glass/glass_synonym.h); queried by the parser for ~term
+    # and FLAG_AUTO_SYNONYMS expansion
+    synonyms: DataFrame | None = None
 
     def __post_init__(self):
         # Driver-side memo of per-term stats: repeated-query workloads skip
@@ -227,6 +231,34 @@ class InvertedIndex:
                 # negative-cache absent terms (tf=0)
                 self._ts_cache.setdefault(t, TermStats(t, 0, 0, 0))
         return {t: self._ts_cache[t] for t in terms if t in self._ts_cache}
+
+    def get_synonyms(self, term: str) -> list[str]:
+        """Synonyms of one term from the synonym table
+        (Database::synonyms_begin, glass_synonym.h) — driver-side lookup
+        for query expansion; memoized per index."""
+        if self.synonyms is None:
+            return []
+        cache = getattr(self, "_synonym_cache", None)
+        if cache is None:
+            cache = {}
+            self._synonym_cache = cache
+        if term not in cache:
+            rows = (
+                self.synonyms.where(F.col("term") == term)
+                .select("synonym")
+                .collect()
+            )
+            cache[term] = sorted(r["synonym"] for r in rows)
+        return cache[term]
+
+    def synonym_keys(self, prefix: str = "") -> list[str]:
+        """Terms that have synonyms (Database::synonym_keys_begin)."""
+        if self.synonyms is None:
+            return []
+        df = self.synonyms.select("term").distinct()
+        if prefix:
+            df = df.where(F.col("term").startswith(prefix))
+        return sorted(r["term"] for r in df.collect())
 
     def expand_edit_distance(
         self, pattern: str, max_edit: int = 2, prefix: str = ""

@@ -373,6 +373,11 @@ def read_warehouse(spark: SparkSession, path: str) -> InvertedIndex:
         ),
         tokenizer_mode=m.get("tokenizer_mode", "xapian"),
         blocked=spark.read.parquet(os.path.join(path, "blocked")),
+        synonyms=(
+            spark.read.parquet(os.path.join(path, "synonyms"))
+            if os.path.exists(os.path.join(path, "synonyms"))
+            else None
+        ),
     )
     return idx
 

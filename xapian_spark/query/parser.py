@@ -93,6 +93,10 @@ class QueryParser:
     # when auto_synonyms=True, by every plain term
     # (FLAG_SYNONYM/FLAG_AUTO_SYNONYMS, queryparser.h:577-590)
     synonyms: dict[str, tuple[str, ...]] = field(default_factory=dict)
+    # database-backed synonym table (FLAG_SYNONYM over the glass synonym
+    # B-tree): any object with get_synonyms(term) -> list[str] — a
+    # Database / InvertedIndex.  Consulted after the static dict.
+    synonym_source: object = None
     auto_synonyms: bool = False
     # query-time stemming (STEM_SOME when set): free terms -> Z+prefix+stem
     stemmer: object = None
@@ -161,7 +165,9 @@ class QueryParser:
         return out
 
     def _synonym_node(self, term: ast.Term) -> ast.Node:
-        syns = self.synonyms.get(term.term, ())
+        syns = tuple(self.synonyms.get(term.term, ()))
+        if not syns and self.synonym_source is not None:
+            syns = tuple(self.synonym_source.get_synonyms(term.term))
         if not syns:
             return term
         return ast.Synonym((term,) + tuple(ast.Term(s) for s in syns))
