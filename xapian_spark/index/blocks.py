@@ -262,3 +262,44 @@ def unpack_blocks(blocked: DataFrame) -> DataFrame:
     return blocked.mapInPandas(
         unpack_blocks_udf(), "term string, docid long, wdf int, doclen long"
     )
+
+
+def unpack_blocks_keyed(blocked: DataFrame) -> DataFrame:
+    """Like unpack_blocks but keeps the block key (first_docid) on every
+    posting row, so postings can be joined back to per-query surviving-
+    block sets (the batched block-max path, query/wand.py)."""
+
+    def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if batch.empty:
+                continue
+            terms, firsts, docids, wdfs, doclens = [], [], [], [], []
+            for term, first, n, payload in zip(
+                batch["term"], batch["first_docid"], batch["n"],
+                batch["payload"],
+            ):
+                ints = vbyte_decode(bytes(payload))
+                deltas = ints[:n].astype(np.int64)
+                d = deltas.copy()
+                if n > 1:
+                    d[1:] += 1
+                    d = np.cumsum(d)
+                terms.append(np.repeat(term, n))
+                firsts.append(np.repeat(np.int64(first), n))
+                docids.append(d)
+                wdfs.append(ints[n : 2 * n].astype(np.int64))
+                doclens.append(ints[2 * n : 3 * n].astype(np.int64))
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms),
+                    "first_docid": np.concatenate(firsts),
+                    "docid": np.concatenate(docids),
+                    "wdf": np.concatenate(wdfs),
+                    "doclen": np.concatenate(doclens),
+                }
+            )
+
+    return blocked.mapInPandas(
+        unpack,
+        "term string, first_docid long, docid long, wdf int, doclen long",
+    )

@@ -703,6 +703,11 @@ class Planner:
         |queries| x |candidates|.
 
         Returns (query, rank, docid, score) with rank 1..k per query.
+
+        Over a warehouse-backed index (blocked postings present) and a
+        weight without a doc-dependent extra part, the batch is served by
+        set-at-a-time block-max WAND (wand.batch_wand_topk): per-query
+        thresholds prune (query, block) pairs before any payload decode.
         """
         from collections import Counter
 
@@ -710,6 +715,18 @@ class Planner:
 
         all_terms = sorted({t for ts in queries.values() for t in ts})
         tstats = self.index.collect_term_stats(all_terms)
+
+        if (
+            self.index.blocked is not None
+            and not getattr(self.weight, "needs_uniqterms", False)
+            and self.weight.maxextra(self.index.stats, 1) == 0
+        ):
+            from xapian_spark.query.wand import batch_wand_topk
+
+            return batch_wand_topk(
+                self.index.blocked, self.index.stats, tstats, queries, k,
+                self.weight,
+            )
         rows = []
         for qname, terms in queries.items():
             for t, n in Counter(terms).items():

@@ -196,3 +196,171 @@ def brute_topk(
     )
     extra = weight.sumextra_expr(F.col("_dl"), qlen, stats)
     return agg.select("docid", (F.col("_s") + extra).alias("score"))
+
+
+def batch_wand_topk(
+    blocked: DataFrame,
+    stats: GlobalStats,
+    tstats: dict[str, TermStats],
+    queries: dict[str, list[str]],
+    k: int,
+    weight: Weight,
+) -> DataFrame:
+    """Threshold-aware BATCH serving over blocked postings: exact per-query
+    BM25 top-k for many weighted-OR queries in one plan.
+
+    Set-at-a-time block-max WAND:
+
+      pass 0: per-query threshold T_q = k-th best single-term score of the
+          query's highest-impact term — ONE decode job over the batch's
+          star terms, grouped per query (a valid lower bound of each
+          query's true k-th best total score).
+      pass 1: (query, block) pruning as a METADATA-only join: broadcast
+          (query, term, termweight, rest, T_q) against the block stats
+          columns; keep blocks with maxpart_block + rest >= T_q.  Parquet
+          column pruning means payloads of pruned blocks are never read.
+      pass 2: decode the union of surviving blocks ONCE (keyed by
+          first_docid), map postings back to (query, block) pairs, and
+          aggregate per (query, docid).
+
+    Pass 2 scores only surviving blocks, which is EXACT for top-k: if any
+    block holding doc d was pruned for query q, then score_q(d) <=
+    bound(block) + rest < T_q, while every true top-k doc of q scores
+    >= k-th best >= T_q with ALL its blocks surviving (see wand_topk's
+    bound argument) — so partially-scored docs rank strictly below every
+    true top-k member and can never displace one.
+
+    Requires a weight with no doc-dependent extra part (maxextra == 0,
+    e.g. default BM25 k2=0); the caller falls back to the row-postings
+    batch path otherwise.  Returns (query, rank, docid, score).
+    """
+    from collections import Counter
+
+    from pyspark.sql import Window
+
+    from xapian_spark.index.blocks import unpack_blocks, unpack_blocks_keyed
+
+    spark = blocked.sparkSession
+    empty = spark.createDataFrame(
+        [], "query string, rank int, docid long, score double"
+    )
+    dl_lb = stats.doclen_lower_bound
+
+    shape = None          # shared k1/b/len_factor/min_normlen constants
+    qt_rows = []          # (query, term, tw, rest)
+    star_rows = []        # (query, star_term)
+    for qname, terms in queries.items():
+        tws, maxparts = {}, {}
+        for t, nrep in Counter(terms).items():
+            ts = tstats.get(t)
+            if ts is None or ts.tf == 0:
+                continue
+            tw = weight.init_term(stats, ts, wqf=nrep)
+            tws[t] = tw
+            maxparts[t] = tw.maxpart(ts.wdf_max, dl_lb)
+            shape = tw
+        if not tws:
+            continue
+        total = sum(maxparts.values())
+        t_star = max(tws, key=lambda t: (maxparts[t], t))
+        star_rows.append((qname, t_star))
+        for t, tw in tws.items():
+            qt_rows.append(
+                (qname, t, float(tw.termweight),
+                 float(total - maxparts[t]))
+            )
+    if not qt_rows:
+        return empty
+
+    def _sumpart(tw_col, wdf, doclen):
+        normlen = F.greatest(
+            doclen.cast("double") * F.lit(shape.len_factor),
+            F.lit(shape.min_normlen),
+        )
+        denom = (
+            F.lit(shape.k1)
+            * (normlen * F.lit(shape.b) + F.lit(1.0 - shape.b))
+            + wdf.cast("double")
+        )
+        return tw_col * (wdf.cast("double") / denom)
+
+    def _maxpart(tw_col, wdf_max):
+        wm = wdf_max.cast("double")
+        if shape.k1 != 0.0 and shape.b != 0.0:
+            normlen_lb = F.greatest(
+                F.greatest(wm, F.lit(float(dl_lb)))
+                * F.lit(shape.len_factor),
+                F.lit(shape.min_normlen),
+            )
+            denom = (
+                F.lit(shape.k1)
+                * (normlen_lb * F.lit(shape.b) + F.lit(1.0 - shape.b))
+                + wm
+            )
+        else:
+            denom = F.lit(shape.k1) + wm
+        return F.when(denom > 0, tw_col * (wm / denom)).otherwise(0.0)
+
+    # -- pass 0: per-query thresholds ---------------------------------------
+    star_df = spark.createDataFrame(star_rows, "query string, term string")
+    star_terms = sorted({t for _, t in star_rows})
+    star_tw = spark.createDataFrame(
+        [(q, t, tw) for q, t, tw, _ in qt_rows],
+        "query string, term string, tw double",
+    ).join(F.broadcast(star_df), ["query", "term"], "left_semi")
+    star_posts = unpack_blocks(
+        blocked.where(F.col("term").isin(star_terms))
+    )
+    wq = Window.partitionBy("query").orderBy(F.desc("s"))
+    kth = (
+        star_posts.join(F.broadcast(star_tw), "term")
+        .select(
+            "query",
+            _sumpart(F.col("tw"), F.col("wdf"), F.col("doclen")).alias("s"),
+        )
+        .withColumn("r", F.row_number().over(wq))
+        .where(F.col("r") == k)
+        .select("query", F.col("s").alias("thr"))
+        .collect()
+    )
+    thresholds = {r["query"]: r["thr"] for r in kth}  # absent -> 0.0
+
+    qt = spark.createDataFrame(
+        [
+            (q, t, tw, rest, float(thresholds.get(q, 0.0)))
+            for q, t, tw, rest in qt_rows
+        ],
+        "query string, term string, tw double, rest double, thr double",
+    )
+
+    # -- pass 1: metadata-only (query, block) pruning -----------------------
+    meta = blocked.select("term", "first_docid", "wdf_max")
+    surviving = (
+        meta.join(F.broadcast(qt), "term")
+        .where(
+            _maxpart(F.col("tw"), F.col("wdf_max")) + F.col("rest")
+            >= F.col("thr")
+        )
+        .select("query", "term", "first_docid", "tw")
+    ).persist()
+
+    # -- pass 2: decode surviving blocks once, score per (query, docid) -----
+    sel_blocks = surviving.select("term", "first_docid").distinct()
+    posts = unpack_blocks_keyed(
+        blocked.join(sel_blocks, ["term", "first_docid"], "left_semi")
+    )
+    scored = (
+        posts.join(surviving, ["term", "first_docid"])
+        .groupBy("query", "docid")
+        .agg(
+            F.sum(
+                _sumpart(F.col("tw"), F.col("wdf"), F.col("doclen"))
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query", "rank", "docid", "score")
+    )
