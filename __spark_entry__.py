@@ -548,10 +548,22 @@ def _q_embedding_near_dup(spark, sf_dir):
 
 
 def _q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end: synthetic binary media table ->
+    mapInPandas feature extraction (stubbed decode whose fake features are
+    sha256-derived and SQL-reproducible) -> flattened deterministic
+    columns, so the oracle hash-checks the whole pipeline."""
     from xapian_spark.ops import multimodal
 
     media = multimodal.synth_media(spark, n=64)
-    return multimodal.extract_features(media)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
+        F.round(F.element_at("feature", 2).cast("double"), 4).alias("f1"),
+        F.round(F.element_at("feature", 16).cast("double"), 4).alias("f15"),
+    ).orderBy("media_id")
 
 
 # --------------------------------------------------------------------------
@@ -918,6 +930,25 @@ WHERE d.doc_id + 1 IN (SELECT docid FROM post WHERE term = 'merge')
 ORDER BY d.source ASC, d.n_chars DESC, docid LIMIT 10
 """
     )
+    # multimodal plumbing: synth media + sha256-derived fake features are
+    # fully SQL-reproducible (same arithmetic as ops/multimodal.py)
+    q["multimodal_features"] = """
+WITH m AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+         END AS kind,
+         repeat(sha256(concat('42:', i::varchar)), 4 + i % 7) AS payload_hex
+  FROM (SELECT unnest(generate_series(0, 63)) AS i)
+),
+f AS (SELECT i, kind, 32 * (4 + i % 7) AS n_bytes,
+             sha256(payload_hex) AS h
+      FROM m)
+SELECT i AS media_id, kind, n_bytes,
+  round(('0x' || substr(h, 1, 2))::int / 255.0 * 2.0 - 1.0, 4) AS f0,
+  round(('0x' || substr(h, 3, 2))::int / 255.0 * 2.0 - 1.0, 4) AS f1,
+  round(('0x' || substr(h, 31, 2))::int / 255.0 * 2.0 - 1.0, 4) AS f15
+FROM f ORDER BY media_id
+"""
     q["count_all"] = "SELECT count(*) AS cnt FROM documents"
     q["sort_by_value"] = (
         _PRELUDE

@@ -64,10 +64,15 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
 
 
 def _fake_feature(payload: bytes, dim: int = 16) -> list[float]:
-    """Deterministic stand-in for a real decoder+encoder: bytes -> R^dim."""
-    h = hashlib.sha256(payload).digest()
-    rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
-    return rng.standard_normal(dim).astype(np.float32).tolist()
+    """Deterministic stand-in for a real decoder+encoder: bytes -> R^dim.
+
+    feature[j] = byte_j(sha256(hex(payload))) / 255 * 2 - 1 — chosen to be
+    reproducible in ANSI SQL (DuckDB sha256 is VARCHAR-only, hence the hex
+    round-trip), so the driver's oracle can hash-check the full mapInPandas
+    pipeline, not just row counts.  dim <= 32.
+    """
+    h = hashlib.sha256(payload.hex().encode()).digest()
+    return [h[j] / 255.0 * 2.0 - 1.0 for j in range(dim)]
 
 
 def extract_features(
