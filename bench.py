@@ -185,6 +185,17 @@ def main():
             "query_qps": round(len(qtimes) / query_total, 2) if query_total else 0.0,
         }
     )
+    # attach the most recent standalone scaling evidence (produced by
+    # tools/scaling_run.py on an otherwise-idle machine; re-measuring here
+    # would be contaminated by this very benchmark's load)
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "SCALING.json")
+    if os.path.exists(scaling_path):
+        try:
+            with open(scaling_path) as f:
+                result["scaling"] = json.load(f)
+        except Exception:
+            pass
     print(json.dumps(result))
     spark.stop()
 

@@ -161,3 +161,30 @@ def test_bm25plus_scores(planner, simple_index):
     denom = 1.0 * (normlen * 0.5 + 0.5) + row["wdf"]
     want = tw * (2.0 * row["wdf"] / denom + 1.0)
     assert rows[0]["score"] == pytest.approx(want, rel=1e-12)
+
+
+def test_eset_expand_decider(simple_index):
+    """ExpandDecider (expanddecider.h): candidate filter applied before
+    the top-k cut — SQL-string and callable forms, plus the
+    ExpandDeciderFilterPrefix convenience."""
+    from xapian_spark.query.expand import ExpandDeciderFilterPrefix, bo1_eset
+
+    base = [r["term"] for r in bo1_eset(simple_index, [1, 2], k=50).collect()]
+    assert any(t.startswith("s") for t in base)
+    # SQL form: drop s-terms
+    sql = [
+        r["term"]
+        for r in bo1_eset(
+            simple_index, [1, 2], k=50, decider="term NOT LIKE 's%'"
+        ).collect()
+    ]
+    assert sql and not any(t.startswith("s") for t in sql)
+    # callable form via ExpandDeciderFilterPrefix: same result
+    cal = [
+        r["term"]
+        for r in bo1_eset(
+            simple_index, [1, 2], k=50,
+            decider=ExpandDeciderFilterPrefix("s"),
+        ).collect()
+    ]
+    assert cal == sql

@@ -182,3 +182,23 @@ def test_hate_only_clauses_do_not_crash(query, expected):
     """Regression: hate-only prob clauses leaked an internal marker into
     composed AST nodes."""
     assert QueryParser().parse_query(query).describe() == expected
+
+
+def test_field_processor():
+    """FieldProcessor (queryparser.h): field:text handed to a callable
+    returning a custom Node."""
+    from xapian_spark.query import ast
+    from xapian_spark.query.parser import QueryParser
+
+    qp = QueryParser()
+    qp.add_field_processor(
+        "host", lambda text: ast.Term("H" + text.lower().removeprefix("www."))
+    )
+    node = qp.parse_query("host:WWW.Example.ORG")
+    assert node == ast.Term("Hexample.org")
+    # combined with a free term: default-op OR
+    node2 = qp.parse_query("hello host:example.org")
+    assert isinstance(node2, ast.Or)
+    # returning None -> MatchNothing
+    qp.add_field_processor("drop", lambda text: None)
+    assert isinstance(qp.parse_query("drop:anything"), ast.MatchNothing)

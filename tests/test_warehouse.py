@@ -262,19 +262,16 @@ def test_batch_wand_matches_row_path(spark, wh):
     }
     pl = Planner(idx)
     got = (
-        pl.search_batch_or(queries, k=10)
+        pl.search_batch_or(queries, k=10, use_wand=True)
         .orderBy("query", "rank")
         .collect()
     )
-    # row-postings reference: force the unblocked path
-    blocked = idx.blocked
-    idx.blocked = None
+    # row-postings reference (the default batch path)
     want = (
         pl.search_batch_or(queries, k=10)
         .orderBy("query", "rank")
         .collect()
     )
-    idx.blocked = blocked
     assert [(r["query"], r["rank"], r["docid"]) for r in got] == [
         (r["query"], r["rank"], r["docid"]) for r in want
     ]

@@ -460,11 +460,16 @@ class Enquire:
         return out
 
     def get_eset(self, maxitems: int, rset: RSet,
-                 exclude_query_terms: bool = True) -> list[tuple[str, float]]:
+                 exclude_query_terms: bool = True,
+                 decider=None) -> list[tuple[str, float]]:
+        """Enquire::get_eset (enquire.h:500-520).  decider: optional
+        ExpandDecider — a SQL boolean over `term` or a Python callable
+        term -> bool (e.g. expand.ExpandDeciderFilterPrefix)."""
         exclude: set[str] = set()
         if exclude_query_terms and self._query is not None:
             exclude = {t.term for t in ast.leaf_terms(self._query)}
         rows = bo1_eset(
-            self.db.index, rset.docids, k=maxitems, exclude_terms=exclude
+            self.db.index, rset.docids, k=maxitems, exclude_terms=exclude,
+            decider=decider,
         ).collect()
         return [(r["term"], r["wt"]) for r in rows]

@@ -91,11 +91,23 @@ def suggest_spelling(
 # -- Bo1 expansion (ESet) ----------------------------------------------------
 
 
+class ExpandDeciderFilterPrefix:
+    """xapian::ExpandDeciderFilterPrefix (expanddecider.h): rejects
+    candidate expansion terms carrying a given prefix."""
+
+    def __init__(self, prefix: str):
+        self.prefix = prefix
+
+    def __call__(self, term: str) -> bool:
+        return not term.startswith(self.prefix)
+
+
 def bo1_eset(
     index: InvertedIndex,
     rset_docids: list[int],
     k: int = 20,
     exclude_terms: set[str] | frozenset[str] = frozenset(),
+    decider=None,
 ) -> DataFrame:
     """Top-k expansion terms for a relevance set: (term, wt).
 
@@ -114,6 +126,19 @@ def bo1_eset(
     )
     if exclude_terms:
         rterms = rterms.where(~F.col("term").isin(list(exclude_terms)))
+    if decider is not None:
+        # ExpandDecider (expanddecider.h): candidate filter applied BEFORE
+        # the top-k cut.  A string is a SQL boolean over `term` (JVM-side);
+        # a callable runs as an Arrow-batched UDF over the (small)
+        # RSet-derived candidate set.
+        if isinstance(decider, str):
+            rterms = rterms.where(F.expr(decider))
+        else:
+            def _dec(terms: pd.Series) -> pd.Series:
+                return pd.Series([bool(decider(t)) for t in terms])
+
+            dec_udf = F.pandas_udf(_dec, T.BooleanType())
+            rterms = rterms.where(dec_udf(F.col("term")))
     n = float(index.stats.doccount)
     joined = rterms.join(index.term_stats.select("term", "cf"), "term")
     m = F.col("cf").cast("double") / F.lit(n)

@@ -87,6 +87,9 @@ class QueryParser:
     # in order on any `lo..hi` token; first processor whose marker matches
     # wins (Date/NumberRangeProcessor in rangeproc.py)
     rangeprocs: list = field(default_factory=list)
+    # FieldProcessor map (queryparser.h FieldProcessor): field -> callable
+    # receiving the raw text after `field:`, returning an ast Node
+    field_processors: dict = field(default_factory=dict)
     stopwords: frozenset[str] | None = None
     # synonym dictionary (the synonym table of glass_spelling's sibling
     # glass_synonym B-tree): term -> synonyms; used by `~term` syntax and,
@@ -112,6 +115,13 @@ class QueryParser:
     def add_rangeprocessor(self, proc) -> None:
         """QueryParser::add_rangeprocessor (queryparser.h:1070-1090)."""
         self.rangeprocs.append(proc)
+
+    def add_field_processor(self, fname: str, fn) -> None:
+        """QueryParser::add_prefix(field, FieldProcessor) overload
+        (queryparser.h:840-870; include/xapian/queryparser.h
+        FieldProcessor): `field:text` is handed verbatim to fn, which
+        returns a query Node (or None for MatchNothing)."""
+        self.field_processors[fname] = fn
 
     # -- lexer ---------------------------------------------------------------
 
@@ -299,6 +309,9 @@ class QueryParser:
         must attach via OP_FILTER: same-group terms OR together, distinct
         groups AND (the reference's filter grouping, queryparser.lemony
         boolean-prefix handling)."""
+        if fname in self.field_processors:
+            node = self.field_processors[fname](rest)
+            return (node if node is not None else ast.MatchNothing()), None
         if fname in self.range_fields and ".." in rest:
             lo, hi = rest.split("..", 1)
             col = self.range_fields[fname]
