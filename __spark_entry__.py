@@ -125,6 +125,26 @@ def _q_count_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.agg(F.count(F.lit(1)).cast("long").alias("cnt"))
 
 
+def _q_matches_estimated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MSet::get_matches_estimated (matcher.cc:434-475): exact total match
+    count for a boolean query, independent of the requested page size."""
+    idx = _index(spark, sf_dir)
+    m = Planner(idx).plan(ast.Or((ast.Term("dup"), ast.Term("vector"))))
+    return m.agg(F.count(F.lit(1)).cast("long").alias("matches"))
+
+
+def _q_allterms_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Database::allterms_begin paging: dictionary slice by prefix with
+    term frequencies (glass termlist B-tree cursor analogue)."""
+    idx = _index(spark, sf_dir)
+    return (
+        idx.term_stats.where(F.col("term").startswith("s"))
+        .select("term", "tf")
+        .orderBy("term")
+        .limit(50)
+    )
+
+
 def _q_sort_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort-by-value (KeyMaker analogue, enquire.h:170-270): matches of a
     term ordered by a doc value column instead of relevance."""
@@ -614,6 +634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ast.Filter(ast.Term("join"), ast.ValueRange("n_chars", 120, 360))
         ),
         "count_all": _q_count_all,
+        "matches_estimated": _q_matches_estimated,
+        "allterms_page": _q_allterms_page,
         "sort_by_value": _q_sort_by_value,
         "sort_multi_key": _q_sort_multi_key,
         "date_range": _q_date_range,
@@ -950,6 +972,18 @@ SELECT i AS media_id, kind, n_bytes,
 FROM f ORDER BY media_id
 """
     q["count_all"] = "SELECT count(*) AS cnt FROM documents"
+    # exact total match count (get_matches_estimated)
+    q["matches_estimated"] = (
+        _PRELUDE
+        + "SELECT count(*) AS matches FROM (SELECT DISTINCT docid "
+        "FROM post WHERE term IN ('dup', 'vector'))"
+    )
+    # dictionary paging by prefix (allterms cursor)
+    q["allterms_page"] = (
+        _PRELUDE
+        + "SELECT term, tf FROM tstat WHERE term LIKE 's%' "
+        "ORDER BY term LIMIT 50"
+    )
     q["sort_by_value"] = (
         _PRELUDE
         + """

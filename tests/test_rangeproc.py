@@ -157,3 +157,25 @@ def test_range_combines_as_filter():
     )
     assert isinstance(node, ast.Filter)
     assert isinstance(node.right, ast.Or)
+
+
+def test_rangeproc_does_not_break_field_qualifiers():
+    """Registering a RangeProcessor must not hijack field-qualified
+    range tokens handled by range_fields / field_processors (regression:
+    the rangeproc check used to raise before field parsing ran)."""
+    qp = QueryParser(range_fields={"n_chars": "n_chars"})
+    qp.add_rangeprocessor(DateRangeProcessor("date_val", marker="date:"))
+    node = qp.parse_query("join n_chars:120..360")
+    assert isinstance(node, ast.Filter)
+    vr = node.right
+    assert (vr.field, vr.lo, vr.hi) == ("n_chars", 120.0, 360.0)
+    # field processors also win over the unknown-range error
+    qp2 = QueryParser()
+    qp2.add_rangeprocessor(DateRangeProcessor("d", marker="date:"))
+    qp2.add_field_processor("span", lambda text: ast.Term("SP" + text))
+    assert qp2.parse_query("span:a..b") == ast.Term("SPa..b")
+    # truly unclaimed ranges still raise
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="Unknown range"):
+        qp2.parse_query("1999-03-12..2001")

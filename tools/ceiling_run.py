@@ -31,8 +31,19 @@ SCALING = os.path.join(HERE, "scaling_run.py")
 def run_level(cpu_range: str, env: dict) -> subprocess.Popen:
     return subprocess.Popen(
         ["taskset", "-c", cpu_range, sys.executable, SCALING, "--level", "8"],
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
     )
+
+
+def read_result(p: subprocess.Popen, label: str) -> dict:
+    out, err = p.communicate()
+    lines = out.strip().splitlines() if out else []
+    if p.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"scaling_run level '{label}' failed "
+            f"(rc={p.returncode}): {err[-800:] if err else 'no stderr'}"
+        )
+    return json.loads(lines[-1])
 
 
 def main():
@@ -42,16 +53,12 @@ def main():
         SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "8g"),
     )
     # solo 8-core reference
-    p = run_level("0-7", env)
-    solo = json.loads(p.communicate()[0].strip().splitlines()[-1])
+    solo = read_result(run_level("0-7", env), "solo 0-7")
 
     # 4 concurrent instances on disjoint core sets
     ranges = ["0-7", "8-15", "16-23", "24-31"]
     procs = [run_level(r, env) for r in ranges]
-    conc = [
-        json.loads(pr.communicate()[0].strip().splitlines()[-1])
-        for pr in procs
-    ]
+    conc = [read_result(pr, r) for pr, r in zip(procs, ranges)]
     import statistics
 
     conc_build = statistics.median(c["build_sec"] for c in conc)

@@ -127,8 +127,14 @@ def main():
             "taskset", "-c", f"0-{cores - 1}",
             sys.executable, here, "--level", str(cores),
         ]
+        # heap scales with cores: a 4N-core level runs 4x the concurrent
+        # tasks and allocation rate, so a fixed heap GC-starves it — the
+        # single-JVM analogue of giving each executor its own memory on a
+        # real cluster (measured: same heap at 8 vs 32 cores capped the
+        # tokenize stage at 2.2x instead of ~4x)
         env = dict(os.environ, SPARK_GRAFT_AMPLIFY=str(AMPLIFY),
-                   SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "12g"))
+                   SPARK_DRIVER_MEM=os.environ.get(
+                       "SPARK_DRIVER_MEM", f"{max(12, int(cores * 1.5))}g"))
         out = subprocess.run(
             cmd, capture_output=True, text=True, env=env, check=True
         )

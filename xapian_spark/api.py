@@ -56,18 +56,24 @@ class MSet(list):
     got before terminating (matcher.cc:434-475); a Spark match is a full
     set-at-a-time evaluation, so the count is EXACT and lower bound ==
     estimate == upper bound (the reference also collapses the three when
-    it has seen every match)."""
+    it has seen every match).  The count job runs LAZILY on first access,
+    so callers that never read the match counts pay nothing extra."""
 
-    matches: int = 0
+    _count_fn = None
+    _matches: int | None = None
 
     def get_matches_estimated(self) -> int:
-        return self.matches
+        if self._matches is None:
+            self._matches = (
+                int(self._count_fn()) if self._count_fn else len(self)
+            )
+        return self._matches
 
     def get_matches_lower_bound(self) -> int:
-        return self.matches
+        return self.get_matches_estimated()
 
     def get_matches_upper_bound(self) -> int:
-        return self.matches
+        return self.get_matches_estimated()
 
 
 class Database:
@@ -183,10 +189,9 @@ class WritableDatabase(Database):
             )
             if os.path.exists(syn_path):
                 new = self.spark.read.parquet(syn_path).unionByName(new)
-            new = new.distinct().persist()
-            new.count()  # materialize before overwrite of the source path
-            new.write.mode("overwrite").parquet(syn_path + ".tmp")
-            new.unpersist()
+            # write to .tmp then rename: the source parquet is never
+            # overwritten while being read, so no materialization needed
+            new.distinct().write.mode("overwrite").parquet(syn_path + ".tmp")
             import shutil
 
             if os.path.exists(syn_path):
@@ -402,8 +407,9 @@ class Enquire:
             )
         if self._weight_cutoff:
             m = m.where(F.col("score") >= F.lit(self._weight_cutoff))
-        # exact total match count (get_matches_estimated; see MSet)
-        n_matches = m.count()
+        # exact total match count, evaluated lazily on first
+        # get_matches_estimated() call (see MSet)
+        count_fn = m.count
         did = F.asc("docid") if self._docid_asc else F.desc("docid")
         if self._sort_by:
             vals = [
@@ -443,7 +449,7 @@ class Enquire:
                 for r in with_percent(top, "score").collect()
             ]
         out = MSet()
-        out.matches = n_matches
+        out._count_fn = count_fn
         rank = -1
         for i, (docid, score, percent) in enumerate(rows):
             if i < first:

@@ -97,13 +97,18 @@ def inverter_udf(mode: str = "xapian", stopwords: frozenset[str] | None = None):
     def _inv(texts: pd.Series) -> pd.Series:
         out = []
         for text in texts.tolist():
-            acc: dict[str, list[int]] = {}
+            # ngram bigrams arrive with position None (wdf-only) — track
+            # wdf and positions separately, same as invert_doc
+            wdf_acc: dict[str, int] = {}
+            pos_acc: dict[str, list[int]] = {}
             for term, pos in tokenize_with_positions(
                 text or "", mode=mode, stopwords=stopwords
             ):
-                acc.setdefault(term, []).append(pos)
+                wdf_acc[term] = wdf_acc.get(term, 0) + 1
+                if pos is not None:
+                    pos_acc.setdefault(term, []).append(pos)
             out.append(
-                [(t, len(ps), ps) for t, ps in acc.items()]
+                [(t, w, pos_acc.get(t, [])) for t, w in wdf_acc.items()]
             )
         return pd.Series(out)
 

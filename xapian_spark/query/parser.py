@@ -518,6 +518,7 @@ class QueryParser:
             return ast.Phrase(tuple(terms), len(terms)), i + 1, None
         if t.kind == "word" or (t.kind == "op"):
             text = t.text
+            range_unclaimed = False
             if ".." in text and self.rangeprocs:
                 b, e = text.split("..", 1)
                 for rp in self.rangeprocs:
@@ -527,10 +528,10 @@ class QueryParser:
                         # same-slot ranges OR, distinct slots AND
                         # (queryparser grouping, :2236-2247)
                         return node, i + 1, f"range:{node.field}"
-                # no processor claimed it: "Unknown range operation"
-                # (queryparser.lemony range handling; api_queryparser.cc
-                # qp_daterange1 expects a parse error)
-                raise ValueError(f"Unknown range operation: {text!r}")
+                # no processor claimed it — fall through to the field-
+                # qualifier handling (a registered field: prefix like
+                # n_chars:120..360 must keep working), then raise
+                range_unclaimed = True
             mq = re.match(r"^([A-Za-z_][\w]*):$", text)
             if (
                 mq
@@ -554,6 +555,11 @@ class QueryParser:
                 if node is not None:
                     return node, i + 1, fg
                 # unknown field: index the whole token as words
+            if range_unclaimed:
+                # a lo..hi token no processor or field qualifier claimed:
+                # "Unknown range operation" (api_queryparser.cc
+                # qp_daterange1/2 expect a parse error)
+                raise ValueError(f"Unknown range operation: {text!r}")
             return self._word_node(text, positional=positional), i + 1, None
         return None, i + 1, None
 

@@ -720,6 +720,18 @@ class Planner:
 
         from pyspark.sql import Window
 
+        from xapian_spark.ranking.weights import BM25Weight, TradWeight
+
+        # Both batch paths bake ONE shared sumpart shape
+        # (tw*wdf/(k1*(normlen*b+1-b)+wdf)) with per-term tw — exact for
+        # the BM25/Trad family only; other schemes would silently get the
+        # wrong formula, so reject them loudly (use search_batch instead).
+        if not isinstance(self.weight, (BM25Weight, TradWeight)):
+            raise ValueError(
+                "search_batch_or supports BM25-shaped weights "
+                f"(got {type(self.weight).__name__}); use search_batch"
+            )
+
         all_terms = sorted({t for ts in queries.values() for t in ts})
         tstats = self.index.collect_term_stats(all_terms)
 

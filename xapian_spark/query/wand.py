@@ -116,6 +116,9 @@ def wand_topk(
     surviving = qblocks.where(bound)
 
     # -- pass 2: candidates + exact rescore ---------------------------------
+    # persist: the candidate set feeds both the size gate and the final
+    # join; Spark's ContextCleaner drops the cached partitions once the
+    # returned plan's references are garbage collected
     cands = unpack_blocks(surviving).select("docid").distinct().persist()
     n_cands = cands.count()
     if n_cands <= max_broadcast_candidates:
