@@ -39,6 +39,21 @@ SPOT = {
         ("быстрее", "быстр"),
         ("плохими", "плох"),
     ],
+    "danish": [
+        ("undersøgelse", "undersøg"),
+        ("betydningen", "betydning"),
+        ("kommunerne", "kommun"),
+    ],
+    "norwegian": [
+        ("forskjellige", "forskjel"),
+        ("hetene", "het"),
+        ("bakerst", "bakerst"),
+    ],
+    "swedish": [
+        ("verksamheterna", "verksam"),
+        ("skillnaderna", "skillnad"),
+        ("flerfullt", "flerfull"),
+    ],
 }
 
 
@@ -49,7 +64,9 @@ def test_spot_goldens(lang):
         assert st(word) == want, (lang, word)
 
 
-@pytest.mark.parametrize("lang", ["french", "german2", "russian"])
+@pytest.mark.parametrize(
+    "lang", ["french", "german2", "russian", "danish", "norwegian", "swedish"]
+)
 def test_full_snowball_vocabulary(lang):
     voc = os.path.join(_DATA, lang, "voc.txt")
     out = os.path.join(_DATA, lang, "output.txt")

@@ -286,6 +286,11 @@ class Stemmer:
         "fr": "french", "french": "french",
         "de2": "german2", "german2": "german2",
         "ru": "russian", "russian": "russian",
+        "da": "danish", "danish": "danish",
+        # Snowball's norwegian covers nb and nn (norwegian.sbl alias note)
+        "nb": "norwegian", "nn": "norwegian", "no": "norwegian",
+        "norwegian": "norwegian",
+        "sv": "swedish", "swedish": "swedish",
         "none": "none",
     }
 
@@ -308,6 +313,14 @@ class Stemmer:
             from xapian_spark.text.stem_ru import stem_ru
 
             self._fn = stem_ru
+        elif lang in ("danish", "norwegian", "swedish"):
+            from xapian_spark.text import stem_scand
+
+            self._fn = {
+                "danish": stem_scand.stem_da,
+                "norwegian": stem_scand.stem_no,
+                "swedish": stem_scand.stem_sv,
+            }[lang]
         else:
             self._fn = lambda w: w
 
