@@ -188,3 +188,14 @@ def test_eset_expand_decider(simple_index):
         ).collect()
     ]
     assert cal == sql
+
+
+def test_get_corrected_query_string(simple_index):
+    """QueryParser::get_corrected_query_string (queryparser.h:1079):
+    unknown terms replaced by their suggestion; '' when nothing changed."""
+    from xapian_spark.query.parser import QueryParser
+
+    qp = QueryParser()
+    got = qp.get_corrected_query_string("parograph search", simple_index)
+    assert got == "paragraph search"
+    assert qp.get_corrected_query_string("paragraph search", simple_index) == ""

@@ -116,6 +116,26 @@ class QueryParser:
         """QueryParser::add_rangeprocessor (queryparser.h:1070-1090)."""
         self.rangeprocs.append(proc)
 
+    def get_corrected_query_string(self, s: str, index) -> str:
+        """QueryParser::get_corrected_query_string (queryparser.h:1079):
+        the query string with each unknown term replaced by its best
+        spelling suggestion; empty string when nothing was corrected
+        (reference convention)."""
+        from xapian_spark.query.expand import suggest_spelling
+
+        corrected = []
+        changed = False
+        for tok in s.split(" "):
+            low = tok.lower()
+            if re.fullmatch(r"[a-z0-9_]+", low):
+                sug = suggest_spelling(index, low)
+                if sug is not None:
+                    corrected.append(sug)
+                    changed = True
+                    continue
+            corrected.append(tok)
+        return " ".join(corrected) if changed else ""
+
     def add_field_processor(self, fname: str, fn) -> None:
         """QueryParser::add_prefix(field, FieldProcessor) overload
         (queryparser.h:840-870; include/xapian/queryparser.h

@@ -291,6 +291,9 @@ class Stemmer:
         "nb": "norwegian", "nn": "norwegian", "no": "norwegian",
         "norwegian": "norwegian",
         "sv": "swedish", "swedish": "swedish",
+        "es": "spanish", "spanish": "spanish",
+        "pt": "portuguese", "portuguese": "portuguese",
+        "it": "italian", "italian": "italian",
         "none": "none",
     }
 
@@ -313,6 +316,18 @@ class Stemmer:
             from xapian_spark.text.stem_ru import stem_ru
 
             self._fn = stem_ru
+        elif lang == "spanish":
+            from xapian_spark.text.stem_es import stem_es
+
+            self._fn = stem_es
+        elif lang == "portuguese":
+            from xapian_spark.text.stem_pt import stem_pt
+
+            self._fn = stem_pt
+        elif lang == "italian":
+            from xapian_spark.text.stem_it import stem_it
+
+            self._fn = stem_it
         elif lang in ("danish", "norwegian", "swedish"):
             from xapian_spark.text import stem_scand
 
