@@ -294,6 +294,7 @@ class Stemmer:
         "es": "spanish", "spanish": "spanish",
         "pt": "portuguese", "portuguese": "portuguese",
         "it": "italian", "italian": "italian",
+        "nl": "dutch", "dutch": "dutch",
         "none": "none",
     }
 
@@ -328,6 +329,10 @@ class Stemmer:
             from xapian_spark.text.stem_it import stem_it
 
             self._fn = stem_it
+        elif lang == "dutch":
+            from xapian_spark.text.stem_nl import stem_nl
+
+            self._fn = stem_nl
         elif lang in ("danish", "norwegian", "swedish"):
             from xapian_spark.text import stem_scand
 
