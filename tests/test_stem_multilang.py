@@ -66,7 +66,7 @@ def test_spot_goldens(lang):
 
 @pytest.mark.parametrize(
     "lang", ["french", "german2", "russian", "danish", "norwegian",
-             "swedish", "spanish", "portuguese", "italian", "dutch"]
+             "swedish", "spanish", "portuguese", "italian", "dutch", "romanian"]
 )
 def test_full_snowball_vocabulary(lang):
     voc = os.path.join(_DATA, lang, "voc.txt")
@@ -81,6 +81,20 @@ def test_full_snowball_vocabulary(lang):
         (w, st(w), o) for w, o in zip(words, wants) if st(w) != o
     ]
     assert not bad, f"{len(bad)} mismatches, first: {bad[:5]}"
+
+
+def test_romanian_voc2():
+    """Second Romanian vocabulary (older orthography + punctuation-bearing
+    tokens): byte parity too."""
+    voc = os.path.join(_DATA, "romanian", "voc2.txt")
+    out = os.path.join(_DATA, "romanian", "output2.txt")
+    if not os.path.exists(voc):
+        pytest.skip("snowball vocabulary not available")
+    st = Stemmer("ro")
+    words = open(voc, encoding="utf-8").read().splitlines()
+    wants = open(out, encoding="utf-8").read().splitlines()
+    bad = [(w, st(w), o) for w, o in zip(words, wants) if st(w) != o]
+    assert not bad, bad[:5]
 
 
 def test_aliases_and_none():

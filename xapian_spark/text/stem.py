@@ -295,6 +295,7 @@ class Stemmer:
         "pt": "portuguese", "portuguese": "portuguese",
         "it": "italian", "italian": "italian",
         "nl": "dutch", "dutch": "dutch",
+        "ro": "romanian", "romanian": "romanian",
         "none": "none",
     }
 
@@ -333,6 +334,10 @@ class Stemmer:
             from xapian_spark.text.stem_nl import stem_nl
 
             self._fn = stem_nl
+        elif lang == "romanian":
+            from xapian_spark.text.stem_ro import stem_ro
+
+            self._fn = stem_ro
         elif lang in ("danish", "norwegian", "swedish"):
             from xapian_spark.text import stem_scand
 
