@@ -284,6 +284,7 @@ class Stemmer:
     _ALIASES = {
         "en": "english", "english": "english",
         "fr": "french", "french": "french",
+        "de": "german", "german": "german",
         "de2": "german2", "german2": "german2",
         "ru": "russian", "russian": "russian",
         "da": "danish", "danish": "danish",
@@ -296,6 +297,7 @@ class Stemmer:
         "it": "italian", "italian": "italian",
         "nl": "dutch", "dutch": "dutch",
         "ro": "romanian", "romanian": "romanian",
+        "id": "indonesian", "indonesian": "indonesian",
         "none": "none",
     }
 
@@ -310,6 +312,10 @@ class Stemmer:
             from xapian_spark.text.stem_fr import stem_fr
 
             self._fn = stem_fr
+        elif lang == "german":
+            from xapian_spark.text.stem_de import stem_de
+
+            self._fn = stem_de
         elif lang == "german2":
             from xapian_spark.text.stem_de import stem_de2
 
@@ -338,6 +344,10 @@ class Stemmer:
             from xapian_spark.text.stem_ro import stem_ro
 
             self._fn = stem_ro
+        elif lang == "indonesian":
+            from xapian_spark.text.stem_id import stem_id
+
+            self._fn = stem_id
         elif lang in ("danish", "norwegian", "swedish"):
             from xapian_spark.text import stem_scand
 

@@ -90,9 +90,35 @@ def _longest(w: str, *groups: tuple[str, ...]):
     return best
 
 
+def _prelude_plain(word: str) -> str:
+    """Plain `german` prelude (german.sbl:34-45): ß -> ss and u/y marking
+    only — no ae/oe/ue folding, no qu protection.  (ß/ss are not vowels,
+    so the fold-vs-mark order difference from german2 cannot matter.)"""
+    s = list(word.replace("ß", "ss"))
+    n = len(s)
+    i = 1
+    while i < n - 1:
+        if s[i] in "uy" and s[i - 1] in _V and s[i + 1] in _V:
+            s[i] = s[i].upper()
+            i += 2
+            continue
+        i += 1
+    return "".join(s)
+
+
+@lru_cache(maxsize=1 << 17)
+def stem_de(word: str) -> str:
+    """Plain German Snowball (german.sbl; Xapian::Stem("de")): identical
+    to german2 except for the prelude."""
+    return _steps(_prelude_plain(word))
+
+
 @lru_cache(maxsize=1 << 17)
 def stem_de2(word: str) -> str:
-    w = _prelude(word)
+    return _steps(_prelude(word))
+
+
+def _steps(w: str) -> str:
     p1, p2 = _regions(w)
 
     # -- step 1 (R1) ------------------------------------------------------
