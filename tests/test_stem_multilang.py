@@ -67,7 +67,7 @@ def test_spot_goldens(lang):
 @pytest.mark.parametrize(
     "lang", ["french", "german2", "russian", "danish", "norwegian",
              "swedish", "spanish", "portuguese", "italian", "dutch", "romanian",
-             "german", "indonesian"]
+             "german", "indonesian", "irish", "basque"]
 )
 def test_full_snowball_vocabulary(lang):
     voc = os.path.join(_DATA, lang, "voc.txt")

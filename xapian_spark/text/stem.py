@@ -298,6 +298,8 @@ class Stemmer:
         "nl": "dutch", "dutch": "dutch",
         "ro": "romanian", "romanian": "romanian",
         "id": "indonesian", "indonesian": "indonesian",
+        "ga": "irish", "irish": "irish",
+        "eu": "basque", "basque": "basque",
         "none": "none",
     }
 
@@ -348,6 +350,14 @@ class Stemmer:
             from xapian_spark.text.stem_id import stem_id
 
             self._fn = stem_id
+        elif lang == "irish":
+            from xapian_spark.text.stem_ga import stem_ga
+
+            self._fn = stem_ga
+        elif lang == "basque":
+            from xapian_spark.text.stem_eu import stem_eu
+
+            self._fn = stem_eu
         elif lang in ("danish", "norwegian", "swedish"):
             from xapian_spark.text import stem_scand
 
