@@ -300,6 +300,7 @@ class Stemmer:
         "id": "indonesian", "indonesian": "indonesian",
         "ga": "irish", "irish": "irish",
         "eu": "basque", "basque": "basque",
+        "hu": "hungarian", "hungarian": "hungarian",
         "none": "none",
     }
 
@@ -358,6 +359,10 @@ class Stemmer:
             from xapian_spark.text.stem_eu import stem_eu
 
             self._fn = stem_eu
+        elif lang == "hungarian":
+            from xapian_spark.text.stem_hu import stem_hu
+
+            self._fn = stem_hu
         elif lang in ("danish", "norwegian", "swedish"):
             from xapian_spark.text import stem_scand
 
