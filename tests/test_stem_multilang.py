@@ -67,7 +67,8 @@ def test_spot_goldens(lang):
 @pytest.mark.parametrize(
     "lang", ["french", "german2", "russian", "danish", "norwegian",
              "swedish", "spanish", "portuguese", "italian", "dutch", "romanian",
-             "german", "indonesian", "irish", "basque", "hungarian"]
+             "german", "indonesian", "irish", "basque", "hungarian",
+             "finnish"]
 )
 def test_full_snowball_vocabulary(lang):
     voc = os.path.join(_DATA, lang, "voc.txt")

@@ -301,6 +301,7 @@ class Stemmer:
         "ga": "irish", "irish": "irish",
         "eu": "basque", "basque": "basque",
         "hu": "hungarian", "hungarian": "hungarian",
+        "fi": "finnish", "finnish": "finnish",
         "none": "none",
     }
 
@@ -363,6 +364,10 @@ class Stemmer:
             from xapian_spark.text.stem_hu import stem_hu
 
             self._fn = stem_hu
+        elif lang == "finnish":
+            from xapian_spark.text.stem_fi import stem_fi
+
+            self._fn = stem_fi
         elif lang in ("danish", "norwegian", "swedish"):
             from xapian_spark.text import stem_scand
 
