@@ -68,7 +68,7 @@ def test_spot_goldens(lang):
     "lang", ["french", "german2", "russian", "danish", "norwegian",
              "swedish", "spanish", "portuguese", "italian", "dutch", "romanian",
              "german", "indonesian", "irish", "basque", "hungarian",
-             "finnish"]
+             "finnish", "porter"]
 )
 def test_full_snowball_vocabulary(lang):
     voc = os.path.join(_DATA, lang, "voc.txt")
@@ -76,13 +76,27 @@ def test_full_snowball_vocabulary(lang):
     if not os.path.exists(voc):
         pytest.skip("snowball vocabulary not available")
     st = Stemmer(lang)
-    words = open(voc, encoding="utf-8").read().split()
-    wants = open(out, encoding="utf-8").read().split()
+    # splitlines, not split: porter stems "s" to the EMPTY string
+    words = open(voc, encoding="utf-8").read().splitlines()
+    wants = open(out, encoding="utf-8").read().splitlines()
     assert len(words) == len(wants)
     bad = [
         (w, st(w), o) for w, o in zip(words, wants) if st(w) != o
     ]
     assert not bad, f"{len(bad)} mismatches, first: {bad[:5]}"
+
+
+def test_earlyenglish_variant():
+    """earlyenglish = porter + -est/-eth stripping (earlyenglish.sbl
+    Step_1b); no public vocabulary, so algorithmic spot checks."""
+    ee, po = Stemmer("earlyenglish"), Stemmer("porter")
+    assert ee("loveth") == "love"
+    assert po("loveth") == "loveth"
+    assert ee("goest") == "go"
+    assert po("goest") == "goest"
+    # identical away from est/eth
+    for w in ("running", "happiness", "relational", "ties"):
+        assert ee(w) == po(w)
 
 
 def test_romanian_voc2():

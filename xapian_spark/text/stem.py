@@ -302,6 +302,7 @@ class Stemmer:
         "eu": "basque", "basque": "basque",
         "hu": "hungarian", "hungarian": "hungarian",
         "fi": "finnish", "finnish": "finnish",
+        "porter": "porter", "earlyenglish": "earlyenglish",
         "none": "none",
     }
 
@@ -368,6 +369,11 @@ class Stemmer:
             from xapian_spark.text.stem_fi import stem_fi
 
             self._fn = stem_fi
+        elif lang in ("porter", "earlyenglish"):
+            from xapian_spark.text import stem_porter as _sp
+
+            self._fn = (_sp.stem_porter if lang == "porter"
+                        else _sp.stem_earlyenglish)
         elif lang in ("danish", "norwegian", "swedish"):
             from xapian_spark.text import stem_scand
 
