@@ -303,6 +303,7 @@ class Stemmer:
         "hu": "hungarian", "hungarian": "hungarian",
         "fi": "finnish", "finnish": "finnish",
         "porter": "porter", "earlyenglish": "earlyenglish",
+        "lt": "lithuanian", "lithuanian": "lithuanian",
         "none": "none",
     }
 
@@ -369,6 +370,10 @@ class Stemmer:
             from xapian_spark.text.stem_fi import stem_fi
 
             self._fn = stem_fi
+        elif lang == "lithuanian":
+            from xapian_spark.text.stem_lt import stem_lt
+
+            self._fn = stem_lt
         elif lang in ("porter", "earlyenglish"):
             from xapian_spark.text import stem_porter as _sp
 
