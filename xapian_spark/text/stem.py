@@ -304,6 +304,7 @@ class Stemmer:
         "fi": "finnish", "finnish": "finnish",
         "porter": "porter", "earlyenglish": "earlyenglish",
         "lt": "lithuanian", "lithuanian": "lithuanian",
+        "ne": "nepali", "nepali": "nepali",
         "none": "none",
     }
 
@@ -374,6 +375,10 @@ class Stemmer:
             from xapian_spark.text.stem_lt import stem_lt
 
             self._fn = stem_lt
+        elif lang == "nepali":
+            from xapian_spark.text.stem_ne import stem_ne
+
+            self._fn = stem_ne
         elif lang in ("porter", "earlyenglish"):
             from xapian_spark.text import stem_porter as _sp
 
