@@ -303,6 +303,7 @@ class Stemmer:
         "hu": "hungarian", "hungarian": "hungarian",
         "fi": "finnish", "finnish": "finnish",
         "porter": "porter", "earlyenglish": "earlyenglish",
+        "lovins": "lovins",
         "lt": "lithuanian", "lithuanian": "lithuanian",
         "ne": "nepali", "nepali": "nepali",
         "none": "none",
@@ -379,6 +380,10 @@ class Stemmer:
             from xapian_spark.text.stem_ne import stem_ne
 
             self._fn = stem_ne
+        elif lang == "lovins":
+            from xapian_spark.text.stem_lovins import stem_lovins
+
+            self._fn = stem_lovins
         elif lang in ("porter", "earlyenglish"):
             from xapian_spark.text import stem_porter as _sp
 
