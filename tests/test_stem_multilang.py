@@ -68,7 +68,8 @@ def test_spot_goldens(lang):
     "lang", ["french", "german2", "russian", "danish", "norwegian",
              "swedish", "spanish", "portuguese", "italian", "dutch", "romanian",
              "german", "indonesian", "irish", "basque", "hungarian",
-             "finnish", "porter", "lithuanian", "nepali", "lovins"]
+             "finnish", "porter", "lithuanian", "nepali", "lovins",
+             "kraaij_pohlmann"]
 )
 def test_full_snowball_vocabulary(lang):
     voc = os.path.join(_DATA, lang, "voc.txt")

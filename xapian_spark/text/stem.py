@@ -303,7 +303,7 @@ class Stemmer:
         "hu": "hungarian", "hungarian": "hungarian",
         "fi": "finnish", "finnish": "finnish",
         "porter": "porter", "earlyenglish": "earlyenglish",
-        "lovins": "lovins",
+        "lovins": "lovins", "kraaij_pohlmann": "kraaij_pohlmann",
         "lt": "lithuanian", "lithuanian": "lithuanian",
         "ne": "nepali", "nepali": "nepali",
         "none": "none",
@@ -384,6 +384,10 @@ class Stemmer:
             from xapian_spark.text.stem_lovins import stem_lovins
 
             self._fn = stem_lovins
+        elif lang == "kraaij_pohlmann":
+            from xapian_spark.text.stem_kp import stem_kp
+
+            self._fn = stem_kp
         elif lang in ("porter", "earlyenglish"):
             from xapian_spark.text import stem_porter as _sp
 
