@@ -69,7 +69,7 @@ def test_spot_goldens(lang):
              "swedish", "spanish", "portuguese", "italian", "dutch", "romanian",
              "german", "indonesian", "irish", "basque", "hungarian",
              "finnish", "porter", "lithuanian", "nepali", "lovins",
-             "kraaij_pohlmann"]
+             "kraaij_pohlmann", "turkish"]
 )
 def test_full_snowball_vocabulary(lang):
     voc = os.path.join(_DATA, lang, "voc.txt")

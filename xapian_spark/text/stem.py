@@ -306,6 +306,7 @@ class Stemmer:
         "lovins": "lovins", "kraaij_pohlmann": "kraaij_pohlmann",
         "lt": "lithuanian", "lithuanian": "lithuanian",
         "ne": "nepali", "nepali": "nepali",
+        "tr": "turkish", "turkish": "turkish",
         "none": "none",
     }
 
@@ -380,6 +381,10 @@ class Stemmer:
             from xapian_spark.text.stem_ne import stem_ne
 
             self._fn = stem_ne
+        elif lang == "turkish":
+            from xapian_spark.text.stem_tr import stem_tr
+
+            self._fn = stem_tr
         elif lang == "lovins":
             from xapian_spark.text.stem_lovins import stem_lovins
 
