@@ -87,6 +87,18 @@ def test_full_snowball_vocabulary(lang):
     assert not bad, f"{len(bad)} mismatches, first: {bad[:5]}"
 
 
+def test_tamil_smoke():
+    """Tamil has no public Snowball vocabulary (xapian-data ships only
+    COPYING), so spec-derived spot checks: plural/tense suffixes strip to
+    real Tamil stems."""
+    st = Stemmer("ta")
+    assert st("புத்தகங்கள்") == "புத்தகம்"   # books -> book
+    assert st("வீடுகள்") == "வீடு"           # houses -> house
+    assert st("படித்தேன்") == "படி"          # I-read -> read
+    assert st("செய்கிறான்") == "செய்"        # he-does -> do
+    assert st("தமிழ்") == "தமிழ்"            # short word unchanged
+
+
 def test_earlyenglish_variant():
     """earlyenglish = porter + -est/-eth stripping (earlyenglish.sbl
     Step_1b); no public vocabulary, so algorithmic spot checks."""

@@ -307,6 +307,7 @@ class Stemmer:
         "lt": "lithuanian", "lithuanian": "lithuanian",
         "ne": "nepali", "nepali": "nepali",
         "tr": "turkish", "turkish": "turkish",
+        "ta": "tamil", "tamil": "tamil",
         "none": "none",
     }
 
@@ -385,6 +386,10 @@ class Stemmer:
             from xapian_spark.text.stem_tr import stem_tr
 
             self._fn = stem_tr
+        elif lang == "tamil":
+            from xapian_spark.text.stem_ta import stem_ta
+
+            self._fn = stem_ta
         elif lang == "lovins":
             from xapian_spark.text.stem_lovins import stem_lovins
 
