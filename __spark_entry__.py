@@ -16,10 +16,21 @@ tokenizer (termgenerator_internal.cc semantics) and the oracle's
 regexp_extract_all(lower(text), '[a-z0-9_]+') produce identical term/pos
 streams; tokenizer-fidelity edge cases (acronyms, infix, +/# suffixes) are
 covered by the pytest golden suite instead (tests/test_tokenizer.py).
+
+Entry-count policy: the driver checks the FIRST 50 queries() entries, so
+the dict is capped at exactly 50 with every training-data-pipeline / ANN
+operator inside the window.  The 16 weight schemes keep 3 driver rows
+(BM25 via term_bm25, TfIdf, PL2); the other 13 are pinned to the literal
+api_weight.cc doubles in tests/test_reference_golden.py.  Entries removed
+from the window in round 3 (all hash-green in earlier rounds, still
+pytest-covered): trad/coord/bool/bm25plus/inl2/dph/ifb2/dice/lm weights,
+tfidf_pivoted, value_weight_source, count_all, sort_by_value,
+stemmed_search_fr, diversify_rerank.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -29,20 +40,7 @@ from xapian_spark.index.builder import InvertedIndex, build_index, persist_index
 from xapian_spark.ops import dedup, similarity, textstats
 from xapian_spark.query import ast
 from xapian_spark.query.planner import Planner
-from xapian_spark.ranking.weights import (
-    BM25Weight,
-    BM25PlusWeight,
-    BoolWeight,
-    CoordWeight,
-    DiceCoeffWeight,
-    DPHWeight,
-    IfB2Weight,
-    InL2Weight,
-    LMWeight,
-    PL2Weight,
-    TfIdfWeight,
-    TradWeight,
-)
+from xapian_spark.ranking.weights import PL2Weight, TfIdfWeight
 
 # --------------------------------------------------------------------------
 # shared index (built once per sf_dir, persisted)
@@ -119,12 +117,6 @@ def _search(node: ast.Node, k: int = 10, weight=None):
     return run
 
 
-def _q_count_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    idx = _index(spark, sf_dir)
-    m = Planner(idx).plan(ast.MatchAll())
-    return m.agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-
-
 def _q_matches_estimated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MSet::get_matches_estimated (matcher.cc:434-475): exact total match
     count for a boolean query, independent of the requested page size."""
@@ -142,19 +134,6 @@ def _q_allterms_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", "tf")
         .orderBy("term")
         .limit(50)
-    )
-
-
-def _q_sort_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sort-by-value (KeyMaker analogue, enquire.h:170-270): matches of a
-    term ordered by a doc value column instead of relevance."""
-    idx = _index(spark, sf_dir)
-    m = Planner(idx).plan(ast.Term("merge"))
-    return (
-        m.join(idx.docs.select("docid", "n_chars"), "docid")
-        .orderBy(F.desc("n_chars"), F.asc("docid"))
-        .limit(10)
-        .select("docid", "n_chars")
     )
 
 
@@ -192,13 +171,6 @@ def _round_cols(df: DataFrame, cols: list[str], nd: int = 6) -> DataFrame:
 
 
 # pipeline ops ---------------------------------------------------------------
-
-
-def _q_value_weight(spark, sf_dir):
-    """ExternalPostList / ValueWeightPostingSource analogue."""
-    return _search(ast.ValueWeightSource("n_chars", 0.01), k=10)(
-        spark, sf_dir
-    )
 
 
 def _q_match_decider(spark, sf_dir):
@@ -347,23 +319,6 @@ def _q_decreasing_value(spark, sf_dir):
     )
 
 
-def _q_diversify(spark, sf_dir):
-    """GLS diversification re-rank (diversify.cc) of a BM25 top-20 using
-    the embeddings table; iterative local search -> rows-only check."""
-    from xapian_spark.ops.diversify import diversify
-
-    idx = _index(spark, sf_dir)
-    mset = (
-        Planner(idx)
-        .search(ast.Or((ast.Term("dup"), ast.Term("vector"))), k=20)
-        .select("docid", "score")
-    )
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        (F.col("vec_id") + 1).cast("long").alias("docid"), "embedding"
-    )
-    return diversify(mset, emb, k=10)
-
-
 _STEM_IDX_CACHE: dict[str, object] = {}
 
 
@@ -388,42 +343,6 @@ def _q_stemmed_search(spark, sf_dir):
         _STEM_IDX_CACHE[sf_dir] = idx
     qp = QueryParser(stemmer=Stemmer("en"))
     q = qp.parse_query("merges scanning")
-    m = Planner(idx).plan(q)
-    return (
-        m.select("docid", F.round("score", 6).alias("score"))
-        .orderBy(F.desc("score"), F.asc("docid"))
-        .limit(10)
-    )
-
-
-_STEM_FR_IDX_CACHE: dict[str, InvertedIndex] = {}
-
-
-def _q_stemmed_search_fr(spark, sf_dir):
-    """French Snowball stemming end-to-end (Stem('french'); algorithm
-    validated byte-exact against the full public Snowball vocabulary in
-    tests/test_stem_multilang.py).  STEM_SOME French index + French
-    stemmed query.  Rows-only check: Snowball French is not expressible
-    in ANSI SQL."""
-    from xapian_spark.query.parser import QueryParser
-    from xapian_spark.text.stem import Stemmer
-
-    idx = _STEM_FR_IDX_CACHE.get(sf_dir)
-    if idx is None:
-        idx = build_index(
-            spark,
-            _docs(spark, sf_dir),
-            content_col="text",
-            docid_col="docid",
-            stemmer=Stemmer("french"),
-            stem_strategy="some",
-        )
-        persist_index(idx)
-        _STEM_FR_IDX_CACHE[sf_dir] = idx
-    qp = QueryParser(stemmer=Stemmer("french"))
-    # French-stemmed forms of corpus-adjacent words: 'merges'/'scanner'
-    # both stem to corpus stems under the French algorithm
-    q = qp.parse_query("merges scanner")
     m = Planner(idx).plan(q)
     return (
         m.select("docid", F.round("score", 6).alias("score"))
@@ -459,6 +378,24 @@ def _q_batch_or(spark, sf_dir):
     idx = _index(spark, sf_dir)
     qs = {"q1": ["dup", "vector"], "q2": ["scan"], "q3": ["key", "line", "fast"]}
     out = Planner(idx).search_batch_or(qs, k=10)
+    return out.select(
+        "query", "rank", "docid", F.round("score", 6).alias("score")
+    )
+
+
+def _q_batch_wand(spark, sf_dir):
+    """Batched set-at-a-time block-max WAND serving (wand.batch_wand_topk):
+    selective queries anchored on the rare term 'dup', where per-query
+    thresholds prune (query, block) pairs before payload decode.  Scores
+    are exactly the row-postings batch path's (WAND==brute equivalence is
+    also pytest-pinned), so the same SQL oracle applies."""
+    idx = _index(spark, sf_dir)
+    qs = {
+        "w1": ["dup", "vector"],
+        "w2": ["dup", "scan"],
+        "w3": ["dup", "key", "line"],
+    }
+    out = Planner(idx).search_batch_or(qs, k=10, use_wand=True)
     return out.select(
         "query", "rank", "docid", F.round("score", 6).alias("score")
     )
@@ -592,11 +529,17 @@ def _q_multimodal_features(spark, sf_dir):
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: BM25 top-10 for a mixed boolean query on sf0.001."""
+    """Flagship: BM25 top-10 for a mixed boolean query.
+
+    sf_dir defaults to the driver's smoke scale but is env-overridable
+    (SPARK_GRAFT_ENTRY_SF_DIR) so the smoke check can run at any scale."""
     q = ast.AndMaybe(
         ast.Or((ast.Term("dup"), ast.Term("vector"))), ast.Term("fast")
     )
-    return _search(q, k=10)(spark, "/root/testdata/sf0.001")
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ENTRY_SF_DIR", "/root/testdata/sf0.001"
+    )
+    return _search(q, k=10)(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -633,38 +576,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_range": _search(
             ast.Filter(ast.Term("join"), ast.ValueRange("n_chars", 120, 360))
         ),
-        "count_all": _q_count_all,
         "matches_estimated": _q_matches_estimated,
         "allterms_page": _q_allterms_page,
-        "sort_by_value": _q_sort_by_value,
         "sort_multi_key": _q_sort_multi_key,
         "date_range": _q_date_range,
         "collapse": _q_collapse,
         "facets": _q_facets,
-        # -- weight schemes (SURVEY §2.5)
-        "trad_weight": _search(ast.Term("dup"), weight=TradWeight),
+        # -- weight schemes (SURVEY §2.5): BM25 (term_bm25) + one vector-space
+        # + one DFR representative; the other 13 are pinned to literal
+        # api_weight.cc doubles in tests/test_reference_golden.py
         "tfidf_weight": _search(ast.Term("dup"), weight=TfIdfWeight),
-        "coord_weight": _search(
-            ast.Or((ast.Term("dup"), ast.Term("key"), ast.Term("line"))),
-            weight=CoordWeight,
-        ),
-        "bool_weight": _search(ast.Term("dup"), weight=BoolWeight),
-        "bm25plus_weight": _search(ast.Term("dup"), weight=BM25PlusWeight),
-        "inl2_weight": _search(ast.Term("dup"), weight=InL2Weight),
         "pl2_weight": _search(ast.Term("dup"), weight=PL2Weight),
-        "dph_weight": _search(ast.Term("dup"), weight=DPHWeight),
-        "ifb2_weight": _search(ast.Term("dup"), weight=IfB2Weight),
-        "dice_weight": _search(
-            ast.Or((ast.Term("dup"), ast.Term("key"))), weight=DiceCoeffWeight
-        ),
-        "lm_weight": _search(ast.Term("dup"), weight=LMWeight),
-        "value_weight_source": _q_value_weight,
-        "tfidf_pivoted": _search(
-            ast.Term("dup"),
-            weight=lambda: TfIdfWeight(normalizations="Ptn"),
-        ),
         "decreasing_value_source": _q_decreasing_value,
-        "diversify_rerank": _q_diversify,  # iterative GLS: rows-only
         "match_decider": _q_match_decider,
         "geo_nearest": _q_geo_nearest,
         # -- parser / expansion / serving (SURVEY §2.6, §2.3, §2.5)
@@ -673,10 +596,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_edit_distance": _q_fuzzy,
         "spelling_suggest": _q_spelling,
         "stemmed_search": _q_stemmed_search,  # rows-only: Porter2 not in SQL
-        "stemmed_search_fr": _q_stemmed_search_fr,  # rows-only: Snowball fr
         "bo1_eset": _q_bo1_eset,
         "percent_scores": _q_percent,
         "batch_or_serving": _q_batch_or,
+        "batch_wand_serving": _q_batch_wand,
         # -- training-data pipeline ops
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_jaccard,
@@ -971,7 +894,6 @@ SELECT i AS media_id, kind, n_bytes,
   round(('0x' || substr(h, 31, 2))::int / 255.0 * 2.0 - 1.0, 4) AS f15
 FROM f ORDER BY media_id
 """
-    q["count_all"] = "SELECT count(*) AS cnt FROM documents"
     # exact total match count (get_matches_estimated)
     q["matches_estimated"] = (
         _PRELUDE
@@ -983,15 +905,6 @@ FROM f ORDER BY media_id
         _PRELUDE
         + "SELECT term, tf FROM tstat WHERE term LIKE 's%' "
         "ORDER BY term LIMIT 50"
-    )
-    q["sort_by_value"] = (
-        _PRELUDE
-        + """
-SELECT d.doc_id + 1 AS docid, d.n_chars
-FROM documents d
-WHERE d.doc_id + 1 IN (SELECT docid FROM post WHERE term = 'merge')
-ORDER BY d.n_chars DESC, docid LIMIT 10
-"""
     )
     q["collapse"] = (
         _PRELUDE
@@ -1017,21 +930,6 @@ WHERE d.doc_id + 1 IN (SELECT docid FROM post WHERE term = 'batch')
 GROUP BY d.lang
 """
     )
-    # TradWeight (tradweight.cc): w = ln(tw') * wdf / (doclen/avg + wdf)
-    q["trad_weight"] = (
-        _PRELUDE
-        + """
-SELECT docid, score FROM (
-  SELECT p.docid,
-    round(ln(CASE WHEN (g.n - b.tf + 0.5) / (b.tf + 0.5) < 2
-             THEN (g.n - b.tf + 0.5) / (b.tf + 0.5) * 0.5 + 1
-             ELSE (g.n - b.tf + 0.5) / (b.tf + 0.5) END)
-      * (p.wdf / (1.0 * (greatest(l.doclen * (1.0 / (g.total / g.n)), 0.0) * 1.0 + 0.0) + p.wdf)), 6) AS score
-  FROM post p JOIN dl l ON l.docid = p.docid JOIN bm b ON b.term = p.term
-  CROSS JOIN g WHERE p.term = 'dup'
-) ORDER BY score DESC, docid LIMIT 10
-"""
-    )
     # TfIdf "ntn" (tfidfweight.cc): w = wdf * ln(N/tf)
     q["tfidf_weight"] = (
         _PRELUDE
@@ -1040,61 +938,6 @@ SELECT docid, score FROM (
   SELECT p.docid, round(ln(g.n / b.tf) * p.wdf, 6) AS score
   FROM post p JOIN bm b ON b.term = p.term CROSS JOIN g
   WHERE p.term = 'dup'
-) ORDER BY score DESC, docid LIMIT 10
-"""
-    )
-    # CoordWeight (coordweight.cc): 1 point per matching subquery
-    q["coord_weight"] = _topk_sql(
-        "SELECT docid, round(CAST(count(*) AS DOUBLE), 6) AS score FROM sp "
-        "WHERE term IN ('dup', 'key', 'line') GROUP BY docid"
-    )
-    # BoolWeight: all zero
-    q["bool_weight"] = _topk_sql(
-        "SELECT docid, CAST(0.0 AS DOUBLE) AS score FROM sp "
-        "WHERE term = 'dup' GROUP BY docid"
-    )
-
-    # BM25+ (bm25plusweight.cc): idf=ln((N+1)/tf);
-    # sumpart = tw * ((k1+1)*wdf/denom + delta), delta=1
-    q["bm25plus_weight"] = (
-        _PRELUDE
-        + """
-SELECT docid, score FROM (
-  SELECT p.docid,
-    round(ln((g.n + 1) / b.tf)
-      * (2.0 * p.wdf / (1.0 * (greatest(l.doclen * (1.0 / (g.total / g.n)), 0.5) * 0.5 + 0.5) + p.wdf) + 1.0), 6) AS score
-  FROM post p JOIN dl l ON l.docid = p.docid JOIN bm b ON b.term = p.term
-  CROSS JOIN g WHERE p.term = 'dup'
-) ORDER BY score DESC, docid LIMIT 10
-"""
-    )
-    # DFR InL2 (inl2weight.cc:123-134): idf=log2((N+1)/(tf+0.5));
-    # wdfn = wdf * log2(1 + c*avlen/len); w = idf * wdfn/(wdfn+1)
-    q["inl2_weight"] = (
-        _PRELUDE
-        + """
-SELECT docid, score FROM (
-  SELECT p.docid,
-    round(log2((g.n + 1) / (b.tf + 0.5))
-      * ((p.wdf * log2(1 + (1.0 * (g.total / g.n)) / l.doclen))
-         / ((p.wdf * log2(1 + (1.0 * (g.total / g.n)) / l.doclen)) + 1.0)), 6) AS score
-  FROM post p JOIN dl l ON l.docid = p.docid JOIN bm b ON b.term = p.term
-  CROSS JOIN g WHERE p.term = 'dup' AND p.wdf > 0
-) ORDER BY score DESC, docid LIMIT 10
-"""
-    )
-    # TfIdf "Ptn" (tfidfweight.cc:263-268): wdfn = (1+ln(1+ln(wdf))) *
-    # 1/(1-slope+slope*doclen/avg) + delta (slope=.2 delta=1); idfn=ln(N/tf)
-    q["tfidf_pivoted"] = (
-        _PRELUDE
-        + """
-SELECT docid, score FROM (
-  SELECT p.docid,
-    round(((1.0 + ln(1.0 + ln(p.wdf)))
-           * (1.0 / (0.8 + 0.2 * (l.doclen / (g.total / g.n)))) + 1.0)
-          * ln(g.n / b.tf), 6) AS score
-  FROM post p JOIN dl l ON l.docid = p.docid JOIN bm b ON b.term = p.term
-  CROSS JOIN g WHERE p.term = 'dup' AND p.wdf > 0
 ) ORDER BY score DESC, docid LIMIT 10
 """
     )
@@ -1136,81 +979,6 @@ SELECT docid, score FROM (
 ) ORDER BY score DESC, docid LIMIT 10
 """
     )
-    # DFR DPH (dphweight.cc:139-156), parameter-free:
-    # norm=(1-wdf/len)^2/(wdf+1);
-    # wt = norm*(wdf*(log2(wdf/len)+log2(total/cf)) + 0.5*log2(2pi*wdf*(1-wdf/len)))
-    q["dph_weight"] = (
-        _PRELUDE
-        + """
-SELECT docid, score FROM (
-  SELECT p.docid,
-    round(CASE WHEN p.wdf = l.doclen THEN 0.0 ELSE
-      greatest(
-        ((1.0 - p.wdf / (1.0 * l.doclen)) * (1.0 - p.wdf / (1.0 * l.doclen)) / (p.wdf + 1.0))
-        * (p.wdf * (log2(p.wdf / (1.0 * l.doclen)) + log2(g.total / b.cf))
-           + 0.5 * log2(2 * pi() * p.wdf * (1.0 - p.wdf / (1.0 * l.doclen)))),
-        0.0) END, 6) AS score
-  FROM post p JOIN dl l ON l.docid = p.docid JOIN bm b ON b.term = p.term
-  CROSS JOIN g WHERE p.term = 'dup' AND p.wdf > 0
-) ORDER BY score DESC, docid LIMIT 10
-"""
-    )
-    # DFR IfB2 (ifb2weight.cc): idf=log2((N+1)/(cf+0.5)); B=(cf+1)/tf;
-    # wdfn=wdf*log2(1+avlen/len); score = idf * wdfn*B/(wdfn+1)
-    q["ifb2_weight"] = (
-        _PRELUDE
-        + """
-SELECT docid, score FROM (
-  SELECT p.docid,
-    round(log2((g.n + 1.0) / (b.cf + 0.5))
-      * ((p.wdf * log2(1 + (g.total / g.n) / l.doclen)) * ((b.cf + 1.0) / b.tf)
-         / ((p.wdf * log2(1 + (g.total / g.n) / l.doclen)) + 1.0)), 6) AS score
-  FROM post p JOIN dl l ON l.docid = p.docid JOIN bm b ON b.term = p.term
-  CROSS JOIN g WHERE p.term = 'dup' AND p.wdf > 0
-) ORDER BY score DESC, docid LIMIT 10
-"""
-    )
-    # DiceCoeffWeight (dicecoeffweight.cc): per matching query term
-    # 2/(qlen + uniqterms); uniqterms = full termlist incl. the 2 boolean
-    # field terms (S<source>, L<lang>) the index adds per doc
-    q["dice_weight"] = (
-        _PRELUDE
-        + """
-, uniq AS (
-  SELECT docid, count(DISTINCT term) + 2 AS uniqterms FROM toks GROUP BY docid
-)
-SELECT docid, score FROM (
-  SELECT p.docid, round(sum(2.0 / (2.0 + u.uniqterms)), 6) AS score
-  FROM post p JOIN uniq u ON u.docid = p.docid
-  WHERE p.term IN ('dup', 'key') AND p.wdf > 0
-  GROUP BY p.docid
-) ORDER BY score DESC, docid LIMIT 10
-"""
-    )
-    # LM Dirichlet (lmweight.cc:180-182,205-206): p=(wdf+mu*cf/T)/(len+mu);
-    # score = ln(p * doclen_ub) when > 1 else 0; mu=2000
-    q["lm_weight"] = (
-        _PRELUDE
-        + """
-, ub AS (SELECT CAST(max(doclen) AS DOUBLE) AS dub FROM dl)
-SELECT docid, score FROM (
-  SELECT p.docid,
-    round(CASE WHEN ((p.wdf + 2000.0 * (b.cf / g.total)) / (l.doclen + 2000.0)) * ub.dub > 1.0
-      THEN ln(((p.wdf + 2000.0 * (b.cf / g.total)) / (l.doclen + 2000.0)) * ub.dub)
-      ELSE 0.0 END, 6) AS score
-  FROM post p JOIN dl l ON l.docid = p.docid JOIN bm b ON b.term = p.term
-  CROSS JOIN g CROSS JOIN ub WHERE p.term = 'dup'
-) ORDER BY score DESC, docid LIMIT 10
-"""
-    )
-    # ValueWeightPostingSource: weight = n_chars * 0.01 over all docs
-    q["value_weight_source"] = """
-SELECT docid, score FROM (
-  SELECT doc_id + 1 AS docid,
-         round(CAST(n_chars AS DOUBLE) * 0.01, 6) AS score
-  FROM documents WHERE n_chars IS NOT NULL
-) ORDER BY score DESC, docid LIMIT 10
-"""
     # MatchDecider: candidates post-filtered by a doc-value predicate
     q["match_decider"] = _topk_sql(
         "SELECT docid, round(sum(sumpart), 6) AS score FROM sp "
@@ -1349,6 +1117,28 @@ FROM m CROSS JOIN mx ORDER BY score DESC, docid LIMIT 10
 , qt(query, term) AS (
   VALUES ('q1','dup'),('q1','vector'),('q2','scan'),
          ('q3','key'),('q3','line'),('q3','fast')
+),
+scored AS (
+  SELECT qt.query, s.docid, sum(s.sumpart) AS raw
+  FROM sp s JOIN qt ON qt.term = s.term GROUP BY qt.query, s.docid
+),
+ranked AS (
+  SELECT query, docid, raw,
+    row_number() OVER (PARTITION BY query ORDER BY raw DESC, docid) AS rank
+  FROM scored
+)
+SELECT query, rank, docid, round(raw, 6) AS score
+FROM ranked WHERE rank <= 10
+"""
+    )
+    # batched block-max WAND serving: same BM25 math, selective queries;
+    # WAND is rank/score-identical to the brute batch path by construction
+    q["batch_wand_serving"] = (
+        _PRELUDE
+        + """
+, qt(query, term) AS (
+  VALUES ('w1','dup'),('w1','vector'),('w2','dup'),('w2','scan'),
+         ('w3','dup'),('w3','key'),('w3','line')
 ),
 scored AS (
   SELECT qt.query, s.docid, sum(s.sumpart) AS raw

@@ -104,13 +104,15 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # sizes is one row per doc — do NOT force a broadcast (at corpus scale
+    # it doesn't fit); let AQE pick broadcast vs shuffle by actual size.
     return (
         pairs.join(
-            F.broadcast(sizes.withColumnRenamed("n_shingles", "na")).withColumnRenamed("id", "id_a"),
+            sizes.withColumnRenamed("n_shingles", "na").withColumnRenamed("id", "id_a"),
             "id_a",
         )
         .join(
-            F.broadcast(sizes.withColumnRenamed("n_shingles", "nb")).withColumnRenamed("id", "id_b"),
+            sizes.withColumnRenamed("n_shingles", "nb").withColumnRenamed("id", "id_b"),
             "id_b",
         )
         .withColumn(
@@ -203,9 +205,43 @@ def minhash_lsh_pairs(
 
     if verify_threshold is None:
         return est
-    exact = ngram_jaccard_pairs(df, id_col, text_col, k=k, threshold=0.0)
+    # Exact-Jaccard verify for CANDIDATES ONLY (the whole point of LSH):
+    # join the candidate pairs back to the per-doc shingle postings and
+    # count matching shingles per pair — work is |candidates| x shingles
+    # per doc, never the full co-occurring-pair table.  Same shape as
+    # similarity.embedding_near_dup_pairs' exact-cosine verify.
+    ids = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    sh = _shingles(ids, "text", k)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a_sh = est.select("id_a", "id_b").join(
+        sh.withColumnRenamed("id", "id_a"), "id_a"
+    )
+    inter = (
+        a_sh.join(
+            sh.select(F.col("id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
     return (
-        est.join(exact, ["id_a", "id_b"])
+        est.join(inter, ["id_a", "id_b"])
+        .join(
+            sizes.select(
+                F.col("id").alias("id_a"), F.col("n_shingles").alias("na")
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.select(
+                F.col("id").alias("id_b"), F.col("n_shingles").alias("nb")
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
         .where(F.col("jaccard") >= verify_threshold)
         .select("id_a", "id_b", "est_jaccard", "jaccard")
     )
