@@ -408,8 +408,31 @@ class Enquire:
         if self._weight_cutoff:
             m = m.where(F.col("score") >= F.lit(self._weight_cutoff))
         # exact total match count, evaluated lazily on first
-        # get_matches_estimated() call (see MSet)
-        count_fn = m.count
+        # get_matches_estimated() call (see MSet).  With a percent cutoff
+        # the count must honour it (the reference scales its estimates by
+        # the cutoff, mset.cc): count docs whose percent — computed
+        # against the GLOBAL best weight exactly like the page filter
+        # below — clears the bar, so lower == estimate == upper stays
+        # exact under set_cutoff(percent).
+        if self._percent_cutoff:
+            pct_cut, counted = self._percent_cutoff, m
+
+            def count_fn(counted=counted, pct_cut=pct_cut):
+                gmax = counted.agg(F.max("score")).collect()[0][0] or 0.0
+                if gmax <= 0:
+                    return 0
+                pct = F.greatest(
+                    F.lit(1),
+                    F.round(F.lit(100.0) * F.col("score") / F.lit(gmax))
+                    .cast("int"),
+                )
+                return (
+                    counted.where(F.col("score") > 0)
+                    .where(pct >= F.lit(pct_cut))
+                    .count()
+                )
+        else:
+            count_fn = m.count
         did = F.asc("docid") if self._docid_asc else F.desc("docid")
         if self._sort_by:
             vals = [

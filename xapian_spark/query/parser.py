@@ -120,14 +120,29 @@ class QueryParser:
         """QueryParser::get_corrected_query_string (queryparser.h:1079):
         the query string with each unknown term replaced by its best
         spelling suggestion; empty string when nothing was corrected
-        (reference convention)."""
+        (reference convention).
+
+        Only tokens that would parse as plain probabilistic terms are
+        corrected: boolean keywords (AND/OR/...), `field:` syntax, ranges,
+        wildcard/fuzzy suffixes, and anything inside double quotes are
+        preserved verbatim, like the reference (queryparser.lemony keeps
+        operator and phrase tokens out of the spelling pass)."""
         from xapian_spark.query.expand import suggest_spelling
 
         corrected = []
         changed = False
+        in_quotes = False
         for tok in s.split(" "):
+            quote_count = tok.count('"')
+            entering = in_quotes or quote_count > 0
+            if quote_count % 2 == 1:
+                in_quotes = not in_quotes
             low = tok.lower()
-            if re.fullmatch(r"[a-z0-9_]+", low):
+            if (
+                not entering
+                and tok not in _KEYWORDS  # case-sensitive, pre-lowering
+                and re.fullmatch(r"[a-z0-9_]+", low)
+            ):
                 sug = suggest_spelling(index, low)
                 if sug is not None:
                     corrected.append(sug)

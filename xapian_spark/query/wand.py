@@ -157,7 +157,15 @@ def wand_topk(
         F.sum(sumpart).alias("_s"), F.max("doclen").alias("_dl")
     )
     extra = weight.sumextra_expr(F.col("_dl"), qlen, stats)
-    return agg.select("docid", (F.col("_s") + extra).alias("score"))
+    out = agg.select("docid", (F.col("_s") + extra).alias("score"))
+    # Materialize the candidate scores while the cache is hot, then free
+    # the persisted candidate partitions EXPLICITLY — a long-lived session
+    # issuing many queries must not rely on ContextCleaner GC to evict
+    # them.  The checkpointed result is the caller's live data (freed when
+    # the caller drops it), not an intermediate.
+    out = out.localCheckpoint(eager=True)
+    cands.unpersist()
+    return out
 
 
 def brute_topk(
@@ -362,8 +370,14 @@ def batch_wand_topk(
         )
     )
     w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("docid"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query", "rank", "docid", "score")
     )
+    # Per-query top-k is bounded (|queries| * k rows): materialize it,
+    # then explicitly free the persisted (query, block) survivors instead
+    # of leaving them to ContextCleaner GC (see wand_topk).
+    out = out.localCheckpoint(eager=True)
+    surviving.unpersist()
+    return out

@@ -277,9 +277,12 @@ def stem_tokens(tokens: list[str]) -> list[str]:
 class Stemmer:
     """Language-dispatch facade mirroring Xapian::Stem (languages/stem.cc
     language table).  Each language is a from-scratch implementation of
-    the published Snowball algorithm, validated against the full public
-    Snowball vocabularies (xapian-data/stemming/<lang>): english (Porter2),
-    french, german2 (ae/oe/ue folding variant), russian."""
+    the published Snowball algorithm.  Validation status (see
+    tests/test_stem_multilang.py and SURVEY/VERDICT): 25 variants are
+    byte-exact on the full public Snowball vocabularies
+    (xapian-data/stemming/<lang>); tamil, arabic, armenian and catalan
+    ship no public vocabulary and are spec-derived from their .sbl
+    sources with smoke tests."""
 
     _ALIASES = {
         "en": "english", "english": "english",
