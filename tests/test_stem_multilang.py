@@ -99,6 +99,57 @@ def test_tamil_smoke():
     assert st("தமிழ்") == "தமிழ்"            # short word unchanged
 
 
+def test_arabic_smoke():
+    """Arabic has no public Snowball vocabulary (xapian-data ships only
+    COPYING), so spec-derived spot checks traced by hand through
+    arabic.sbl: article/prefix stripping, verb suffixes, presentation-form
+    normalization, hamza normalization."""
+    st = Stemmer("ar")
+    # definite article prefix (Checks1 + Prefix_Step3a_Noun)
+    assert st("الكتاب") == "كتاب"        # the-book -> book
+    # bal- prefix + feminine teh-marbuta suffix (Suffix_Noun_Step2c2)
+    assert st("بالمكتبة") == "مكتب"
+    # yst- verb prefix rewritten to ast- (Prefix_Step4_Verb) after the
+    # present-plural waw-noon suffix is stripped (Suffix_Verb_Step2a)
+    assert st("يستعملون") == "استعمل"
+    # presentation forms fold to base letters (Normalize_pre)
+    assert st("ﻛﺘﺎﺏ") == "كتاب"
+    # trailing alef maksura -> yeh (Suffix_All_alef_maqsura)
+    assert st("مصطفى") == "مصطفي"
+    # short word guarded by $(len > k) conditions
+    assert st("كتب") == "كتب"
+
+
+def test_armenian_smoke():
+    """Armenian has no public Snowball vocabulary, so spec-derived spot
+    checks traced by hand through armenian.sbl (pV/R2 regions + four
+    longest-match delete amongs in ending/verb/adjective/noun order)."""
+    st = Stemmer("hy")
+    # ENDING 'ին' inside R2 deletes (traced: pV=2, p2=7)
+    assert st("մարդկային") == "մարդկայ"
+    # ENDING single 'ն' inside R2 (traced: p2=5)
+    assert st("հայերեն") == "հայերե"
+    # R2 guard: plural 'երի' would cut before p2, among fails, no retry
+    assert st("գրքերի") == "գրքերի"
+    # no Armenian vowel -> pV=limit, nothing strips
+    assert st("test") == "test"
+
+
+def test_catalan_smoke():
+    """Catalan has no public Snowball vocabulary, so spec-derived spot
+    checks traced by hand through catalan.sbl (R1/R2, standard-or-verb
+    alternation, residual suffix, accent cleaning)."""
+    st = Stemmer("ca")
+    assert st("català") == "catal"          # residual 'à' + cleaning
+    assert st("catalana") == "catal"        # standard 'ana' (R1)
+    assert st("aproximadament") == "aproximad"  # standard 'ament'
+    assert st("comprar") == "compr"         # standard 'ar'
+    # standard 'iques' fails R2 -> verb 'ques' (R1) -> residual 'i',
+    # then cleaning folds the grave accent
+    assert st("lògiques") == "log"
+    assert st("importants") == "import"
+
+
 def test_earlyenglish_variant():
     """earlyenglish = porter + -est/-eth stripping (earlyenglish.sbl
     Step_1b); no public vocabulary, so algorithmic spot checks."""

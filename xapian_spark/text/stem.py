@@ -311,6 +311,9 @@ class Stemmer:
         "ne": "nepali", "nepali": "nepali",
         "tr": "turkish", "turkish": "turkish",
         "ta": "tamil", "tamil": "tamil",
+        "ar": "arabic", "arabic": "arabic",
+        "hy": "armenian", "armenian": "armenian",
+        "ca": "catalan", "catalan": "catalan",
         "none": "none",
     }
 
@@ -393,6 +396,18 @@ class Stemmer:
             from xapian_spark.text.stem_ta import stem_ta
 
             self._fn = stem_ta
+        elif lang == "arabic":
+            from xapian_spark.text.stem_ar import stem_ar
+
+            self._fn = stem_ar
+        elif lang == "armenian":
+            from xapian_spark.text.stem_hy import stem_hy
+
+            self._fn = stem_hy
+        elif lang == "catalan":
+            from xapian_spark.text.stem_ca import stem_ca
+
+            self._fn = stem_ca
         elif lang == "lovins":
             from xapian_spark.text.stem_lovins import stem_lovins
 
