@@ -86,6 +86,12 @@ def _index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
             prefix_fields=PREFIX_FIELDS,
         )
         persist_index(idx)
+        # blocked postings (honey-style wdf_max blocks) so weighted-OR
+        # serving — including batch_wand_serving — genuinely routes
+        # through block-max WAND instead of silently falling back
+        from xapian_spark.index.blocks import pack_blocks
+
+        idx.blocked = pack_blocks(idx.postings).persist()
         _IDX_CACHE[sf_dir] = idx
     return idx
 
@@ -390,6 +396,7 @@ def _q_batch_wand(spark, sf_dir):
     are exactly the row-postings batch path's (WAND==brute equivalence is
     also pytest-pinned), so the same SQL oracle applies."""
     idx = _index(spark, sf_dir)
+    assert idx.blocked is not None, "WAND entry requires blocked postings"
     qs = {
         "w1": ["dup", "vector"],
         "w2": ["dup", "scan"],

@@ -90,6 +90,42 @@ def run_batch_or(idx, n_queries: int = 500):
     return n_queries, sec
 
 
+def run_batch_wand(idx, n_queries: int = 200):
+    """Selective-batch serving: WAND vs row-postings on the same workload.
+
+    Every query anchors on the rarest term in the dictionary plus 1-2
+    common terms — the workload where block-max pruning's decode-volume
+    win shows (selective anchor -> high thresholds -> most (query, block)
+    pairs pruned before payload decode).  Returns (n, wand_sec, row_sec).
+    """
+    import random
+
+    from xapian_spark.index.blocks import pack_blocks
+
+    if idx.blocked is None:
+        idx.blocked = pack_blocks(idx.postings).persist()
+        idx.blocked.count()
+    stats = {
+        r["term"]: r["tf"]
+        for r in idx.term_stats.select("term", "tf").collect()
+    }
+    by_tf = sorted(stats, key=lambda t: (stats[t], t))
+    rare, common = by_tf[0], by_tf[len(by_tf) // 2:]
+    rnd = random.Random(7)
+    qs = {
+        f"w{i}": [rare] + rnd.sample(common, rnd.randint(1, 2))
+        for i in range(n_queries)
+    }
+    pl = Planner(idx)
+    t0 = time.perf_counter()
+    pl.search_batch_or(qs, k=10, use_wand=True).count()
+    wand_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    pl.search_batch_or(qs, k=10).count()
+    row_sec = time.perf_counter() - t0
+    return n_queries, wand_sec, row_sec
+
+
 def run_batch(idx, repeat: int = 4):
     """Batched QPS: the 10 headline queries x `repeat` copies in ONE job."""
     batch = {}
@@ -175,6 +211,13 @@ def main():
     n_or, or_sec = run_batch_or(idx)
     result["batch_or_queries"] = n_or
     result["batch_or_qps"] = round(n_or / or_sec, 1)
+    n_w, wand_sec, row_sec = run_batch_wand(idx)
+    result["batch_wand"] = {
+        "queries": n_w,
+        "wand_qps": round(n_w / wand_sec, 1),
+        "row_postings_qps": round(n_w / row_sec, 1),
+        "workload": "selective (rare-term anchor per query)",
+    }
     result.update(
         {
             "value": round(build_sec + query_total, 3),

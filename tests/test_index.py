@@ -140,3 +140,40 @@ def test_write_read_roundtrip(tmp_path, spark, simple_index):
     )
     c = sorted(map(tuple, idx2.postings.select("term", "docid", "wdf").collect()))
     assert a == c
+
+
+def test_invert_arrow_fast_slow_parity(spark):
+    """The vectorized simple-class path inside invert_arrow must produce
+    exactly what the per-doc state-machine path produces — same entries
+    (term, wdf, positions) and doclen per doc.  The corpus mixes
+    fast-class rows (lowercase words, odd whitespace, empties, a 64-char
+    token) with rows the gate must route to the slow path (uppercase,
+    acronyms, 65-char token, punctuation, non-ASCII)."""
+    from xapian_spark.index.builder import invert_arrow
+    from xapian_spark.text.tokenizer import invert_doc
+
+    texts = [
+        "plain lower case words",
+        "dup dup dup  spaced\tout\nlines",
+        "",
+        "   ",
+        "x_1 9 x_1 " + "a" * 64,
+        "a" * 65 + " tail",          # 65-char token -> slow path
+        "Upper Case Words",           # slow
+        "U.N.C.L.E acronym",          # slow
+        "fish+chips c++ done",        # slow
+        "café unicode",          # slow
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(texts)], "docid long, text string"
+    ).repartition(2)
+    out = invert_arrow(df, "text", keep_cols=["docid"]).collect()
+    assert len(out) == len(texts)
+    for r in out:
+        want_entries, want_dl = invert_doc(texts[r["docid"] - 1] or "")
+        got = sorted(
+            (e["term"], e["wdf"], list(e["positions"])) for e in r["plist"]
+        )
+        assert got == sorted(want_entries), f"docid {r['docid']}"
+        assert r["doclen"] == want_dl
