@@ -142,6 +142,45 @@ def test_write_read_roundtrip(tmp_path, spark, simple_index):
     assert a == c
 
 
+def test_warehouse_term_filter_pushdown(tmp_path, spark, simple_index):
+    """The 100-TB serving claim rests on term predicates reaching the
+    parquet scan of the warehouse postings (write_index lays them out
+    range-partitioned by (term, docid) precisely so a scan prunes to the
+    buckets holding its terms).  Assert the filter is actually pushed:
+    the FileScan must advertise it in PushedFilters, not re-check it
+    post-scan only."""
+    import io
+    from contextlib import redirect_stdout
+
+    from xapian_spark.index.builder import read_index, write_index
+
+    path = str(tmp_path / "warehouse_pd")
+    write_index(simple_index, path, term_buckets=4)
+    idx2 = read_index(spark, path)
+    some_term = idx2.postings.select("term").first()["term"]
+    filtered = idx2.postings.where(F.col("term") == some_term)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        filtered.explain("formatted")
+    plan = buf.getvalue()
+    scan = [seg for seg in plan.split("\n\n") if "Scan parquet" in seg]
+    assert scan, plan
+    assert any(
+        "PushedFilters" in seg and "EqualTo(term" in seg for seg in scan
+    ), plan
+    # and column pruning: a (term, docid) projection must not drag the
+    # positions payload through the scan
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        idx2.postings.select("term", "docid").where(
+            F.col("term") == some_term
+        ).explain("formatted")
+    plan2 = buf.getvalue()
+    scan2 = [seg for seg in plan2.split("\n\n") if "Scan parquet" in seg]
+    assert scan2 and all("positions" not in seg for seg in scan2), plan2
+
+
 def test_invert_arrow_fast_slow_parity(spark):
     """The vectorized simple-class path inside invert_arrow must produce
     exactly what the per-doc state-machine path produces — same entries
