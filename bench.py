@@ -133,6 +133,55 @@ def run_batch_wand(idx, n_queries: int = 200):
     return n_queries, wand_sec, row_sec
 
 
+def run_ann(spark, sf_dir, k: int = 10, n_queries: int = 32):
+    """Measured ANN quality + speed: recall@k of the two approximate
+    similarity paths (IVF, multi-table hyperplane LSH) against the exact
+    brute-force cosine top-k on the same embeddings table.  Quality is a
+    first-class bench output — an ANN path that is fast but blind is not
+    'done'."""
+    from xapian_spark.ops.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+        lsh_cosine_topk,
+    )
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    n_vecs = vecs.count()
+    queries = vecs.orderBy("vec_id").limit(n_queries)
+
+    def topk_sets(df):
+        out: dict[int, set[int]] = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    t0 = time.perf_counter()
+    exact = topk_sets(cosine_topk(vecs, queries, k=k))
+    exact_sec = time.perf_counter() - t0
+    results = {"n_vectors": n_vecs, "n_queries": n_queries, "k": k,
+               "exact_sec": round(exact_sec, 3),
+               "note": ("ivf sec includes k-means training (a real deployment "
+                        "trains once and persists cell assignments); lsh uses "
+                        "corpus-adaptive plane count")}
+    for name, fn in (
+        ("ivf", lambda: ivf_cosine_topk(vecs, queries, k=k)),
+        ("lsh", lambda: lsh_cosine_topk(vecs, queries, k=k)),
+    ):
+        t0 = time.perf_counter()
+        approx = topk_sets(fn())
+        sec = time.perf_counter() - t0
+        recalls = [
+            len(approx.get(q, set()) & nb) / len(nb)
+            for q, nb in exact.items()
+        ]
+        results[name] = {
+            "sec": round(sec, 3),
+            "recall_at_k": round(sum(recalls) / len(recalls), 3),
+        }
+    vecs.unpersist()
+    return results
+
+
 def run_batch(idx, repeat: int = 4):
     """Batched QPS: the 10 headline queries x `repeat` copies in ONE job."""
     batch = {}
@@ -226,6 +275,7 @@ def main():
         "row_postings_qps": round(n_w / row_sec, 1),
         "workload": "selective (rare-term anchor per query)",
     }
+    result["ann"] = run_ann(spark, SF_DIR)
     result.update(
         {
             "value": round(build_sec + query_total, 3),

@@ -141,6 +141,33 @@ def test_lsh_cosine_recall(spark, embeddings):
     assert recall >= 0.5  # approximate path must be sane
 
 
+def test_lsh_multiprobe_improves_recall(spark, embeddings):
+    """Hamming-1 multi-probe must capture a superset of the exact-bucket
+    candidates (same planes/tables/seed) and strictly better recall vs the
+    brute-force oracle on this corpus."""
+    from xapian_spark.ops.similarity import cosine_topk, lsh_cosine_topk
+
+    queries = embeddings.where(F.col("vec_id") < 10)
+    exact_set = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(embeddings, queries, k=5).collect()
+    }
+
+    def pairs(mp):
+        # large k so the assertion sees raw candidate capture, not rank cuts
+        df = lsh_cosine_topk(
+            embeddings, queries, k=10_000,
+            n_planes=6, n_tables=2, multiprobe=mp,
+        )
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    single, multi = pairs(0), pairs(1)
+    assert single <= multi  # exact bucket is always probed too
+    r0 = len(exact_set & single) / len(exact_set)
+    r1 = len(exact_set & multi) / len(exact_set)
+    assert r1 > r0
+
+
 def test_token_count_and_quality(spark, documents):
     from xapian_spark.ops.textstats import quality_scores, token_count
 

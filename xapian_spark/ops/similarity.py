@@ -8,12 +8,16 @@
 - lsh_cosine_topk: random-hyperplane LSH — signature via deterministic
   seeded hyperplanes (broadcast literal matrix), bucket equality join, exact
   cosine re-rank within buckets.  The scale path: candidate generation is an
-  equality shuffle, not a cross product.
+  equality shuffle, not a cross product.  Corpus-adaptive plane count plus
+  Hamming-1 multi-probe (query-side fan-out only) keep recall useful
+  without touching the corpus-side scan volume.
 - embedding_near_dup_pairs: near-duplicate pairs by cosine >= threshold,
   LSH-blocked.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 from pyspark.sql import DataFrame, Window
@@ -109,27 +113,71 @@ def lsh_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_planes: int = 12,
+    n_planes: int | None = None,
     n_tables: int = 4,
     dim: int = 64,
     seed: int = 42,
+    multiprobe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: multi-table hyperplane LSH buckets + exact re-rank.
 
     Candidate set = union over tables of same-bucket vectors; recall is
     tested against cosine_topk in pytest (approximate by design: no oracle).
+
+    When ``n_planes`` is None the bucket count is sized to the corpus:
+    ceil(log2(n / target)) planes with target ≈ max(4k, 16) vectors per
+    bucket, so each table yields a few-times-k candidate set in expectation
+    regardless of |corpus|.  This costs one count() job; at real scale pass
+    explicit params chosen for your recall/latency budget instead (a fixed
+    plane count makes the signature a precomputable stored column, which is
+    how you'd persist the index).
+
+    ``multiprobe=1`` (Lv et al., VLDB'07 simplified to all Hamming-1
+    probes) additionally probes, per table, every bucket whose signature
+    differs from the query's in one bit: a neighbour at angle θ lands in
+    one of those with prob q^p + p·q^(p-1)(1-q) (q = 1-θ/π) instead of
+    q^p — for near-isotropic embeddings this is the difference between
+    ~0.1 and ~0.5 per-table capture.  Cost: the QUERY side fans out
+    ×(1+p) before the bucket join; the corpus side is hashed once, so at
+    100 TB the scan/shuffle volume is unchanged — only the (tiny,
+    broadcast) probe table grows.  ``multiprobe=0`` restores exact-bucket
+    probing.
     """
+    if n_planes is None:
+        n_vec = vectors.count()
+        target = max(4 * k, 16)
+        n_planes = max(2, int(math.ceil(math.log2(max(2.0, n_vec / target)))))
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
+
+    def probe_buckets(sig):
+        """Signature variants to probe: exact bucket + (optionally) every
+        one-bit flip — pure string expressions, stays in codegen."""
+        if multiprobe <= 0:
+            return F.array(sig)
+        flips = [
+            F.concat(
+                F.substring(sig, 1, i),
+                F.when(F.substring(sig, i + 1, 1) == "1", F.lit("0"))
+                 .otherwise(F.lit("1")),
+                F.substring(sig, i + 2, n_planes - i - 1),
+            )
+            for i in range(n_planes)
+        ]
+        return F.array(sig, *flips)
+
     cands = None
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed=seed + 1000 * t)
         vt = v.withColumn("bucket", lsh_signature_col("vec", planes))
-        qt = q.withColumn("bucket", lsh_signature_col("qvec", planes))
+        qt = q.withColumn(
+            "bucket",
+            F.explode(probe_buckets(lsh_signature_col("qvec", planes))),
+        )
         c = vt.join(F.broadcast(qt), "bucket").drop("bucket")
         cands = c if cands is None else cands.unionByName(c)
     cands = cands.dropDuplicates(["query_id", "neighbor_id"]).where(
