@@ -5,29 +5,31 @@ column — the Spark re-expression of the reference's result clustering
 (dense embeddings); the TF-IDF variant is the same plan with a vector
 assembled from term weights.
 
-Scale shape: centroids are tiny (k x dim) and BROADCAST; assignment is a
-map-side argmin (no shuffle); the update step is one groupBy(cluster)
-partial-aggregated mean.  Each iteration is exactly one shuffle of k
-groups — at 10^9 rows the cost is the scan, not the clustering.
+Scale shape (per Lloyd iteration, exactly one Spark job):
+- centroids are tiny (k x dim doubles) and live on the DRIVER between
+  iterations; they enter each job as a broadcast closure constant, so the
+  plan lineage stays FLAT — iteration N never re-derives iteration N-1's
+  assignments (a lazy centroid DataFrame chained across iterations makes
+  the plan, and the work, grow exponentially with max_iter).
+- assignment is a map-side argmin: an Arrow-batched kernel does the
+  (batch x dim) @ (dim x k) distance matrix in NumPy — no per-row Python,
+  no crossJoin, no shuffle of the corpus.
+- the update step shuffles only k groups of per-dimension partial sums
+  (map-side combined), then k x dim doubles are collected to the driver.
+  At 10^9 rows the cost is the scan, not the clustering.
 
-Determinism: centroids init from the k smallest ids (seeded workloads can
-pre-shuffle ids); fixed iteration count; ties in argmin broken by lowest
-cluster id.
+Determinism: centroids init from the k smallest ids; fixed max iteration
+count with exact-convergence early exit; argmin ties broken by lowest
+cluster id (np.argmin takes the first minimum).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-
-def _sq_dist(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
-                   * (x.cast("double") - y.cast("double"))),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+from pyspark.sql import types as T
 
 
 def kmeans(
@@ -37,36 +39,53 @@ def kmeans(
     vec_col: str = "embedding",
     max_iter: int = 10,
 ) -> DataFrame:
-    """(id, cluster, dist) hard assignment after max_iter Lloyd's steps."""
+    """(id, cluster, dist) hard assignment after <= max_iter Lloyd's steps
+    (early exit on exact centroid convergence)."""
     v = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     ).persist()
     # deterministic init: the k lowest ids
-    cents = [
-        (i, [float(x) for x in r["vec"]])
-        for i, r in enumerate(v.orderBy("id").limit(k).collect())
-    ]
-    spark = vectors.sparkSession
+    init_rows = v.orderBy("id").limit(k).collect()
+    cents = np.array([[float(x) for x in r["vec"]] for r in init_rows])
+    k = len(cents)  # corpus smaller than k: cluster what exists
+    dim = cents.shape[1]
 
-    def assign(cdf):
-        j = v.crossJoin(F.broadcast(cdf))
-        j = j.withColumn("dist", _sq_dist("vec", "cvec"))
-        from pyspark.sql import Window
+    def assigned_df(cents_arr: np.ndarray) -> DataFrame:
+        """v + (cluster, dist) via a map-side NumPy argmin; cents_arr is
+        captured by value into the task closure (k x dim — tiny)."""
+        c = cents_arr.copy()
+        c_sq = (c * c).sum(axis=1)  # (k,)
 
-        w = Window.partitionBy("id").orderBy(F.asc("dist"), F.asc("cluster"))
-        return (
-            j.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select("id", "cluster", "dist", "vec")
+        @F.pandas_udf(
+            T.StructType(
+                [
+                    T.StructField("cluster", T.IntegerType()),
+                    T.StructField("dist", T.DoubleType()),
+                ]
+            )
+        )
+        def nearest(vecs: pd.Series) -> pd.DataFrame:
+            m = np.array(vecs.tolist(), dtype=np.float64)  # (n, dim)
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2  (argmin drops ||x||^2)
+            cross = m @ c.T  # (n, k)
+            d_part = c_sq[None, :] - 2.0 * cross
+            cl = np.argmin(d_part, axis=1)
+            d = d_part[np.arange(len(cl)), cl] + (m * m).sum(axis=1)
+            return pd.DataFrame(
+                {"cluster": cl.astype(np.int32), "dist": np.maximum(d, 0.0)}
+            )
+
+        a = v.withColumn("_nc", nearest("vec"))
+        return a.select(
+            "id", "vec", F.col("_nc.cluster").alias("cluster"),
+            F.col("_nc.dist").alias("dist"),
         )
 
-    cdf = spark.createDataFrame(cents, "cluster int, cvec array<double>")
-    assigned = None
     for _ in range(max_iter):
-        assigned = assign(cdf)
-        # update: per-cluster elementwise mean (one k-group shuffle)
-        dim = len(cents[0][1])
-        sums = assigned.groupBy("cluster").agg(
+        a = assigned_df(cents)
+        # update: per-cluster elementwise mean — one k-group shuffle of
+        # partial per-dimension sums, k x (dim+1) doubles to the driver
+        sums = a.groupBy("cluster").agg(
             F.count(F.lit(1)).alias("n"),
             *[
                 F.sum(F.element_at(F.col("vec"), i + 1).cast("double")).alias(
@@ -75,13 +94,15 @@ def kmeans(
                 for i in range(dim)
             ],
         )
-        new_c = sums.select(
-            "cluster",
-            F.array(
-                *[F.col(f"s{i}") / F.col("n") for i in range(dim)]
-            ).alias("cvec"),
-        )
-        cdf = new_c
-    out = assigned.select("id", "cluster", "dist")
+        new_cents = cents.copy()  # empty cluster keeps its old centroid
+        for r in sums.collect():
+            new_cents[r["cluster"]] = [
+                r[f"s{i}"] / r["n"] for i in range(dim)
+            ]
+        if np.array_equal(new_cents, cents):
+            break
+        cents = new_cents
+
+    out = assigned_df(cents).select("id", "cluster", "dist")
     v.unpersist()
     return out
