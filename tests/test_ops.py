@@ -168,6 +168,40 @@ def test_lsh_multiprobe_improves_recall(spark, embeddings):
     assert r1 > r0
 
 
+def test_ivf_persisted_index(spark, embeddings, tmp_path):
+    """build_ivf_index + ivf_search == ivf_cosine_topk (same deterministic
+    k-means, same centroid expression), and the probe's parquet scan prunes
+    on the cell partition column."""
+    from xapian_spark.ops.similarity import (
+        build_ivf_index,
+        ivf_cosine_topk,
+        ivf_search,
+    )
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(embeddings, path, n_cells=4)
+    queries = embeddings.where(F.col("vec_id") < 8)
+
+    got = ivf_search(spark, path, queries, k=5, nprobe=2)
+    want = ivf_cosine_topk(embeddings, queries, k=5, n_cells=4, nprobe=2)
+    key = lambda r: (r["query_id"], r["nn_rank"])  # noqa: E731
+    g, w = sorted(got.collect(), key=key), sorted(want.collect(), key=key)
+    assert [(r["query_id"], r["neighbor_id"]) for r in g] == [
+        (r["query_id"], r["neighbor_id"]) for r in w
+    ]
+    for a, b in zip(g, w):
+        assert a["cosine"] == pytest.approx(b["cosine"], abs=1e-12)
+
+    # partition pruning reaches the scan: the vectors read must carry a
+    # PartitionFilters entry on `cell`, not scan all partitions
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*cell[^\]]*)\]", plan)
+    assert m, f"no cell partition filter in:\n{plan}"
+
+
 def test_token_count_and_quality(spark, documents):
     from xapian_spark.ops.textstats import quality_scores, token_count
 

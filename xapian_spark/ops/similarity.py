@@ -296,8 +296,16 @@ def ivf_cosine_topk(
         .where(F.col("probe_rank") <= nprobe)
         .select("query_id", "qvec", "cell")
     )
-    # equality join on cell; Spark/AQE picks broadcast vs shuffle by size,
-    # so a huge query batch never forces an unbounded broadcast
+    return _topk_within_cells(v, probe_df, k, include_self)
+
+
+def _topk_within_cells(
+    v: DataFrame, probe_df: DataFrame, k: int, include_self: bool
+) -> DataFrame:
+    """Exact cosine re-rank of (query, cell)-matched candidates.
+
+    Equality join on cell; Spark/AQE picks broadcast vs shuffle by size,
+    so a huge query batch never forces an unbounded broadcast."""
     pairs = v.join(probe_df, "cell")
     if not include_self:
         pairs = pairs.where(F.col("neighbor_id") != F.col("query_id"))
@@ -310,3 +318,87 @@ def ivf_cosine_topk(
         .where(F.col("nn_rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "nn_rank")
     )
+
+
+def build_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+) -> None:
+    """Persisted IVF index: train once, serve many — the durable form of
+    ivf_cosine_topk's in-session index.
+
+    Layout:
+    - ``<path>/vectors``  — parquet PARTITIONED BY (cell): the partition
+      layout IS the index.  A probe reads only its cells' files
+      (PartitionFilters at the scan, asserted in tests), so a query batch
+      touching nprobe/n_cells of the cells scans that fraction of 100 TB.
+    - ``<path>/centroids`` — one row per cell (cell, centroid:
+      array<double>), read whole and broadcast at query time.
+
+    Centroids are the per-cell member means (identical expression to
+    ivf_cosine_topk), so ivf_search over this index returns bit-identical
+    results to the in-session path with the same nprobe.
+    """
+    from xapian_spark.ops.cluster import kmeans
+
+    assigned = kmeans(
+        vectors, k=n_cells, id_col=id_col, vec_col=vec_col, max_iter=max_iter
+    ).select(F.col("id").alias("neighbor_id"), F.col("cluster").alias("cell"))
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+    ).join(assigned, "neighbor_id")
+    dim = vectors.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    cents = v.groupBy("cell").agg(
+        F.array(
+            *[
+                F.avg(F.element_at("vec", i + 1)).alias(f"c{i}")
+                for i in range(dim)
+            ]
+        ).alias("centroid")
+    )
+    v.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/vectors")
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    """Probe a build_ivf_index layout: rank cells per query against the
+    broadcast centroid table (same JVM cosine expression as training),
+    then scan ONLY the probed cells.
+
+    The batch's distinct probe-cell set (<= n_cells values — driver-side
+    metadata, same shape as WAND's block-boundary collect) becomes an
+    isin() predicate on the partition column, so the parquet scan prunes
+    to nprobe/n_cells of the files before the per-query cell join narrows
+    further.  Returns (query_id, neighbor_id, cosine, nn_rank)."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cell"))
+    probe_df = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("csim", _cos("qvec", "centroid"))
+        .withColumn("probe_rank", F.row_number().over(wp))
+        .where(F.col("probe_rank") <= nprobe)
+        .select("query_id", "qvec", "cell")
+    )
+    cells = sorted(
+        r["cell"] for r in probe_df.select("cell").distinct().collect()
+    )
+    v = spark.read.parquet(f"{path}/vectors").where(
+        F.col("cell").isin([int(c) for c in cells])
+    )
+    return _topk_within_cells(v, probe_df, k, include_self)
