@@ -86,6 +86,16 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding width from the first row (one tiny job).  A wrong `dim`
+    is silent poison: zip_with pads the shorter side with nulls, nulling
+    the dot product and collapsing every signature bit to '0'."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or not row["d"]:
+        raise ValueError(f"cannot infer embedding dim from empty {vec_col!r}")
+    return row["d"]
+
+
 def lsh_signature_col(vec_col: str, planes: list[list[float]]):
     """Bit-string signature column: sign of <v, h_i> per hyperplane."""
     bits = [
@@ -115,7 +125,7 @@ def lsh_cosine_topk(
     k: int = 5,
     n_planes: int | None = None,
     n_tables: int = 4,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 42,
     multiprobe: int = 1,
 ) -> DataFrame:
@@ -147,6 +157,8 @@ def lsh_cosine_topk(
         n_vec = vectors.count()
         target = max(4 * k, 16)
         n_planes = max(2, int(math.ceil(math.log2(max(2.0, n_vec / target)))))
+    if dim is None:
+        dim = _infer_dim(vectors, vec_col)
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
     )
@@ -201,10 +213,12 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 10,
     n_tables: int = 6,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 7,
 ) -> DataFrame:
     """(id_a < id_b, cosine >= threshold), LSH-blocked then exact-verified."""
+    if dim is None:
+        dim = _infer_dim(vectors, vec_col)
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     cands = None
     for t in range(n_tables):
