@@ -1333,6 +1333,12 @@ FROM r WHERE nn_rank <= 5
 # pipelines is DETERMINISTIC (md5/sha256 hashing, seeded hyperplanes), so
 # the DuckDB twin replays the exact algorithm — candidate generation
 # included — and the driver can value-hash them like any exact query.
+#
+# Coupling note: the two hyperplane oracles embed 64-dim plane literals,
+# matching the driver testdata's embeddings schema (verified 64-dim at
+# sf0.001/0.01/0.1).  The library itself infers dim from data; only these
+# oracle strings are schema-bound, like every other oracle here is bound
+# to the documents/embeddings column layout.
 # ---------------------------------------------------------------------------
 
 

@@ -22,6 +22,7 @@ see the last commit (snapshot semantics, like a glass revision).
 
 from __future__ import annotations
 
+import math
 import os
 from dataclasses import dataclass, field
 
@@ -458,8 +459,11 @@ class Enquire:
             # OVERALL (mset.cc:253-271) — fetch the global max separately.
             global_max = m.agg(F.max("score")).collect()[0][0] or 0.0
             rows = top.collect()
+            # HALF_UP like Spark's F.round (and the reference's +0.5
+            # truncation, mset.cc) — Python round() is HALF_EVEN and would
+            # disagree with count_fn/with_percent on exact .5 boundaries
             pct_of = lambda s: (  # noqa: E731
-                max(1, int(round(100.0 * s / global_max)))
+                max(1, int(math.floor(100.0 * s / global_max + 0.5)))
                 if s > 0 and global_max > 0
                 else 0
             )

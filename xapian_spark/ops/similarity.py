@@ -17,6 +17,7 @@
 
 from __future__ import annotations
 
+import itertools
 import math
 
 import numpy as np
@@ -142,16 +143,16 @@ def lsh_cosine_topk(
     plane count makes the signature a precomputable stored column, which is
     how you'd persist the index).
 
-    ``multiprobe=1`` (Lv et al., VLDB'07 simplified to all Hamming-1
-    probes) additionally probes, per table, every bucket whose signature
-    differs from the query's in one bit: a neighbour at angle θ lands in
-    one of those with prob q^p + p·q^(p-1)(1-q) (q = 1-θ/π) instead of
-    q^p — for near-isotropic embeddings this is the difference between
-    ~0.1 and ~0.5 per-table capture.  Cost: the QUERY side fans out
-    ×(1+p) before the bucket join; the corpus side is hashed once, so at
-    100 TB the scan/shuffle volume is unchanged — only the (tiny,
-    broadcast) probe table grows.  ``multiprobe=0`` restores exact-bucket
-    probing.
+    ``multiprobe=m`` (Lv et al., VLDB'07 simplified to exhaustive
+    Hamming-≤m probing) additionally probes, per table, every bucket
+    whose signature differs from the query's in up to m bits: with m=1 a
+    neighbour at angle θ lands in a probed bucket with prob
+    q^p + p·q^(p-1)(1-q) (q = 1-θ/π) instead of q^p — for near-isotropic
+    embeddings this is the difference between ~0.1 and ~0.5 per-table
+    capture.  Cost: the QUERY side fans out ×sum_{j<=m} C(p,j) before
+    the bucket join; the corpus side is hashed once, so at 100 TB the
+    scan/shuffle volume is unchanged — only the (tiny, broadcast) probe
+    table grows.  ``multiprobe=0`` restores exact-bucket probing.
     """
     if n_planes is None:
         n_vec = vectors.count()
@@ -167,28 +168,42 @@ def lsh_cosine_topk(
     )
 
     def probe_buckets(sig):
-        """Signature variants to probe: exact bucket + (optionally) every
-        one-bit flip — pure string expressions, stays in codegen."""
+        """Signature variants to probe: every bucket whose signature is
+        within Hamming distance `multiprobe` of the query's — pure string
+        expressions over the already-projected sig column, stays in
+        codegen.  Variant count is sum_{m<=multiprobe} C(n_planes, m)."""
         if multiprobe <= 0:
             return F.array(sig)
-        flips = [
-            F.concat(
-                F.substring(sig, 1, i),
-                F.when(F.substring(sig, i + 1, 1) == "1", F.lit("0"))
-                 .otherwise(F.lit("1")),
-                F.substring(sig, i + 2, n_planes - i - 1),
+
+        def flipped(flip_set):
+            parts = []
+            for i in range(n_planes):
+                c = F.substring(sig, i + 1, 1)
+                if i in flip_set:
+                    c = F.when(c == "1", F.lit("0")).otherwise(F.lit("1"))
+                parts.append(c)
+            return F.concat(*parts)
+
+        variants = [sig]
+        for m in range(1, min(multiprobe, n_planes) + 1):
+            variants.extend(
+                flipped(set(combo))
+                for combo in itertools.combinations(range(n_planes), m)
             )
-            for i in range(n_planes)
-        ]
-        return F.array(sig, *flips)
+        return F.array(*variants)
 
     cands = None
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed=seed + 1000 * t)
         vt = v.withColumn("bucket", lsh_signature_col("vec", planes))
-        qt = q.withColumn(
-            "bucket",
-            F.explode(probe_buckets(lsh_signature_col("qvec", planes))),
+        # project the signature ONCE, then build flip variants from the
+        # materialized column — referencing the raw signature expression
+        # inside every variant would duplicate the n_planes dot products
+        # per flip in the plan
+        qt = (
+            q.withColumn("_sig", lsh_signature_col("qvec", planes))
+            .withColumn("bucket", F.explode(probe_buckets(F.col("_sig"))))
+            .drop("_sig")
         )
         c = vt.join(F.broadcast(qt), "bucket").drop("bucket")
         cands = c if cands is None else cands.unionByName(c)
@@ -365,7 +380,7 @@ def build_ivf_index(
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
     ).join(assigned, "neighbor_id")
-    dim = vectors.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    dim = _infer_dim(vectors, vec_col)
     cents = v.groupBy("cell").agg(
         F.array(
             *[
@@ -402,13 +417,15 @@ def ivf_search(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
     wp = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cell"))
+    # persist: the probe table is evaluated twice (distinct-cell collect
+    # below + the returned join plan); it is tiny (|queries| x nprobe)
     probe_df = (
         q.crossJoin(F.broadcast(cents))
         .withColumn("csim", _cos("qvec", "centroid"))
         .withColumn("probe_rank", F.row_number().over(wp))
         .where(F.col("probe_rank") <= nprobe)
         .select("query_id", "qvec", "cell")
-    )
+    ).localCheckpoint(eager=True)
     cells = sorted(
         r["cell"] for r in probe_df.select("cell").distinct().collect()
     )

@@ -50,8 +50,10 @@ def wand_topk(
 ) -> DataFrame:
     """Exact BM25 top-k for a weighted-OR query over blocked postings.
 
-    Returns (docid, score), unordered; caller sorts/limits (the plan already
-    ends in orderBy(score desc, docid).limit(k) = TakeOrderedAndProject).
+    Returns the top-k (docid, score) rows, unordered (the checkpoint loses
+    ordering); callers re-sort with orderBy(score desc, docid) for ranks.
+    The top-k cut happens HERE, before the checkpoint, so only k rows are
+    ever materialized — not the full candidate score set.
 
     Doc-dependent sumextra (e.g. BM25 k2) is handled SAFELY without
     disabling pruning: the pass-0 threshold includes each candidate's own
@@ -158,12 +160,18 @@ def wand_topk(
     )
     extra = weight.sumextra_expr(F.col("_dl"), qlen, stats)
     out = agg.select("docid", (F.col("_s") + extra).alias("score"))
-    # Materialize the candidate scores while the cache is hot, then free
-    # the persisted candidate partitions EXPLICITLY — a long-lived session
-    # issuing many queries must not rely on ContextCleaner GC to evict
-    # them.  The checkpointed result is the caller's live data (freed when
-    # the caller drops it), not an intermediate.
-    out = out.localCheckpoint(eager=True)
+    # Cut to the exact top-k (the deterministic ordering every caller
+    # uses) BEFORE materializing: with a weak threshold the candidate set
+    # can be most of the corpus, and checkpointing it whole would pin an
+    # unbounded number of rows per query.  TakeOrderedAndProject bounds
+    # the materialized result to k rows; then free the persisted candidate
+    # partitions EXPLICITLY — a long-lived session issuing many queries
+    # must not rely on ContextCleaner GC to evict them.
+    out = (
+        out.orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
+        .localCheckpoint(eager=True)
+    )
     cands.unpersist()
     return out
 

@@ -25,8 +25,10 @@ from __future__ import annotations
 
 from functools import lru_cache
 
-# v = aeiou + acute/grave/diaeresis variants (catalan.sbl:39)
-_V = frozenset("aeiouáàéèíìïóòúü")
+# v = aeiou + accented variants (catalan.sbl:39).  NB: i-grave (ì) is
+# stringdef'd in the .sbl but deliberately ABSENT from v — an upstream
+# quirk we reproduce exactly.
+_V = frozenset("aeiouáàéèíïóòúü")
 
 # (suffixes, action) groups, machine-extracted from catalan.sbl.
 # Actions: ("del", region) deletes in region; ("rep", region, s) replaces
