@@ -1,0 +1,90 @@
+"""End-to-end test of the spark-submit CLI surface (scripts/build_index.py
++ scripts/query.py) — the north rule's launch path.  Runs them as real
+subprocesses (each bootstraps its own SparkSession, exactly what
+spark-submit does with --py-files), then cross-checks the CLI's hits
+against the in-process Planner on the same warehouse.
+
+Reference analogue: examples/simpleindex.cc + examples/quest.cc driven as
+binaries by the reference's own test harness.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.001"
+
+
+def _run(args):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, *args], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    # stdout is the report JSON (last non-empty line; Spark may log above)
+    payload = [ln for ln in out.stdout.strip().splitlines() if ln.strip()]
+    return json.loads("\n".join(payload))
+
+
+@pytest.fixture(scope="module")
+def cli_warehouse(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cli") / "idx")
+    report = _run([
+        "scripts/build_index.py",
+        "--input", f"{SF}/documents.parquet",
+        "--output", path,
+        "--content-col", "text",
+        "--order-cols", "doc_id",
+        "--n-ranges", "4",
+        "--verify",
+    ])
+    assert report["complete"] is True
+    assert report["docs"] > 0
+    # verify_invariants returns mismatch COUNTS — all must be zero
+    assert all(v == 0 for v in report["invariants"].values()), report
+    return path
+
+
+def test_cli_build_and_query(spark, cli_warehouse):
+    res = _run([
+        "scripts/query.py",
+        "--index", cli_warehouse,
+        "--query", "dup vector",
+        "-k", "5",
+    ])
+    (q,) = res
+    assert q["query"] == "dup vector"
+    assert len(q["hits"]) == 5
+
+    # the CLI's hits must equal the in-process Planner on the same warehouse
+    from xapian_spark.index import merge
+    from xapian_spark.query.parser import QueryParser
+    from xapian_spark.query.planner import Planner
+
+    idx = merge.read_warehouse(spark, cli_warehouse)
+    node = QueryParser().parse_query("dup vector")
+    want = Planner(idx).search(node, k=5).collect()
+    assert [(h["docid"], h["score"]) for h in q["hits"]] == [
+        (r["docid"], round(r["score"], 6)) for r in want
+    ]
+
+
+def test_cli_query_wand_engine_agrees(cli_warehouse):
+    res = _run([
+        "scripts/query.py", "--index", cli_warehouse,
+        "--query", "dup vector", "-k", "5", "--engine", "wand",
+    ])
+    res2 = _run([
+        "scripts/query.py", "--index", cli_warehouse,
+        "--query", "dup vector", "-k", "5", "--engine", "planner",
+    ])
+    assert res[0]["hits"] == res2[0]["hits"]
