@@ -279,3 +279,37 @@ def test_enquire_cutoffs(db):
     top = e2.get_mset(0, 50)
     assert all(m.weight >= wmax for m in top)
     assert len(top) >= 1
+
+
+def test_metadata_roundtrip(db):
+    """User metadata (database.h:510-533, glass_database.cc:1714-1724):
+    set/get/overwrite, empty value deletes, prefix key iteration, empty
+    key rejected, absent key -> ''. Survives reopen (committed with the
+    warehouse like a glass revision)."""
+    import pytest as _pytest
+
+    assert db.get_metadata("nokey") == ""
+    with _pytest.raises(ValueError):
+        db.get_metadata("")
+    with _pytest.raises(ValueError):
+        db.set_metadata("", "x")
+
+    db.set_metadata("schema.version", "3")
+    db.set_metadata("schema.owner", "pipeline")
+    db.set_metadata("other", "zzz")
+    db.commit()
+    assert db.get_metadata("schema.version") == "3"
+    assert db.metadata_keys() == ["other", "schema.owner", "schema.version"]
+    assert db.metadata_keys("schema.") == ["schema.owner", "schema.version"]
+
+    # overwrite + delete-by-empty, atomic at commit
+    db.set_metadata("schema.version", "4")
+    db.set_metadata("other", "")
+    db.commit()
+    assert db.get_metadata("schema.version") == "4"
+    assert db.get_metadata("other") == ""
+    assert db.metadata_keys() == ["schema.owner", "schema.version"]
+
+    # reopen read-only: metadata is durable warehouse state
+    ro = Database(db.spark, db.path)
+    assert ro.get_metadata("schema.version") == "4"

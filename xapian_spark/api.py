@@ -142,6 +142,38 @@ class Database:
     def synonym_keys(self, prefix: str = "") -> list[str]:
         return self.index.synonym_keys(prefix)
 
+    # -- user metadata (Database::get_metadata, database.h:510-533;
+    #    stored per-warehouse like glass's \x00\xc0-prefixed postlist keys,
+    #    glass_database.cc:1714-1724) ------------------------------------
+
+    def _metadata_df(self) -> DataFrame | None:
+        if self.path is None:
+            return None  # backend without metadata support: get returns ""
+        mpath = os.path.join(self.path, "metadata")
+        if not os.path.exists(mpath):
+            return None
+        return self.spark.read.parquet(mpath)
+
+    def get_metadata(self, key: str) -> str:
+        """User metadata value for key; '' when absent (reference contract:
+        empty string even for backends without metadata support)."""
+        if not key:
+            raise ValueError("empty metadata key is invalid")
+        df = self._metadata_df()
+        if df is None:
+            return ""
+        row = df.where(F.col("key") == key).select("value").first()
+        return row["value"] if row is not None else ""
+
+    def metadata_keys(self, prefix: str = "") -> list[str]:
+        """All user metadata keys (metadata_keys_begin), optional prefix."""
+        df = self._metadata_df()
+        if df is None:
+            return []
+        if prefix:
+            df = df.where(F.col("key").startswith(prefix))
+        return [r["key"] for r in df.select("key").orderBy("key").collect()]
+
 
 class WritableDatabase(Database):
     """Batch-oriented WritableDatabase: buffer DataFrames, commit() builds
@@ -158,6 +190,7 @@ class WritableDatabase(Database):
         self.n_ranges = n_ranges
         self._pending: list[tuple[DataFrame, str, str]] = []
         self._pending_synonyms: list[tuple[str, str]] = []
+        self._pending_metadata: dict[str, str] = {}
         self.index = None
         if os.path.exists(path) and merge.warehouse_complete(path):
             self.index = merge.read_warehouse(spark, path)
@@ -170,6 +203,14 @@ class WritableDatabase(Database):
         """WritableDatabase::add_synonym (glass synonym table): buffered,
         written to the warehouse at commit()."""
         self._pending_synonyms.append((term, synonym))
+
+    def set_metadata(self, key: str, value: str) -> None:
+        """WritableDatabase::set_metadata (database.h:1340-1370): buffered,
+        atomic at commit() like document changes.  An empty value deletes
+        the key (glass_database.cc:1719-1721)."""
+        if not key:
+            raise ValueError("empty metadata key is invalid")
+        self._pending_metadata[key] = value
 
     def commit(self) -> None:
         if self._pending:
@@ -199,6 +240,26 @@ class WritableDatabase(Database):
                 shutil.rmtree(syn_path)
             os.replace(syn_path + ".tmp", syn_path)
             self._pending_synonyms = []
+        if self._pending_metadata:
+            mpath = os.path.join(self.path, "metadata")
+            new = self.spark.createDataFrame(
+                list(self._pending_metadata.items()),
+                "key string, value string",
+            )
+            if os.path.exists(mpath):
+                old = self.spark.read.parquet(mpath).join(
+                    new.select("key"), "key", "left_anti"
+                )
+                new = old.unionByName(new)
+            # empty value == deletion (glass_database.cc:1719-1721)
+            new = new.where(F.col("value") != "")
+            new.write.mode("overwrite").parquet(mpath + ".tmp")
+            import shutil
+
+            if os.path.exists(mpath):
+                shutil.rmtree(mpath)
+            os.replace(mpath + ".tmp", mpath)
+            self._pending_metadata = {}
         if merge.warehouse_complete(self.path):
             self.index = merge.read_warehouse(self.spark, self.path)
 
