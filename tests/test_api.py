@@ -313,3 +313,39 @@ def test_metadata_roundtrip(db):
     # reopen read-only: metadata is durable warehouse state
     ro = Database(db.spark, db.path)
     assert ro.get_metadata("schema.version") == "4"
+
+
+def test_document_accessors(db, corpus):
+    """Database::get_document / get_doclength / get_unique_terms /
+    termlist_begin / positionlist_begin / get_lastdocid / bounds."""
+    import pytest as _pytest
+
+    first = corpus.orderBy("docid").first()
+    did = first["docid"]
+    doc = db.get_document(did)
+    assert doc["text"] == first["text"]
+
+    tl = db.termlist(did)
+    assert tl == sorted(tl)  # term-ordered
+    # doclen == sum of wdf over the termlist (probabilistic terms only)
+    assert db.get_doclength(did) == sum(w for _, w, _ in tl)
+    assert db.get_unique_terms(did) == len(tl)
+
+    # positions: ascending, and positionlist agrees with the termlist row
+    term, wdf, pos = next(t for t in tl if t[2])
+    assert pos == sorted(pos) and len(pos) == wdf
+    assert db.positionlist(did, term) == pos
+    assert db.positionlist(did, "no_such_term_xyzzy") == []
+    assert db.has_positions() is True
+
+    n = corpus.count()
+    assert db.get_lastdocid() == n  # dense 1-based docids in this corpus
+    lo, hi = db.get_doclength_lower_bound(), db.get_doclength_upper_bound()
+    assert 0 < lo <= db.get_doclength(did) <= hi
+    assert db.get_wdf_upper_bound(term) >= wdf
+    assert db.get_wdf_upper_bound("no_such_term_xyzzy") == 0
+
+    with _pytest.raises(KeyError):
+        db.get_document(10**9)
+    with _pytest.raises(KeyError):
+        db.get_doclength(10**9)

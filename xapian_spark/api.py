@@ -109,6 +109,100 @@ class Database:
     def term_exists(self, term: str) -> bool:
         return self.get_termfreq(term) > 0
 
+    # -- per-document accessors (Database::get_document / get_doclength /
+    #    get_unique_terms / termlist_begin / positionlist_begin) ----------
+
+    def get_lastdocid(self) -> int:
+        """Highest used docid (Database::get_lastdocid) — memoized agg."""
+        if not hasattr(self, "_lastdocid"):
+            row = self.index.doclens.agg(F.max("docid")).first()
+            self._lastdocid = int(row[0] or 0)
+        return self._lastdocid
+
+    def get_doclength(self, docid: int) -> int:
+        row = (
+            self.index.doclens.where(F.col("docid") == docid)
+            .select("doclen").first()
+        )
+        if row is None:
+            raise KeyError(f"docid {docid} not found")  # DocNotFoundError
+        return row["doclen"]
+
+    def get_unique_terms(self, docid: int) -> int:
+        row = (
+            self.index.doclens.where(F.col("docid") == docid)
+            .select("uniqterms").first()
+        )
+        if row is None:
+            raise KeyError(f"docid {docid} not found")
+        return row["uniqterms"]
+
+    def get_doclength_lower_bound(self) -> int:
+        return self.index.stats.doclen_lower_bound
+
+    def get_doclength_upper_bound(self) -> int:
+        return self.index.stats.doclen_upper_bound
+
+    def get_wdf_upper_bound(self, term: str) -> int:
+        """Max wdf of term across the corpus (used by block-max bounds)."""
+        ts = self.index.collect_term_stats([term]).get(term)
+        return ts.wdf_max if ts else 0
+
+    def get_document(self, docid: int) -> dict:
+        """Stored document row (the docdata analogue): every corpus column
+        for this docid.  Raises KeyError for absent ids (DocNotFoundError)."""
+        row = self.index.docs.where(F.col("docid") == docid).first()
+        if row is None:
+            raise KeyError(f"docid {docid} not found")
+        return row.asDict()
+
+    def termlist(self, docid: int) -> list[tuple[str, int, list[int]]]:
+        """(term, wdf, positions) of one document, term-ordered
+        (Database::termlist_begin).  One narrow filter on the postings
+        table — at warehouse scale the term-major layout makes this a
+        scan, which is why the reference keeps a separate termlist B-tree;
+        the builder's resident `termlists` table serves the same role when
+        present."""
+        src = self.index.termlists
+        if src is not None:
+            row = src.where(F.col("docid") == docid).select("plist").first()
+            if row is None:
+                raise KeyError(f"docid {docid} not found")
+            return sorted(
+                (e["term"], e["wdf"], list(e["positions"] or []))
+                for e in row["plist"]
+            )
+        rows = (
+            self.index.postings.where(F.col("docid") == docid)
+            .select("term", "wdf", "positions")
+            .collect()
+        )
+        if not rows:
+            raise KeyError(f"docid {docid} not found")
+        return sorted(
+            (r["term"], r["wdf"], list(r["positions"] or [])) for r in rows
+        )
+
+    def positionlist(self, docid: int, term: str) -> list[int]:
+        """Ascending positions of term in doc (positionlist_begin)."""
+        row = (
+            self.index.postings.where(
+                (F.col("docid") == docid) & (F.col("term") == term)
+            )
+            .select("positions").first()
+        )
+        return list(row["positions"] or []) if row is not None else []
+
+    def has_positions(self) -> bool:
+        """True if any posting carries positional data — memoized probe."""
+        if not hasattr(self, "_has_positions"):
+            row = (
+                self.index.postings
+                .where(F.size(F.col("positions")) > 0).limit(1).collect()
+            )
+            self._has_positions = bool(row)
+        return self._has_positions
+
     def get_spelling_suggestion(self, word: str, max_edit: int = 2):
         return suggest_spelling(self.index, word, max_edit=max_edit)
 
