@@ -349,3 +349,25 @@ def test_document_accessors(db, corpus):
         db.get_document(10**9)
     with _pytest.raises(KeyError):
         db.get_doclength(10**9)
+
+
+def test_get_matching_terms(db):
+    """Enquire::get_matching_terms_begin: query ∩ document terms, ascending
+    query position, dupes once at lowest position (enquire.h:408-421)."""
+    import xapian_spark.query.ast as _ast
+
+    enq = Enquire(db)
+    # dup appears twice in the query: must be reported once, first position
+    enq.set_query(
+        _ast.Or((
+            _ast.Term("zzz_absent_term"),
+            _ast.Term("dup"),
+            _ast.And((_ast.Term("vector"), _ast.Term("dup"))),
+        ))
+    )
+    hit = enq.get_mset(0, 1)[0]
+    got = enq.get_matching_terms(hit.docid)
+    doc_terms = {t for t, _, _ in db.termlist(hit.docid)}
+    want = [t for t in ("dup", "vector") if t in doc_terms]
+    assert got == want
+    assert "zzz_absent_term" not in got

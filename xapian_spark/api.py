@@ -504,6 +504,36 @@ class Enquire:
         self._percent_cutoff = percent_cutoff
         self._weight_cutoff = weight_cutoff
 
+    def get_matching_terms(self, docid: int) -> list[str]:
+        """Query terms that index the given document, in ascending query
+        position with duplicates reported once at their lowest position
+        (Enquire::get_matching_terms_begin, enquire.h:408-421).  Query
+        position == left-to-right order in the AST, which is how the
+        parser assigns positions."""
+        if self._query is None:
+            return []
+        doc_terms = {t for t, _, _ in self.db.termlist(docid)}
+
+        def walk(nd):
+            if isinstance(nd, ast.Term):
+                yield nd.term
+            elif hasattr(nd, "subs"):
+                for s in nd.subs:
+                    yield from walk(s)
+            elif hasattr(nd, "left"):
+                yield from walk(nd.left)
+                yield from walk(nd.right)
+            elif hasattr(nd, "sub"):
+                yield from walk(nd.sub)
+
+        out: list[str] = []
+        seen: set[str] = set()
+        for t in walk(self._query):
+            if t in doc_terms and t not in seen:
+                seen.add(t)
+                out.append(t)
+        return out
+
     def set_match_decider(self, sql_predicate: str) -> None:
         """MatchDecider (deciderpostlist.cc): arbitrary row predicate over
         the doc columns, applied to candidates — here a SQL boolean
