@@ -371,3 +371,16 @@ def test_get_matching_terms(db):
     want = [t for t in ("dup", "vector") if t in doc_terms]
     assert got == want
     assert "zzz_absent_term" not in got
+
+
+def test_value_slot_stats(db, corpus):
+    """Per-slot value statistics (valuestats.h:30-41): freq = docs with a
+    non-null value, lower/upper bounds; absent slots report (0, None)."""
+    n = corpus.count()
+    assert db.get_value_freq("n_chars") == n
+    lo = db.get_value_lower_bound("n_chars")
+    hi = db.get_value_upper_bound("n_chars")
+    want = corpus.agg(F.min("n_chars"), F.max("n_chars")).first()
+    assert (lo, hi) == (want[0], want[1])
+    assert db.get_value_freq("no_such_slot") == 0
+    assert db.get_value_lower_bound("no_such_slot") is None

@@ -236,6 +236,39 @@ class Database:
     def synonym_keys(self, prefix: str = "") -> list[str]:
         return self.index.synonym_keys(prefix)
 
+    # -- value-slot statistics (Database::get_value_freq /
+    #    get_value_lower_bound / get_value_upper_bound; per-slot stats the
+    #    glass backend keeps in its value-stats chunks, valuestats.h:30-41.
+    #    A "slot" here is a typed column on the docs table per the data
+    #    model mapping in SURVEY §1.1) --------------------------------------
+
+    def _value_stats(self, column: str):
+        cache = getattr(self, "_vstats_cache", None)
+        if cache is None:
+            cache = {}
+            self._vstats_cache = cache
+        if column not in cache:
+            if column not in self.index.docs.columns:
+                cache[column] = (0, None, None)
+            else:
+                row = self.index.docs.agg(
+                    F.count(F.col(column)).alias("freq"),
+                    F.min(F.col(column)).alias("lo"),
+                    F.max(F.col(column)).alias("hi"),
+                ).first()
+                cache[column] = (row["freq"], row["lo"], row["hi"])
+        return cache[column]
+
+    def get_value_freq(self, column: str) -> int:
+        """Documents with a non-null value in the slot (valuestats.h:30)."""
+        return self._value_stats(column)[0]
+
+    def get_value_lower_bound(self, column: str):
+        return self._value_stats(column)[1]
+
+    def get_value_upper_bound(self, column: str):
+        return self._value_stats(column)[2]
+
     # -- user metadata (Database::get_metadata, database.h:510-533;
     #    stored per-warehouse like glass's \x00\xc0-prefixed postlist keys,
     #    glass_database.cc:1714-1724) ------------------------------------
