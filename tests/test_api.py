@@ -10,6 +10,7 @@ from xapian_spark.api import (
     Database,
     Enquire,
     InMemoryDatabase,
+    MSet,
     RSet,
     WritableDatabase,
 )
@@ -384,3 +385,43 @@ def test_value_slot_stats(db, corpus):
     assert (lo, hi) == (want[0], want[1])
     assert db.get_value_freq("no_such_slot") == 0
     assert db.get_value_lower_bound("no_such_slot") is None
+
+
+def test_snippet(db):
+    """MSet::snippet (mset.h, termgenerator_internal.cc:380-720): best
+    window within the byte budget, matched terms highlighted, omit markers
+    at clipped edges, EMPTY_WITHOUT_MATCH flag, stemmed-query matching."""
+    from xapian_spark.query.snippet import (
+        SNIPPET_EMPTY_WITHOUT_MATCH,
+    )
+
+    enq = Enquire(db)
+    enq.set_query(ast.Or((ast.Term("dup"), ast.Term("vector"))))
+    mset = enq.get_mset(0, 3)
+    assert len(mset) > 0
+
+    filler = "lorem ipsum filler words " * 20
+    text = filler + "the dup vector appears here" + filler
+    snip = enq.get_mset(0, 1).snippet(text, length=60)
+    assert "<b>dup</b>" in snip and "<b>vector</b>" in snip
+    assert snip.startswith("...") and snip.endswith("...")
+    assert len(snip.replace("<b>", "").replace("</b>", "")
+               .encode("utf-8")) <= 60 + 2 * len("...")
+
+    # short text with no match: returned verbatim without the flag,
+    # empty with it
+    assert mset.snippet("no match here", length=100) == "no match here"
+    assert mset.snippet(
+        "no match here", length=100, flags=SNIPPET_EMPTY_WITHOUT_MATCH
+    ) == ""
+
+    # stemmed query: Zconnect must highlight 'connection' via the stemmer
+    from xapian_spark.text.stem import Stemmer
+
+    st = Stemmer("english")
+    enq2 = Enquire(db)
+    enq2.set_query(ast.Term("Zconnect"))
+    m2 = MSet()
+    m2._enquire = enq2
+    s2 = m2.snippet("a connection appeared", length=100, stemmer=st)
+    assert "<b>connection</b>" in s2

@@ -50,6 +50,21 @@ class MSetItem:
     percent: int
 
 
+def _query_terms_in_order(node: ast.Node):
+    """Terms of a query AST in ascending query position (left-to-right
+    traversal — the order the parser assigns positions in)."""
+    if isinstance(node, ast.Term):
+        yield node.term
+    elif hasattr(node, "subs"):
+        for s in node.subs:
+            yield from _query_terms_in_order(s)
+    elif hasattr(node, "left"):
+        yield from _query_terms_in_order(node.left)
+        yield from _query_terms_in_order(node.right)
+    elif hasattr(node, "sub"):
+        yield from _query_terms_in_order(node.sub)
+
+
 class MSet(list):
     """list[MSetItem] + the reference's convenience accessors.
 
@@ -75,6 +90,79 @@ class MSet(list):
 
     def get_matches_upper_bound(self) -> int:
         return self.get_matches_estimated()
+
+    _enquire = None  # set by Enquire.get_mset (reference: MSet::Internal)
+
+    def snippet(
+        self,
+        text: str,
+        length: int = 500,
+        stemmer=None,
+        flags: int | None = None,
+        hi_start: str = "<b>",
+        hi_end: str = "</b>",
+        omit: str = "...",
+    ) -> str:
+        """MSet::snippet (mset.h; termgenerator_internal.cc:380-720):
+        best window of `text` within a `length` UTF-8-byte budget with
+        query terms highlighted.  Query-term relevance = the weighting
+        scheme's maxpart (the same per-term upper bound block-max pruning
+        uses — the analogue of the matcher termweights the reference
+        feeds its SnipPipe); stemmed query terms (Z prefix) match via
+        `stemmer`."""
+        from xapian_spark.query.snippet import (
+            SNIPPET_BACKGROUND_MODEL,
+            snippet as _snippet,
+            words_with_spans,
+        )
+
+        if flags is None:
+            flags = SNIPPET_BACKGROUND_MODEL
+        term_weights: dict[str, float] = {}
+        stems: dict[str, float] = {}
+        bg: dict[str, int] = {}
+        doccount = 0
+        enq = self._enquire
+        if enq is not None and enq._query is not None:
+            qterms = list(dict.fromkeys(_query_terms_in_order(enq._query)))
+            idx = enq.db.index
+            tstats = idx.collect_term_stats(qterms)
+            weight = enq._weight or WEIGHT_SCHEMES["bm25"]()
+            if hasattr(weight, "set_query_length"):
+                weight.set_query_length(len(qterms))
+            for t in qterms:
+                ts = tstats.get(t)
+                w = 0.0
+                if ts is not None and ts.tf > 0:
+                    tw = weight.init_term(idx.stats, ts, wqf=1)
+                    w = tw.maxpart(
+                        ts.wdf_max, idx.stats.doclen_lower_bound
+                    )
+                if t.startswith("Z") and len(t) > 1:
+                    stems[t[1:]] = w
+                else:
+                    term_weights[t] = w
+            if flags & SNIPPET_BACKGROUND_MODEL:
+                doccount = idx.stats.doccount
+                words = sorted({t for _, _, t in words_with_spans(text)})
+                bg = {
+                    t: ts.tf
+                    for t, ts in idx.collect_term_stats(words).items()
+                    if ts.tf > 0
+                }
+        return _snippet(
+            text,
+            term_weights,
+            stems=stems,
+            stemmer=stemmer,
+            length=length,
+            flags=flags,
+            hi_start=hi_start,
+            hi_end=hi_end,
+            omit=omit,
+            background_freq=bg,
+            doccount=doccount,
+        )
 
 
 class Database:
@@ -546,22 +634,9 @@ class Enquire:
         if self._query is None:
             return []
         doc_terms = {t for t, _, _ in self.db.termlist(docid)}
-
-        def walk(nd):
-            if isinstance(nd, ast.Term):
-                yield nd.term
-            elif hasattr(nd, "subs"):
-                for s in nd.subs:
-                    yield from walk(s)
-            elif hasattr(nd, "left"):
-                yield from walk(nd.left)
-                yield from walk(nd.right)
-            elif hasattr(nd, "sub"):
-                yield from walk(nd.sub)
-
         out: list[str] = []
         seen: set[str] = set()
-        for t in walk(self._query):
+        for t in _query_terms_in_order(self._query):
             if t in doc_terms and t not in seen:
                 seen.add(t)
                 out.append(t)
@@ -695,6 +770,7 @@ class Enquire:
             ]
         out = MSet()
         out._count_fn = count_fn
+        out._enquire = self  # for MSet.snippet (reference: MSet::Internal)
         rank = -1
         for i, (docid, score, percent) in enumerate(rows):
             if i < first:
