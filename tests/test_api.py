@@ -425,3 +425,13 @@ def test_snippet(db):
     m2._enquire = enq2
     s2 = m2.snippet("a connection appeared", length=100, stemmer=st)
     assert "<b>connection</b>" in s2
+
+    # mixed spans: "example.com" normalizes to two terms; each word must
+    # carry its own span so a query for either half highlights just it
+    from xapian_spark.query.snippet import words_with_spans
+
+    spans = words_with_spans("see example.com today")
+    terms = [t for _, _, t in spans]
+    assert "example" in terms and "com" in terms
+    ex = next(s for s in spans if s[2] == "example")
+    assert "see example.com today"[ex[0]:ex[1]] == "example"

@@ -73,8 +73,22 @@ def words_with_spans(text: str) -> list[tuple[int, int, str]]:
         while j < n and text[j] in "+#":
             j += 1
         terms = parse_terms(text[i:j])
-        if terms:
+        if len(terms) == 1:
             out.append((i, j, terms[0]))
+        elif terms:
+            # mixed span (e.g. "example.com" -> two terms): subdivide at
+            # non-word-character boundaries so each word highlights alone
+            k = i
+            while k < j:
+                while k < j and not _is_wordchar(text[k]):
+                    k += 1
+                m0 = k
+                while k < j and _is_wordchar(text[k]):
+                    k += 1
+                if m0 < k:
+                    sub = parse_terms(text[m0:k])
+                    if sub:
+                        out.append((m0, k, sub[0]))
         i = j
     return out
 
