@@ -529,9 +529,11 @@ def _q_embedding_near_dup(spark, sf_dir):
 
 def _q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing end-to-end: synthetic binary media table ->
-    mapInPandas feature extraction (stubbed decode whose fake features are
-    sha256-derived and SQL-reproducible) -> flattened deterministic
-    columns, so the oracle hash-checks the whole pipeline."""
+    mapInPandas feature extraction -> flattened deterministic columns.
+    Uses decode="fake" (sha256-derived features) because that arithmetic
+    is SQL-reproducible, so the oracle hash-checks the whole pipeline;
+    decode="real" (PPM/WAV/Y4M codecs, resize, frame sampling) is
+    exercised by tests/test_ops.py."""
     from xapian_spark.ops import multimodal
 
     media = multimodal.synth_media(spark, n=64)
@@ -636,7 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_topk": _q_lsh_cosine_topk,  # seeded planes: oracle replay
         "ivf_cosine_topk": _q_ivf_cosine,  # exhaustive probe: oracle-exact
         "embedding_near_dup": _q_embedding_near_dup,  # seeded planes: oracle replay
-        "multimodal_features": _q_multimodal_features,  # stubbed decode
+        "multimodal_features": _q_multimodal_features,  # SQL-replayable fake decode
     }
 
 

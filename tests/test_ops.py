@@ -265,11 +265,84 @@ def test_multimodal_plumbing(spark):
     m1 = {r["media_id"]: r["feature"] for r in feats}
     m2 = {r["media_id"]: r["feature"] for r in feats2}
     assert m1 == m2
-    # real decode raises at the plug-in point
+    # real decode of compressed mimes raises at the codec plug-in point
     with pytest.raises(Exception):
         extract_features(media, decode="real").collect()
     plan = frame_sample_plan(media, every_ms=5000)
     assert plan.count() > 0
+
+
+def test_multimodal_codecs_roundtrip():
+    """PPM/WAV/Y4M encode->decode identity (pure functions, no Spark)."""
+    import numpy as np
+
+    from xapian_spark.ops.multimodal import (
+        decode_ppm,
+        decode_wav,
+        decode_y4m,
+        encode_ppm,
+        encode_wav,
+        encode_y4m,
+    )
+
+    rgb = (np.arange(12 * 16 * 3, dtype=np.uint32) % 256).astype(np.uint8)
+    rgb = rgb.reshape(12, 16, 3)
+    assert (decode_ppm(encode_ppm(rgb)) == rgb).all()
+    # header tolerance: comment + extra whitespace
+    hdr = b"P6\n# a comment\n 16\t12\n255\n" + rgb.tobytes()
+    assert (decode_ppm(hdr) == rgb).all()
+
+    samples = (np.sin(np.arange(4000) / 10.0) * 20000).astype(np.int16)
+    x, rate = decode_wav(encode_wav(samples, 8000))
+    assert rate == 8000 and x.shape == (4000,)
+    assert np.allclose(x, samples / 32768.0, atol=1e-6)
+
+    frames = (np.arange(4 * 24 * 32, dtype=np.uint32) % 256).astype(np.uint8)
+    frames = frames.reshape(4, 24, 32)
+    got, fps = decode_y4m(encode_y4m(frames, fps=10))
+    assert fps == 10 and (got == frames).all()
+
+
+def test_multimodal_real_decode(spark):
+    """decode='real' end-to-end over genuine PPM/WAV/Y4M payloads."""
+    from xapian_spark.ops.multimodal import (
+        extract_features,
+        resize_images,
+        sample_frames,
+        synth_real_media,
+    )
+
+    media = synth_real_media(spark, n=18)
+    feats = extract_features(media, decode="real", dim=12).collect()
+    assert len(feats) == 18
+    by_kind = {}
+    for r in feats:
+        assert len(r["feature"]) == 12
+        by_kind.setdefault(r["kind"], r["feature"])
+    assert set(by_kind) == {"image", "audio", "video"}
+    # audio: rms of a 0.5-amplitude sine is ~0.35; image: gradient means ~0.5
+    assert 0.2 < by_kind["audio"][0] < 0.5
+    assert 0.3 < by_kind["image"][0] < 0.7
+    # determinism
+    feats2 = extract_features(media, decode="real", dim=12).collect()
+    assert {r["media_id"]: r["feature"] for r in feats} == {
+        r["media_id"]: r["feature"] for r in feats2
+    }
+
+    thumbs = resize_images(media, out_w=4, out_h=4).collect()
+    assert len(thumbs) == 6  # one per image row
+    from xapian_spark.ops.multimodal import decode_ppm
+
+    for t in thumbs:
+        assert decode_ppm(bytes(t["payload"])).shape == (4, 4, 3)
+
+    frames = sample_frames(media, every_ms=200).collect()
+    assert frames
+    vids = media.where("kind = 'video'").count()
+    assert len({f["media_id"] for f in frames}) == vids
+    for f in frames:
+        assert bytes(f["payload"])[:2] == b"P5"
+        assert 0.0 <= f["y_mean"] <= 1.0
 
 
 def test_ivf_exhaustive_probe_equals_exact(spark, embeddings):
