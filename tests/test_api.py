@@ -12,6 +12,7 @@ from xapian_spark.api import (
     InMemoryDatabase,
     MSet,
     RSet,
+    ValueSetMatchDecider,
     WritableDatabase,
 )
 from xapian_spark.query import ast
@@ -435,3 +436,54 @@ def test_snippet(db):
     assert "example" in terms and "com" in terms
     ex = next(s for s in spans if s[2] == "example")
     assert "see example.com today"[ex[0]:ex[1]] == "example"
+
+
+def test_convert_to_percent(db):
+    """MSet::convert_to_percent (api/mset.cc:253-283): weight -> percent on
+    the mset's own scale; agrees with the items' percent column."""
+    enq = Enquire(db)
+    enq.set_query(ast.Or((ast.Term("dup"), ast.Term("vector"))))
+    mset = enq.get_mset(0, 5)
+    assert len(mset) > 0
+    for it in mset:
+        assert mset.convert_to_percent(it) == it.percent
+        assert mset.convert_to_percent(it.weight) == it.percent
+    assert mset.convert_to_percent(0.0) == 0
+    assert mset.convert_to_percent(-1.0) == 0
+    assert mset.convert_to_percent(mset[0].weight * 2) == 100  # clamped
+    # tiny positive weight never rounds to 0
+    assert mset.convert_to_percent(mset[0].weight * 1e-9) == 1
+    # unweighted (boolean) search: every match is 100%
+    enq2 = Enquire(db)
+    enq2.set_query(ast.Term("dup"))
+    enq2.set_weighting_scheme("bool")
+    m2 = enq2.get_mset(0, 3)
+    assert len(m2) > 0 and m2.convert_to_percent(m2[0]) == 100
+
+
+def test_value_set_match_decider(db):
+    """ValueSetMatchDecider (valuesetmatchdecider.h:43-100): inclusive
+    keeps only docs whose column value is in the set; exclusive inverts."""
+    enq = Enquire(db)
+    enq.set_query(ast.Term("dup"))
+    all_ids = {it.docid for it in enq.get_mset(0, 1000)}
+    assert all_ids
+
+    langs = {
+        r["lang"]
+        for r in db.index.docs.where(F.col("docid").isin(list(all_ids)))
+        .select("lang").distinct().collect()
+    }
+    keep = {sorted(langs)[0]}
+    dec = ValueSetMatchDecider("lang", inclusive=True, values=keep)
+    enq.set_match_decider(dec)
+    kept = {it.docid for it in enq.get_mset(0, 1000)}
+    assert kept and kept < all_ids
+
+    enq.set_match_decider(ValueSetMatchDecider("lang", False, keep))
+    dropped = {it.docid for it in enq.get_mset(0, 1000)}
+    assert kept | dropped == all_ids and kept & dropped == set()
+
+    # empty inclusive set matches nothing
+    enq.set_match_decider(ValueSetMatchDecider("lang", True, set()))
+    assert len(enq.get_mset(0, 10)) == 0

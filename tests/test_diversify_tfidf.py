@@ -157,3 +157,43 @@ def test_diversify_df(spark):
     out = diversify(mset, emb, k=3).collect()
     assert [r["rank"] for r in out] == [1, 2, 3]
     assert len({r["docid"] for r in out}) == 3
+
+
+def test_fixed_weight_source(spark):
+    """FixedWeightPostingSource (postingsource.cc:406-458): every doc
+    matches at the constant weight; under AND_MAYBE it adds a flat boost."""
+    rows = [(i, "alpha beta" if i % 2 else "alpha", float(i)) for i in range(1, 9)]
+    docs = spark.createDataFrame(rows, "docid long, content string, v double")
+    from xapian_spark.index.builder import build_index
+
+    idx = build_index(spark, docs, content_col="content", docid_col="docid")
+    got = Planner(idx).search(ast.FixedWeightSource(2.5), k=20).collect()
+    assert len(got) == 8
+    assert all(r["score"] == 2.5 for r in got)
+    # docid tie-break ascending on equal weights
+    assert [r["docid"] for r in got] == list(range(1, 9))
+    # composed: term OR fixed -> every doc matches, term docs score higher
+    mixed = Planner(idx).search(
+        ast.Or((ast.Term("beta"), ast.FixedWeightSource(0.5))), k=20
+    ).collect()
+    assert len(mixed) == 8
+    beta_ids = {r["docid"] for r in mixed if r["score"] > 0.6}
+    assert beta_ids == {1, 3, 5, 7}
+
+
+def test_value_map_source(spark):
+    """ValueMapPostingSource (postingsource.cc:296-395): weight =
+    mapping[value] else default; null slot values do not match."""
+    rows = [
+        (1, "x", "red"), (2, "x", "blue"), (3, "x", "green"),
+        (4, "x", None), (5, "x", "red"),
+    ]
+    docs = spark.createDataFrame(rows, "docid long, content string, colour string")
+    from xapian_spark.index.builder import build_index
+
+    idx = build_index(spark, docs, content_col="content", docid_col="docid")
+    q = ast.ValueMapSource(
+        "colour", mapping=(("red", 3.0), ("blue", 1.5)), default_weight=0.25
+    )
+    got = {r["docid"]: r["score"] for r in Planner(idx).search(q, k=10).collect()}
+    assert got == {1: 3.0, 5: 3.0, 2: 1.5, 3: 0.25}  # doc 4 (null) absent

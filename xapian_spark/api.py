@@ -92,6 +92,26 @@ class MSet(list):
         return self.get_matches_estimated()
 
     _enquire = None  # set by Enquire.get_mset (reference: MSet::Internal)
+    _max_attained: float | None = None  # best weight over the whole match
+
+    def convert_to_percent(self, weight) -> int:
+        """MSet::convert_to_percent (api/mset.cc:253-283): map a weight (or
+        an MSetItem) to this mset's percent scale — 100 for an unweighted
+        search, 0 for non-positive weights, else round(100 * w / best)
+        clamped to [1, 100].  Rounding is HALF_UP, matching the percent
+        column this engine computes everywhere else (the reference
+        truncates after a DBL_EPSILON nudge — same value except on exact
+        representability edges)."""
+        if isinstance(weight, MSetItem):
+            weight = weight.weight
+        mx = self._max_attained
+        if mx is None:
+            mx = max((it.weight for it in self), default=0.0)
+        if mx <= 0:
+            return 100  # unweighted search: every match is 100%
+        if weight <= 0:
+            return 0
+        return min(100, max(1, int(math.floor(100.0 * weight / mx + 0.5))))
 
     def snippet(
         self,
@@ -517,6 +537,36 @@ class MultiValueKeyMaker:
         return self
 
 
+class ValueSetMatchDecider:
+    """ValueSetMatchDecider (valuesetmatchdecider.h:43-100): keep (or, with
+    inclusive=False, drop) documents whose value column is in a given set.
+    Renders to a SQL predicate, so Enquire.set_match_decider can take it
+    directly and Catalyst pushes it at the candidates."""
+
+    def __init__(self, column: str, inclusive: bool = True,
+                 values: set[str] | None = None):
+        self.column = column
+        self.inclusive = inclusive
+        self.values: set = set(values or ())
+
+    def add_value(self, value) -> None:
+        self.values.add(value)
+
+    def remove_value(self, value) -> None:
+        self.values.discard(value)
+
+    def sql(self) -> str:
+        if not self.values:
+            # empty set: inclusive matches nothing, exclusive everything
+            return "false" if self.inclusive else "true"
+        lits = ", ".join(
+            "'" + str(v).replace("'", "''") + "'"
+            for v in sorted(self.values, key=str)
+        )
+        op = "IN" if self.inclusive else "NOT IN"
+        return f"CAST(`{self.column}` AS STRING) {op} ({lits})"
+
+
 @dataclass
 class RSet:
     """Relevance set (xapian::RSet)."""
@@ -642,11 +692,14 @@ class Enquire:
                 out.append(t)
         return out
 
-    def set_match_decider(self, sql_predicate: str) -> None:
+    def set_match_decider(self, decider) -> None:
         """MatchDecider (deciderpostlist.cc): arbitrary row predicate over
-        the doc columns, applied to candidates — here a SQL boolean
-        expression, e.g. "n_chars > 100 AND lang = 'en'"."""
-        self._decider_sql = sql_predicate
+        the doc columns, applied to candidates — a SQL boolean expression
+        string (e.g. "n_chars > 100 AND lang = 'en'") or an object with a
+        .sql() method such as ValueSetMatchDecider."""
+        self._decider_sql = (
+            decider.sql() if hasattr(decider, "sql") else decider
+        )
 
     def add_matchspy(self, column: str) -> None:
         """ValueCountMatchSpy (matchspy.h:205): collect value->count facets
@@ -771,6 +824,13 @@ class Enquire:
         out = MSet()
         out._count_fn = count_fn
         out._enquire = self  # for MSet.snippet (reference: MSet::Internal)
+        # best attained weight, for convert_to_percent: the relevance-sorted
+        # window contains the global best; under a value sort it was
+        # fetched separately above
+        out._max_attained = (
+            global_max if self._sort_by
+            else max((s for _, s, _ in rows), default=0.0)
+        )
         rank = -1
         for i, (docid, score, percent) in enumerate(rows):
             if i < first:

@@ -185,6 +185,37 @@ class DecreasingValueWeightSource(ValueWeightSource):
 
 
 @dataclass(frozen=True)
+class FixedWeightSource(Node):
+    """FixedWeightPostingSource (api/postingsource.cc:406-458): matches
+    EVERY document (it walks the all-docs postlist) with a constant weight
+    — the reference's way to graft a flat boost onto a query via
+    OP_AND_MAYBE etc.  maxweight == the fixed weight."""
+
+    weight: float = 1.0
+
+    def describe(self) -> str:
+        return f"FIXED_WEIGHT {self.weight}"
+
+
+@dataclass(frozen=True)
+class ValueMapSource(Node):
+    """ValueMapPostingSource (api/postingsource.cc:296-395): matches every
+    doc whose value column is non-null (ValuePostingSource semantics),
+    weighted by mapping[value] or default_weight when the value is not in
+    the map; maxweight = max(map values, default)."""
+
+    field: str
+    mapping: tuple[tuple[str, float], ...] = ()
+    default_weight: float = 0.0
+
+    def describe(self) -> str:
+        return (
+            f"VALUE_MAP {self.field} ({len(self.mapping)} keys, "
+            f"default {self.default_weight})"
+        )
+
+
+@dataclass(frozen=True)
 class EliteSet(Node):
     """OP_ELITE_SET: keep the set_size best subqueries by maxweight, then
     OR them (query.h:166-213; selection queryinternal.cc:433-439, default

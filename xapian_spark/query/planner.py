@@ -497,6 +497,23 @@ class Planner:
             match = match & pos_ok
             return _Ev(match, weight)
 
+        if isinstance(node, ast.ValueMapSource):
+            # ValueMapPostingSource (postingsource.cc:296-395): matches
+            # non-null slot values; weight = map[value] else default.
+            col = F.col(node.field)
+            match = col.isNotNull()
+            if factor == 0.0:
+                return _Ev(match, F0)
+            w = F.lit(float(node.default_weight))
+            for key, wt in node.mapping:
+                w = F.when(col.cast("string") == F.lit(key), F.lit(float(wt))).otherwise(w)
+            return _Ev(match, F.when(match, w * F.lit(factor)).otherwise(0.0))
+
+        if isinstance(node, ast.FixedWeightSource):
+            # FixedWeightPostingSource (postingsource.cc:406-458): every
+            # doc matches at a constant weight.
+            return _Ev(F.lit(True), F.lit(float(node.weight) * factor))
+
         if isinstance(node, ast.ValueWeightSource):
             col = F.col(node.field)
             match = col.isNotNull()
@@ -585,13 +602,18 @@ class Planner:
 
         need_pos = self._contains(query, (ast.Phrase, ast.Near))
         need_all = self._contains(
-            query, (ast.MatchAll, ast.ValueWeightSource)
+            query,
+            (ast.MatchAll, ast.ValueWeightSource, ast.ValueMapSource,
+             ast.FixedWeightSource),
         )
         vr_fields = sorted(
             {
                 nd.field
                 for nd in _walk(query)
-                if isinstance(nd, (ast.ValueRange, ast.ValueWeightSource))
+                if isinstance(
+                    nd,
+                    (ast.ValueRange, ast.ValueWeightSource, ast.ValueMapSource),
+                )
             }
         )
         cand = self._candidates(terms, need_pos, need_all, vr_fields)
@@ -634,11 +656,16 @@ class Planner:
             all_terms.update(wqf)
             need_pos = need_pos or self._contains(q, (ast.Phrase, ast.Near))
             need_all = need_all or self._contains(
-                q, (ast.MatchAll, ast.ValueWeightSource)
+                q,
+                (ast.MatchAll, ast.ValueWeightSource, ast.ValueMapSource,
+                 ast.FixedWeightSource),
             )
             vr_fields.update(
                 nd.field for nd in _walk(q)
-                if isinstance(nd, (ast.ValueRange, ast.ValueWeightSource))
+                if isinstance(
+                    nd,
+                    (ast.ValueRange, ast.ValueWeightSource, ast.ValueMapSource),
+                )
             )
             prepared[name] = (q, wqf)
 
