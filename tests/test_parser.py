@@ -202,3 +202,67 @@ def test_field_processor():
     # returning None -> MatchNothing
     qp.add_field_processor("drop", lambda text: None)
     assert isinstance(qp.parse_query("drop:anything"), ast.MatchNothing)
+
+
+# -- FLAG_PARTIAL (queryparser.h:528-556; PARTIAL_TERM lemony:1513-1528) -----
+
+PARTIAL_GOLDEN = [
+    # final word at end-of-string: OR of most-frequent wildcard + the term
+    ("sea", "(WILDCARD SYNONYM sea OR sea@1)"),
+    ("first sea", "(first@1 OR (WILDCARD SYNONYM sea OR sea@2))"),
+    # trailing whitespace: the word is complete - no partial treatment
+    ("sea ", "sea@1"),
+    # too short (min_partial_prefix_len = 2)
+    ("s", "s@1"),
+    # explicit wildcard / fuzzy keep their own semantics
+    ("sea*", "WILDCARD SYNONYM sea"),
+    # quoted phrase final token: no partial
+    ('"exact phrase"', "(exact@1 PHRASE 2 phrase@2)"),
+    # compound (phrase-generating) final token: no partial
+    ("simple-example", "(simple@1 PHRASE 2 example@2)"),
+]
+
+
+@pytest.mark.parametrize("query,expected", PARTIAL_GOLDEN)
+def test_partial_golden(query, expected):
+    assert (
+        QueryParser(partial=True).parse_query(query).describe() == expected
+    )
+
+
+def test_partial_field_prefixes():
+    qp = QueryParser(
+        partial=True,
+        prefixes={"title": "XT"},
+        boolean_prefixes={"lang": "L"},
+    )
+    # probabilistic field prefix participates (root gets the prefix)
+    assert (
+        qp.parse_query("title:sea").describe()
+        == "(WILDCARD SYNONYM XTsea OR XTsea@1)"
+    )
+    # boolean filter prefix does not (reference: PARTIAL skipped)
+    assert qp.parse_query("lang:en").describe() == "Len"
+
+
+def test_partial_wildcard_params():
+    node = QueryParser(partial=True, max_partial_expansion=7).parse_query(
+        "sea"
+    )
+    wc = node.subs[0]
+    assert isinstance(wc, ast.Wildcard)
+    assert wc.limit == 7 and wc.most_frequent and wc.combiner == "synonym"
+
+
+def test_partial_search(simple_index):
+    """Incremental search: 'parag' matches the paragraph docs via the
+    prefix expansion even though 'parag' is not a term."""
+    from xapian_spark.query.planner import Planner
+
+    pl = Planner(simple_index)
+    q = QueryParser(partial=True).parse_query("parag")
+    got = {r["docid"] for r in pl.search(q, k=10).collect()}
+    assert {1, 2, 4} <= got
+    # the non-partial parse finds nothing
+    q2 = QueryParser().parse_query("parag")
+    assert pl.search(q2, k=10).count() == 0

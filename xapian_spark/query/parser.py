@@ -108,9 +108,21 @@ class QueryParser:
     # 589-597; api_queryparser qp_default_prefix1 CJK goldens).  Divergence
     # by design: defaults ON to match the indexer's default.
     ngrams: bool = True
+    # FLAG_PARTIAL (queryparser.h:528-556): treat the final word of the
+    # query as a partially-typed term — OR of a most-frequent-limited
+    # wildcard over the prefix and the word as normally parsed — for
+    # stable incremental (search-as-you-type) results.  Like the
+    # reference, it only fires when the query string ends at the word (no
+    # trailing whitespace) and the word is a plain probabilistic term (not
+    # quoted/phrased/compound, not a boolean filter prefix, not a range).
+    partial: bool = False
+    min_partial_prefix_len: int = 2  # queryparser_internal.h:115
+    max_partial_expansion: int = 100  # queryparser_internal.h:103
 
     def __post_init__(self):
         self._pos = 0  # query-wide term position counter
+        self._partial_idx = None  # token index of the PARTIAL_TERM, if any
+        self._partial_now = False
 
     def add_rangeprocessor(self, proc) -> None:
         """QueryParser::add_rangeprocessor (queryparser.h:1070-1090)."""
@@ -221,7 +233,24 @@ class QueryParser:
         self, text: str, prefix: str = "", positional: bool = False
     ) -> ast.Node:
         """One word token -> Term / Phrase (compound) / Wildcard /
-        EditDistance / Synonym."""
+        EditDistance / Synonym; under FLAG_PARTIAL the final word also
+        ORs in its prefix expansion (Term::as_partial_query,
+        queryparser.lemony:541-564)."""
+        if self._partial_now and not positional:
+            self._partial_now = False
+            node = self._word_node(text, prefix, positional)
+            root = parse_terms(text)
+            if not root:
+                return node
+            wc = ast.Wildcard(
+                prefix + root[0],
+                limit=self.max_partial_expansion,
+                most_frequent=True,  # WILDCARD_LIMIT_MOST_FREQUENT default
+                combiner="synonym",
+            )
+            if isinstance(node, ast.MatchNothing):
+                return wc
+            return ast.Or((wc, node))
         if text.endswith("*") and len(text) > 1:
             head = text[:-1].lower()
             return ast.Wildcard(prefix + head, combiner="or")
@@ -364,9 +393,44 @@ class QueryParser:
 
     # -- grammar -------------------------------------------------------------
 
+    def _find_partial_token(self, s: str, toks: list[_Tok]) -> int | None:
+        """PARTIAL_TERM eligibility (queryparser.lemony:1513-1528): the
+        final token, only when the raw string ends right at it, it is a
+        plain word (single term after folding, no wildcard/fuzzy/range
+        syntax, no boolean-filter or processor field), and the word has at
+        least min_partial_prefix_len characters."""
+        if not (self.partial and s and not s[-1].isspace() and toks):
+            return None
+        tok = toks[-1]
+        if tok.kind != "word":
+            return None
+        text = tok.text
+        if text.endswith("*") or text.startswith("~"):
+            return None
+        if re.search(r"~\d*$", text) or ".." in text:
+            return None
+        word = text
+        m = re.match(r"^([A-Za-z_][\w]*):(.+)$", text)
+        if m:
+            f = m.group(1).lower()
+            if (
+                f in self.boolean_prefixes
+                or f in self.range_fields
+                or f in self.field_processors
+            ):
+                return None
+            if f in self.prefixes:
+                word = m.group(2)
+        if len(word) < self.min_partial_prefix_len:
+            return None
+        if len(parse_terms(word)) != 1:  # compounds phrase-generate
+            return None
+        return len(toks) - 1
+
     def parse_query(self, s: str) -> ast.Node:
         self._pos = 0
         toks = self._lex(s)
+        self._partial_idx = self._find_partial_token(s, toks)
         node, i = self._parse_or(toks, 0)
         if isinstance(node, _NegOnly):
             node = None  # pure "-term" query matches nothing
@@ -535,6 +599,7 @@ class QueryParser:
         """-> (node, next_i, filter_group|None)."""
         if i >= len(toks):
             return None, i, None
+        self._partial_now = i == self._partial_idx
         t = toks[i]
         if t.kind == "lparen":
             node, i = self._parse_or(toks, i + 1)
