@@ -266,3 +266,39 @@ def test_partial_search(simple_index):
     # the non-partial parse finds nothing
     q2 = QueryParser().parse_query("parag")
     assert pl.search(q2, k=10).count() == 0
+
+
+def test_flag_pure_not(simple_index):
+    """FLAG_PURE_NOT (queryparser.h:529-535; golden
+    api_queryparser.cc:1717-1724): 'NOT x' = 0*<alldocuments> AND_NOT x."""
+    qp = QueryParser(pure_not=True)
+    assert (
+        qp.parse_query("NOT dog").describe()
+        == "(0.0 * <alldocuments> AND_NOT dog@1)"
+    )
+    assert (
+        qp.parse_query("a AND (NOT b)").describe()
+        == "(a@1 AND (0.0 * <alldocuments> AND_NOT b@2))"
+    )
+    # without the flag the negated clause degrades to nothing matched
+    assert isinstance(QueryParser().parse_query("NOT dog"), ast.MatchNothing)
+    # end to end: everything except the banana doc, all weights 0
+    from xapian_spark.query.planner import Planner
+
+    pl = Planner(simple_index)
+    got = pl.search(qp.parse_query("NOT banana"), k=10).collect()
+    assert {r["docid"] for r in got} == {1, 2, 3, 4, 6}
+    assert all(r["score"] == 0.0 for r in got)
+
+
+def test_flag_boolean_any_case():
+    """FLAG_BOOLEAN_ANY_CASE (queryparser.h:511)."""
+    qp = QueryParser(boolean_any_case=True)
+    assert qp.parse_query("cat and dog").describe() == "(cat@1 AND dog@2)"
+    assert qp.parse_query("cat Or dog").describe() == "(cat@1 OR dog@2)"
+    assert qp.parse_query("a near/3 b").describe() == "(a@1 NEAR 3 b@2)"
+    # default: only ALL-CAPS are operators
+    assert (
+        QueryParser().parse_query("cat and dog").describe()
+        == "(cat@1 OR and@2 OR dog@3)"
+    )

@@ -118,6 +118,16 @@ class QueryParser:
     partial: bool = False
     min_partial_prefix_len: int = 2  # queryparser_internal.h:115
     max_partial_expansion: int = 100  # queryparser_internal.h:103
+    # FLAG_PURE_NOT (queryparser.h:529-535): allow a NOT with no left
+    # operand — "NOT x" becomes (0 * <alldocuments> AND_NOT x), golden
+    # api_queryparser.cc:1717-1724.  Off by default (the alldocs scan is
+    # potentially expensive, same rationale as the reference); without the
+    # flag the negated clause is dropped (this parser degrades instead of
+    # raising, see test_empty_and_garbage).
+    pure_not: bool = False
+    # FLAG_BOOLEAN_ANY_CASE (queryparser.h:511): recognise boolean
+    # operators in any case ("and"/"And"/"AND"), not just ALL-CAPS.
+    boolean_any_case: bool = False
 
     def __post_init__(self):
         self._pos = 0  # query-wide term position counter
@@ -178,10 +188,11 @@ class QueryParser:
             kind = m.lastgroup
             text = m.group()
             if kind == "word":
-                if text in _KEYWORDS or re.fullmatch(
-                    r"(NEAR|ADJ)/\d+", text
+                cmp = text.upper() if self.boolean_any_case else text
+                if cmp in _KEYWORDS or re.fullmatch(
+                    r"(NEAR|ADJ)/\d+", cmp
                 ):
-                    toks.append(_Tok("op", text))
+                    toks.append(_Tok("op", cmp))
                     continue
             toks.append(_Tok(kind, text))
         return toks
@@ -489,6 +500,19 @@ class QueryParser:
             right, i = self._parse_prob(toks, i)
             if isinstance(right, _NegOnly):
                 negate, right = True, right.node
+            if left is None and negate and right is not None:
+                # "NOT x" with nothing to subtract from: FLAG_PURE_NOT
+                # matches everything-but-x at weight 0
+                # (api_queryparser.cc:1718: 0 * <alldocuments> AND_NOT x);
+                # without the flag the clause degrades to nothing matched
+                left = (
+                    ast.AndNot(
+                        ast.ScaleWeight(0.0, ast.MatchAll()), right
+                    )
+                    if self.pure_not
+                    else None
+                )
+                continue
             if left is None or right is None:
                 left = left or right
                 continue
