@@ -302,3 +302,44 @@ def test_flag_boolean_any_case():
         QueryParser().parse_query("cat and dog").describe()
         == "(cat@1 OR and@2 OR dog@3)"
     )
+
+
+def test_glob_wildcards(simple_index):
+    """FLAG_WILDCARD_MULTI / FLAG_WILDCARD_SINGLE (queryparser.h, Xapian
+    1.5; pattern semantics query.h:327-339): '*' any run / '?' one char,
+    anywhere in the word."""
+    from xapian_spark.query.planner import Planner
+
+    qp = QueryParser(wildcard_multi=True, wildcard_single=True)
+    assert qp.parse_query("p?sta").describe() == "WILDCARD GLOB p?sta"
+    assert qp.parse_query("c*ing").describe() == "WILDCARD GLOB c*ing"
+    # without the flags, '?' folds away and '*' mid-word splits terms
+    assert "GLOB" not in QueryParser().parse_query("p?sta").describe()
+
+    idx = simple_index
+    assert idx.expand_wildcard_pattern("p?sta") == ["pasta"]
+    assert idx.expand_wildcard_pattern("c*ing") == ["cooking"]
+    assert idx.expand_wildcard_pattern("par*ph") == ["paragraph"]
+    assert idx.expand_wildcard_pattern("r?nking") == ["ranking"]
+    # '?' is exactly one char: a length mismatch never matches
+    assert idx.expand_wildcard_pattern("rank?ng") == ["ranking"]
+    assert idx.expand_wildcard_pattern("ran?ng") == []
+    # limit policies shared with the plain path
+    with pytest.raises(ValueError):
+        idx.expand_wildcard_pattern("*a*", limit=2)
+    first2 = idx.expand_wildcard_pattern("*a*", limit=2, limit_mode="first")
+    assert len(first2) == 2
+
+    pl = Planner(idx)
+    got = {r["docid"] for r in pl.search(qp.parse_query("p?sta"), k=10).collect()}
+    assert got == {3}
+
+
+def test_fractional_fuzzy():
+    """FLAG_FUZZY fractional edit distance (queryparser.h: since~0.2 ->
+    len * 0.2 = 1)."""
+    node = QueryParser().parse_query("since~0.2")
+    assert isinstance(node, ast.EditDistance)
+    assert node.max_edit == 1
+    node2 = QueryParser().parse_query("uncertain~0.5")
+    assert node2.max_edit == 4

@@ -435,6 +435,51 @@ class InvertedIndex:
                 terms = terms[:limit]
         return terms
 
+    def expand_wildcard_pattern(
+        self, pattern: str, multi: bool = True, single: bool = True,
+        limit: int | None = None, most_frequent: bool = False,
+        limit_mode: str = "error",
+    ) -> list[str]:
+        """Glob-style OP_WILDCARD expansion (query.h:327-339,
+        WILDCARD_PATTERN_MULTI '*' / WILDCARD_PATTERN_SINGLE '?', Xapian
+        1.5): the wildcards may appear anywhere in the word.  The literal
+        head before the first wildcard prunes the dictionary scan
+        (startswith pushes to the stats table's sort/partition order);
+        the full pattern is then a JVM-side rlike."""
+        import re as _re
+
+        if most_frequent:
+            limit_mode = "most_frequent"
+        wildchars = ("*" if multi else "") + ("?" if single else "")
+        head_len = next(
+            (j for j, ch in enumerate(pattern) if ch in wildchars),
+            len(pattern),
+        )
+        parts = []
+        for ch in pattern:
+            if multi and ch == "*":
+                parts.append(".*")
+            elif single and ch == "?":
+                parts.append(".")
+            else:
+                parts.append(_re.escape(ch))
+        regex = "^" + "".join(parts) + "$"
+        df = self.term_stats
+        if head_len:
+            df = df.where(F.col("term").startswith(pattern[:head_len]))
+        df = df.where(F.col("term").rlike(regex))
+        if limit and limit_mode == "most_frequent":
+            df = df.orderBy(F.col("tf").desc(), F.col("term")).limit(limit)
+        terms = sorted(r["term"] for r in df.select("term").collect())
+        if limit and len(terms) > limit:
+            if limit_mode == "error":
+                raise ValueError(
+                    f"wildcard expands to {len(terms)} terms > limit {limit}"
+                )
+            if limit_mode == "first":
+                terms = terms[:limit]
+        return terms
+
 
 def assign_docids(
     docs: DataFrame, order_cols: list[str], num_partitions: int | None = None

@@ -261,8 +261,16 @@ class Wildcard(Node):
     # most_frequent=True (WILDCARD_LIMIT_MOST_FREQUENT)
     limit_mode: str = "error"
     combiner: str = "synonym"  # reference default: OP_SYNONYM
+    # glob-style patterns (query.h:327-339, WILDCARD_PATTERN_MULTI/SINGLE,
+    # Xapian 1.5): '*' matches any run, '?' exactly one char, anywhere in
+    # the word.  When either is set, `pattern` is the full glob (no
+    # implicit trailing '*').
+    multi: bool = False
+    single: bool = False
 
     def describe(self) -> str:
+        if self.multi or self.single:
+            return f"WILDCARD GLOB {self.pattern}"
         return f"WILDCARD SYNONYM {self.pattern}"
 
 

@@ -128,6 +128,12 @@ class QueryParser:
     # FLAG_BOOLEAN_ANY_CASE (queryparser.h:511): recognise boolean
     # operators in any case ("and"/"And"/"AND"), not just ALL-CAPS.
     boolean_any_case: bool = False
+    # FLAG_WILDCARD_MULTI / FLAG_WILDCARD_SINGLE (queryparser.h:8192/16384,
+    # Xapian 1.5): glob-style '*' (any run) / '?' (one char) anywhere in a
+    # word; when either is on, plain FLAG_WILDCARD trailing-'*' handling is
+    # subsumed by the glob path (the reference ignores FLAG_WILDCARD then).
+    wildcard_multi: bool = False
+    wildcard_single: bool = False
 
     def __post_init__(self):
         self._pos = 0  # query-wide term position counter
@@ -262,14 +268,30 @@ class QueryParser:
             if isinstance(node, ast.MatchNothing):
                 return wc
             return ast.Or((wc, node))
+        if (self.wildcard_multi and "*" in text) or (
+            self.wildcard_single and "?" in text
+        ):
+            # glob wildcard (FLAG_WILDCARD_MULTI/SINGLE): the whole word is
+            # the pattern, wildcards anywhere
+            return ast.Wildcard(
+                prefix + text.lower(), combiner="or",
+                multi=self.wildcard_multi, single=self.wildcard_single,
+            )
         if text.endswith("*") and len(text) > 1:
             head = text[:-1].lower()
             return ast.Wildcard(prefix + head, combiner="or")
-        m = re.fullmatch(r"(.+?)~(\d*)", text)
+        m = re.fullmatch(r"(.+?)~(\d+\.\d+|\d*)", text)
         if m:
-            # fuzzy: term~k -> OP_EDIT_DISTANCE (:1497); default k=2
-            k = int(m.group(2)) if m.group(2) else 2
-            return ast.EditDistance(m.group(1).lower(), k, prefix=prefix)
+            # fuzzy: term~k -> OP_EDIT_DISTANCE (:1497); default k=2.
+            # A fractional k scales by the word length (FLAG_FUZZY,
+            # queryparser.h:32768: "since~0.2" -> edit distance 1)
+            head = m.group(1).lower()
+            spec = m.group(2)
+            if "." in spec:
+                k = int(len(head) * float(spec))
+            else:
+                k = int(spec) if spec else 2
+            return ast.EditDistance(head, k, prefix=prefix)
         explicit_syn = text.startswith("~")
         if explicit_syn:
             text = text[1:]
@@ -418,7 +440,11 @@ class QueryParser:
         text = tok.text
         if text.endswith("*") or text.startswith("~"):
             return None
-        if re.search(r"~\d*$", text) or ".." in text:
+        if (self.wildcard_multi and "*" in text) or (
+            self.wildcard_single and "?" in text
+        ):
+            return None
+        if re.search(r"~(\d+\.\d+|\d*)$", text) or ".." in text:
             return None
         word = text
         m = re.match(r"^([A-Za-z_][\w]*):(.+)$", text)

@@ -87,11 +87,19 @@ class Planner:
         """Expand OP_WILDCARD against the term dictionary
         (queryinternal.cc:1891-1945)."""
         if isinstance(node, ast.Wildcard):
-            terms = self.index.expand_wildcard(
-                node.pattern, limit=node.limit or None,
-                most_frequent=node.most_frequent,
-                limit_mode=getattr(node, "limit_mode", "error"),
-            )
+            if node.multi or node.single:
+                terms = self.index.expand_wildcard_pattern(
+                    node.pattern, multi=node.multi, single=node.single,
+                    limit=node.limit or None,
+                    most_frequent=node.most_frequent,
+                    limit_mode=getattr(node, "limit_mode", "error"),
+                )
+            else:
+                terms = self.index.expand_wildcard(
+                    node.pattern, limit=node.limit or None,
+                    most_frequent=node.most_frequent,
+                    limit_mode=getattr(node, "limit_mode", "error"),
+                )
             if not terms:
                 return ast.MatchNothing()
             subs = tuple(ast.Term(t) for t in terms)
