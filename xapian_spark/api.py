@@ -38,6 +38,10 @@ from xapian_spark.query.expand import (
     with_percent,
 )
 from xapian_spark.query.parser import QueryParser  # re-export  # noqa: F401
+from xapian_spark.text.termgen import (  # re-export  # noqa: F401
+    Document,
+    TermGenerator,
+)
 from xapian_spark.query.planner import Planner
 from xapian_spark.ranking.weights import WEIGHT_SCHEMES, Weight
 
@@ -93,6 +97,15 @@ class MSet(list):
 
     _enquire = None  # set by Enquire.get_mset (reference: MSet::Internal)
     _max_attained: float | None = None  # best weight over the whole match
+
+    def get_termfreq(self, term: str) -> int:
+        """MSet::get_termfreq (api/mset.cc:84-103): termfreq of a term,
+        answered from the searched database (the reference first consults
+        the match's cached stats, then falls back to the db — same
+        numbers)."""
+        if self._enquire is None:
+            return 0
+        return self._enquire.db.get_termfreq(term)
 
     def convert_to_percent(self, weight) -> int:
         """MSet::convert_to_percent (api/mset.cc:253-283): map a weight (or
