@@ -199,3 +199,73 @@ def test_get_corrected_query_string(simple_index):
     got = qp.get_corrected_query_string("parograph search", simple_index)
     assert got == "paragraph search"
     assert qp.get_corrected_query_string("paragraph search", simple_index) == ""
+
+
+def test_trad_eset(simple_index):
+    """TradEWeight expansion (set_expansion_scheme("trad", k);
+    expand/tradeweight.cc:31-40).  Cross-check one term's weight against a
+    hand-computed value from the raw statistics."""
+    import math
+
+    from xapian_spark.query.expand import trad_eset
+
+    idx = simple_index
+    rset = [1, 2]
+    k = 1.0
+    rows = trad_eset(idx, rset, k=50, expand_k=k).collect()
+    assert rows and all(r["wt"] is not None for r in rows)
+    got = {r["term"]: r["wt"] for r in rows}
+
+    # hand-compute for a term present in both RSet docs
+    term = "search"
+    post = {
+        r["docid"]: (r["wdf"], r["doclen"])
+        for r in idx.postings.where(F.col("term") == term)
+        .select("docid", "wdf", "doclen").collect()
+    }
+    tf = idx.postings.where(F.col("term") == term).count()
+    n = idx.stats.doccount
+    avlen = idx.stats.total_doclen / n
+    rdocs = [d for d in rset if d in post]
+    r = len(rdocs)
+    mult = sum(
+        (k + 1) * max(post[d][0], 1)
+        / (k * post[d][1] / avlen + max(post[d][0], 1))
+        for d in rdocs
+    )
+    without = len(rset) - r
+    tw = math.log(
+        (r + 0.5) * (n - tf - without + 0.5) / ((tf - r + 0.5) * (without + 0.5))
+    )
+    assert term in got
+    assert got[term] == pytest.approx(mult * tw, rel=1e-9)
+
+
+def test_set_expansion_scheme_dispatch(spark):
+    from xapian_spark.api import Enquire, InMemoryDatabase, RSet
+
+    docs = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate([
+            "alpha beta gamma", "alpha beta delta", "epsilon zeta",
+            "beta gamma epsilon", "alpha gamma zeta",
+        ])],
+        "docid long, content string",
+    )
+    db = InMemoryDatabase(spark, docs, content_col="content",
+                          docid_col="docid")
+    enq = Enquire(db)
+    enq.set_query("alpha")
+    rset = RSet()
+    rset.add_document(1)
+    rset.add_document(2)
+    bo1 = enq.get_eset(5, rset)
+    enq.set_expansion_scheme("trad", 1.0)
+    trad = enq.get_eset(5, rset)
+    assert bo1 and trad
+    assert "alpha" not in [t for t, _ in trad]  # query terms excluded
+    # both rank 'beta' (in both rset docs) above 'zeta' (in neither)
+    def rank(lst, t):
+        return [x for x, _ in lst].index(t) if t in [x for x, _ in lst] else 99
+    assert rank(trad, "beta") < rank(trad, "zeta")
+    with pytest.raises(ValueError):
+        enq.set_expansion_scheme("nope")

@@ -35,6 +35,7 @@ from xapian_spark.query import ast
 from xapian_spark.query.expand import (
     bo1_eset,
     suggest_spelling,
+    trad_eset,
     with_percent,
 )
 from xapian_spark.query.parser import QueryParser  # re-export  # noqa: F401
@@ -859,6 +860,16 @@ class Enquire:
             )
         return out
 
+    def set_expansion_scheme(self, eweightname: str,
+                             expand_k: float = 1.0) -> None:
+        """Enquire::set_expansion_scheme (enquire.cc:216-226): "bo1"
+        (the default) or "trad" (TradEWeight with parameter k)."""
+        if eweightname not in ("bo1", "trad"):
+            raise ValueError(
+                "eweightname must be 'bo1' or 'trad'"
+            )
+        self._expand_scheme = (eweightname, expand_k)
+
     def get_eset(self, maxitems: int, rset: RSet,
                  exclude_query_terms: bool = True,
                  decider=None) -> list[tuple[str, float]]:
@@ -868,8 +879,15 @@ class Enquire:
         exclude: set[str] = set()
         if exclude_query_terms and self._query is not None:
             exclude = {t.term for t in ast.leaf_terms(self._query)}
-        rows = bo1_eset(
-            self.db.index, rset.docids, k=maxitems, exclude_terms=exclude,
-            decider=decider,
-        ).collect()
+        scheme, ek = getattr(self, "_expand_scheme", ("bo1", 1.0))
+        if scheme == "trad":
+            rows = trad_eset(
+                self.db.index, rset.docids, k=maxitems, expand_k=ek,
+                exclude_terms=exclude, decider=decider,
+            ).collect()
+        else:
+            rows = bo1_eset(
+                self.db.index, rset.docids, k=maxitems,
+                exclude_terms=exclude, decider=decider,
+            ).collect()
         return [(r["term"], r["wt"]) for r in rows]

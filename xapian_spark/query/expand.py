@@ -102,6 +102,25 @@ class ExpandDeciderFilterPrefix:
         return not term.startswith(self.prefix)
 
 
+def _apply_expand_filters(rterms: DataFrame, exclude_terms, decider):
+    """Shared candidate filtering for the ESet schemes: query-term
+    exclusion + ExpandDecider (expanddecider.h) — a SQL boolean over
+    `term` (JVM-side) or a Python callable term -> bool run as an
+    Arrow-batched UDF over the (small) RSet-derived candidate set."""
+    if exclude_terms:
+        rterms = rterms.where(~F.col("term").isin(list(exclude_terms)))
+    if decider is not None:
+        if isinstance(decider, str):
+            rterms = rterms.where(F.expr(decider))
+        else:
+            def _dec(terms: pd.Series) -> pd.Series:
+                return pd.Series([bool(decider(t)) for t in terms])
+
+            dec_udf = F.pandas_udf(_dec, T.BooleanType())
+            rterms = rterms.where(dec_udf(F.col("term")))
+    return rterms
+
+
 def bo1_eset(
     index: InvertedIndex,
     rset_docids: list[int],
@@ -124,21 +143,7 @@ def bo1_eset(
         .groupBy("term")
         .agg(F.sum("wdf").cast("double").alias("rcf"))
     )
-    if exclude_terms:
-        rterms = rterms.where(~F.col("term").isin(list(exclude_terms)))
-    if decider is not None:
-        # ExpandDecider (expanddecider.h): candidate filter applied BEFORE
-        # the top-k cut.  A string is a SQL boolean over `term` (JVM-side);
-        # a callable runs as an Arrow-batched UDF over the (small)
-        # RSet-derived candidate set.
-        if isinstance(decider, str):
-            rterms = rterms.where(F.expr(decider))
-        else:
-            def _dec(terms: pd.Series) -> pd.Series:
-                return pd.Series([bool(decider(t)) for t in terms])
-
-            dec_udf = F.pandas_udf(_dec, T.BooleanType())
-            rterms = rterms.where(dec_udf(F.col("term")))
+    rterms = _apply_expand_filters(rterms, exclude_terms, decider)
     n = float(index.stats.doccount)
     joined = rterms.join(index.term_stats.select("term", "cf"), "term")
     m = F.col("cf").cast("double") / F.lit(n)
@@ -149,6 +154,60 @@ def bo1_eset(
     )
     return (
         joined.select("term", wt.alias("wt"))
+        .orderBy(F.desc("wt"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def trad_eset(
+    index: InvertedIndex,
+    rset_docids: list[int],
+    k: int = 20,
+    expand_k: float = 1.0,
+    exclude_terms: set[str] | frozenset[str] = frozenset(),
+    decider=None,
+) -> DataFrame:
+    """TradEWeight expansion (Enquire::set_expansion_scheme("trad", k);
+    expand/tradeweight.cc:31-40, stats accumulation expandweight.h:50-72):
+
+        multiplier = sum over RSet docs with the term of
+                     (k+1) * wdf / (k * doclen/avlen + wdf)   (wdf 0 -> 1)
+        tw = log( (r+0.5) (N - tf - (R-r) + 0.5)
+                  / ((tf-r+0.5) (R-r+0.5)) )
+        weight = multiplier * tw
+
+    where r = RSet docs containing the term, R = |RSet|, N = doccount,
+    tf = whole-db termfreq.  Same one-pass shape as bo1_eset: broadcast
+    semi-join + groupBy + closed-form expression.
+    """
+    spark = index.spark
+    rset = spark.createDataFrame([(int(d),) for d in rset_docids], "docid long")
+    avlen = index.stats.total_doclen / max(index.stats.doccount, 1)
+    wdf1 = F.greatest(F.col("wdf").cast("double"), F.lit(1.0))
+    mult = (
+        F.lit(expand_k + 1.0) * wdf1
+        / (F.lit(expand_k) * F.col("doclen").cast("double") / F.lit(avlen) + wdf1)
+    )
+    rterms = (
+        index.postings.join(F.broadcast(rset), "docid", "left_semi")
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("r"),
+            F.sum(mult).alias("multiplier"),
+        )
+    )
+    rterms = _apply_expand_filters(rterms, exclude_terms, decider)
+    n = float(index.stats.doccount)
+    rsize = float(len(rset_docids))
+    joined = rterms.join(index.term_stats.select("term", "tf"), "term")
+    tf = F.col("tf").cast("double")
+    without = F.lit(rsize) - F.col("r")
+    tw = F.log(
+        (F.col("r") + 0.5) * (F.lit(n) - tf - without + 0.5)
+        / ((tf - F.col("r") + 0.5) * (without + 0.5))
+    )
+    return (
+        joined.select("term", (F.col("multiplier") * tw).alias("wt"))
         .orderBy(F.desc("wt"), F.asc("term"))
         .limit(k)
     )
