@@ -377,3 +377,26 @@ def test_ivf_partial_probe_recall(spark, embeddings):
 
     per_q = Counter(r["query_id"] for r in approx)
     assert all(v == 3 for v in per_q.values())
+
+
+def test_bpe_token_count(spark):
+    """BPE-ish pre-token count (GPT-2-style pre-split): hand-checked
+    goldens; whitespace runs excluded, leading space folds into tokens."""
+    from xapian_spark.ops.textstats import bpe_token_count
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello world, it's 2024!"),
+            (2, ""),
+            (3, "   "),
+            (4, "don't stop—ever"),
+            (5, "a  b"),
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: (r["n_bpe_tokens"], r["n_ws_tokens"])
+        for r in bpe_token_count(df, "id", "text").collect()
+    }
+    # 1: Hello | ' world' | ',' | ' it' | ''s' | ' 2024' | '!'
+    assert got == {1: (7, 4), 2: (0, 0), 3: (0, 0), 4: (5, 2), 5: (2, 2)}

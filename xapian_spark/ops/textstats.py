@@ -36,6 +36,41 @@ def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# GPT-2-style BPE pre-tokenizer (the public gpt2/cl100k pre-split regex
+# family): contractions, letter runs, digit runs, punctuation runs — each
+# optionally preceded by one space — plus whitespace runs.  Counting these
+# pre-tokens is the standard cheap proxy for an LLM token budget (real BPE
+# merges only ever split WITHIN a pre-token, so this is an upper-bound-ish
+# estimate with the same scaling).  Java-regex syntax for Catalyst.
+_BPE_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\\p{L}+"
+    r"| ?\\p{N}+"
+    r"| ?[^\\s\\p{L}\\p{N}]+"
+    r"|\\s+"
+)
+
+
+def bpe_token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_bpe_tokens, n_ws_tokens): BPE-ish pre-token count (LLM token
+    budget proxy; whitespace-only runs excluded from the count, as BPE
+    folds leading spaces into the following token) alongside the plain
+    whitespace split count.  Pure Catalyst — whole-stage codegen."""
+    pre = F.expr(
+        f"regexp_extract_all({text_col}, \"{_BPE_RE}\", 0)"
+    )
+    non_ws = F.filter(pre, lambda t: t.rlike(r"\S"))
+    ws_toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(non_ws).cast("long").alias("n_bpe_tokens"),
+        F.when(F.length(F.trim(F.col(text_col))) > 0, F.size(ws_toks))
+        .otherwise(0)
+        .cast("long")
+        .alias("n_ws_tokens"),
+    )
+
+
 def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic quality features (C4/Gopher-style cheap filters):
 
