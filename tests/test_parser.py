@@ -343,3 +343,26 @@ def test_fractional_fuzzy():
     assert node.max_edit == 1
     node2 = QueryParser().parse_query("uncertain~0.5")
     assert node2.max_edit == 4
+
+
+def test_stoplist_and_unstem():
+    """QueryParser::stoplist_begin / unstem_begin (queryparser.h:1058-1066)
+    + FLAG_ACCUMULATE (queryparser.h:705)."""
+    from xapian_spark.text.stem import Stemmer
+
+    qp = QueryParser(stemmer=Stemmer("english"), stopwords=frozenset({"the"}))
+    qp.parse_query("the connection connected others")
+    assert qp.get_stoplist() == ["the"]
+    # both surface forms map to the same stem
+    assert qp.unstem("Zconnect") == ["connection", "connected"]
+    assert qp.unstem("Zother") == ["others"]
+    assert qp.unstem("Znothere") == []
+    # default: reset per parse
+    qp.parse_query("fresh words")
+    assert qp.get_stoplist() == [] and qp.unstem("Zconnect") == []
+    # FLAG_ACCUMULATE keeps data across parses
+    qa = QueryParser(stopwords=frozenset({"the"}), accumulate=True)
+    qa.parse_query("the alpha")
+    qa.parse_query("the beta")
+    assert qa.get_stoplist() == ["the", "the"]
+    assert qa.unstem("alpha") == ["alpha"]

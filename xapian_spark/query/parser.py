@@ -135,10 +135,28 @@ class QueryParser:
     wildcard_multi: bool = False
     wildcard_single: bool = False
 
+    # FLAG_ACCUMULATE (queryparser.h:705): keep stoplist/unstem data
+    # across parse_query calls (multi-field query forms) instead of
+    # resetting per parse.
+    accumulate: bool = False
+
     def __post_init__(self):
         self._pos = 0  # query-wide term position counter
         self._partial_idx = None  # token index of the PARTIAL_TERM, if any
         self._partial_now = False
+        self._stoplist: list[str] = []  # queryparser_internal.h:90
+        self._unstem: list[tuple[str, str]] = []  # :91 (term, unstemmed)
+
+    def get_stoplist(self) -> list[str]:
+        """QueryParser::stoplist_begin/end (queryparser.h:1058): the words
+        of the last parse that were dropped as stopwords, in query order."""
+        return list(self._stoplist)
+
+    def unstem(self, term: str) -> list[str]:
+        """QueryParser::unstem_begin(term) (queryparser.h:1066): the raw
+        query words that produced `term` in the last parse (a stemmed
+        Z-term can come from several distinct surface forms)."""
+        return [raw for t, raw in self._unstem if t == term]
 
     def add_rangeprocessor(self, proc) -> None:
         """QueryParser::add_rangeprocessor (queryparser.h:1070-1090)."""
@@ -227,15 +245,15 @@ class QueryParser:
         out = []
         for t in raw_terms:
             if self.stopwords and t in self.stopwords:
+                self._stoplist.append(t)  # add_to_stoplist (lemony:235-237)
                 self._next_pos()
                 continue
             if stem_ok and should_stem(t):
-                out.append(
-                    ast.Term("Z" + prefix + self.stemmer(t),
-                             pos=self._next_pos())
-                )
+                term = "Z" + prefix + self.stemmer(t)
             else:
-                out.append(ast.Term(prefix + t, pos=self._next_pos()))
+                term = prefix + t
+            self._unstem.append((term, t))  # add_to_unstem (lemony:239-241)
+            out.append(ast.Term(term, pos=self._next_pos()))
         return out
 
     def _synonym_node(self, term: ast.Term) -> ast.Node:
@@ -466,6 +484,9 @@ class QueryParser:
 
     def parse_query(self, s: str) -> ast.Node:
         self._pos = 0
+        if not self.accumulate:  # FLAG_ACCUMULATE keeps them across calls
+            self._stoplist = []
+            self._unstem = []
         toks = self._lex(s)
         self._partial_idx = self._find_partial_token(s, toks)
         node, i = self._parse_or(toks, 0)
