@@ -487,3 +487,28 @@ def test_value_set_match_decider(db):
     # empty inclusive set matches nothing
     enq.set_match_decider(ValueSetMatchDecider("lang", True, set()))
     assert len(enq.get_mset(0, 10)) == 0
+
+
+def test_db_uuid_close_reopen(spark, db):
+    """Database::get_uuid / close / reopen (database.h): uuid minted at
+    stats commit, stable across reopen; in-memory databases have none."""
+    u = db.get_uuid()
+    assert u and len(u) == 36
+    db.reopen()
+    assert db.get_uuid() == u
+    assert db.get_doccount() > 0  # still serving after reopen
+    db.close()  # only unpersists caches
+    assert db.get_doccount() > 0
+
+    mem = InMemoryDatabase(
+        spark,
+        spark.createDataFrame([(1, "alpha")], "docid long, content string"),
+        content_col="content", docid_col="docid",
+    )
+    assert mem.get_uuid() == ""
+
+    # set_time_limit is accepted (documented always-exact divergence)
+    enq = Enquire(db)
+    enq.set_time_limit(0.5)
+    enq.set_query(ast.Term("dup"))
+    assert len(enq.get_mset(0, 3)) > 0

@@ -423,6 +423,40 @@ class Database:
             df = df.where(F.col("key").startswith(prefix))
         return [r["key"] for r in df.select("key").orderBy("key").collect()]
 
+    def get_uuid(self) -> str:
+        """Database::get_uuid (database.h): the uuid minted when the
+        warehouse's stats were committed; "" for an in-memory index (the
+        reference's inmemory backend also returns an empty uuid)."""
+        if not self.path:
+            return ""
+        import json
+        import os
+
+        meta = os.path.join(self.path, "_meta", "stats.json")
+        if not os.path.exists(meta):
+            return ""
+        with open(meta) as f:
+            return json.load(f).get("uuid", "")
+
+    def close(self) -> None:
+        """Database::close (database.h): release cached resources.  Spark
+        DataFrames hold no file handles; this unpersists any cached index
+        tables (reopening is just re-reading the warehouse)."""
+        for df in (self.index.postings, self.index.doclens,
+                   self.index.term_stats, self.index.blocked,
+                   self.index.termlists):
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+
+    def reopen(self) -> None:
+        """Database::reopen (database.h): refresh to the latest committed
+        revision of the warehouse."""
+        if self.path:
+            self.index = merge.read_warehouse(self.spark, self.path)
+
 
 class WritableDatabase(Database):
     """Batch-oriented WritableDatabase: buffer DataFrames, commit() builds
@@ -683,6 +717,16 @@ class Enquire:
         ASCENDING (default) / DESCENDING; DONT_CARE == ASCENDING here."""
         self._docid_asc = ascending
 
+    def set_time_limit(self, time_limit: float) -> None:
+        """Enquire::set_time_limit (enquire.h:339-359): in the reference
+        this arms a timer that forces the match to stop early, trading
+        accuracy for latency.  This engine's match is a set-at-a-time
+        Spark job that always completes exactly, which is a permitted
+        behavior of the contract (the limit is best-effort; finishing with
+        exact results is never wrong) — the value is accepted and recorded
+        but no early stop occurs.  Documented divergence."""
+        self._time_limit = float(time_limit)
+
     def set_cutoff(self, percent_cutoff: int, weight_cutoff: float = 0.0) -> None:
         """Enquire::set_cutoff: drop results below a percent of the best
         weight and/or below an absolute weight."""
@@ -715,10 +759,20 @@ class Enquire:
             decider.sql() if hasattr(decider, "sql") else decider
         )
 
+    def get_query(self):
+        """Enquire::get_query (enquire.h): the query set by set_query
+        (MatchNothing when none has been set, like the reference)."""
+        return self._query if self._query is not None else ast.MatchNothing()
+
     def add_matchspy(self, column: str) -> None:
         """ValueCountMatchSpy (matchspy.h:205): collect value->count facets
         over the FULL match set during get_mset."""
         self._matchspies.append(column)
+
+    def clear_matchspies(self) -> None:
+        """Enquire::clear_matchspies (enquire.h)."""
+        self._matchspies.clear()
+        self._spy_results.clear()
 
     def get_matchspy_results(self, column: str) -> list[tuple]:
         """[(value, count)] sorted by count desc, value — docs/facets.rst."""

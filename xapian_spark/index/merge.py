@@ -331,8 +331,14 @@ def _stages_1_to_3(
             F.coalesce(F.min("doclen"), F.lit(0)).alias("doclen_lb"),
             F.coalesce(F.max("doclen"), F.lit(0)).alias("doclen_ub"),
         ).collect()[0]
+        # database uuid (glass_version.h: each database revision carries a
+        # uuid; Database::get_uuid) — minted once at stats commit, stable
+        # across reopens and resumes
+        import uuid as _uuid
+
         _commit(path, "stats", {
             "stage": 3,
+            "uuid": str(_uuid.uuid4()),
             "doccount": g["doccount"],
             "total_doclen": g["total_doclen"],
             "doclen_lower_bound": g["doclen_lb"],
