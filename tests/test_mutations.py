@@ -1,0 +1,158 @@
+"""WritableDatabase mutation verbs: delete_document / replace_document /
+transactions / spelling + synonym maintenance / compact-folds-overlay.
+
+Reference contract: database.h (delete_document, replace_document,
+begin/commit/cancel_transaction, add_spelling, remove_spelling,
+remove_synonym, clear_synonyms, get_revision).  The Spark re-expression
+is LSM-shaped: commit() writes tombstones/delta overlays (cheap, no base
+rewrite — what survives at 10^12 files), compact() folds them physically
+like a Lucene segment merge / xapian-compact."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from xapian_spark.api import Enquire, WritableDatabase
+from xapian_spark.query import ast
+
+DOCS = [
+    (1, "alpha bravo charlie", "py"),
+    (2, "bravo delta echo", "py"),
+    (3, "charlie echo foxtrot", "go"),
+    (4, "delta foxtrot golf", "go"),
+    (5, "echo golf hotel unique_marker_five", "rs"),
+    (6, "foxtrot hotel india", "rs"),
+]
+
+
+@pytest.fixture()
+def wdb(spark, tmp_path):
+    path = str(tmp_path / "mutdb")
+    db = WritableDatabase(spark, path, n_ranges=2,
+                          prefix_fields={"lang": "L"})
+    docs = spark.createDataFrame(
+        DOCS, "docid long, content string, lang string"
+    )
+    db.add_documents(docs, content_col="content", docid_col="docid")
+    db.commit()
+    return db
+
+
+def _docids(db, term: str) -> set[int]:
+    enq = Enquire(db)
+    enq.set_query(ast.Term(term))
+    return {m.docid for m in enq.get_mset(0, 10)}
+
+
+def test_delete_by_docid_and_term(wdb):
+    assert wdb.get_doccount() == 6
+    assert wdb.get_revision() == 1
+
+    wdb.delete_document(2)
+    wdb.commit()
+    assert wdb.get_doccount() == 5
+    assert wdb.get_revision() == 2
+    assert _docids(wdb, "bravo") == {1}
+    assert 2 not in _docids(wdb, "echo")
+
+    # unique-ID-term form deletes every doc indexed by the term
+    wdb.delete_document("unique_marker_five")
+    wdb.commit()
+    assert wdb.get_doccount() == 4
+    assert _docids(wdb, "hotel") == {6}
+    # stats reflect the live view exactly
+    assert wdb.get_total_length() == sum(
+        len(c.split()) for d, c, _l in DOCS if d not in (2, 5)
+    )
+
+
+def test_replace_document(wdb):
+    uuid_before = wdb.get_uuid()
+    wdb.replace_document(3, {"content": "charlie zulu yankee", "lang": "py"})
+    wdb.commit()
+    assert wdb.get_doccount() == 6  # replace, not add
+    assert _docids(wdb, "zulu") == {3}
+    assert 3 not in _docids(wdb, "foxtrot")  # old postings gone
+    assert 3 in _docids(wdb, "charlie")  # kept term still matches
+    # the docdata row is the replacement (value slots updated)
+    assert wdb.get_document(3)["lang"] == "py"
+    # prefixed boolean field terms re-emitted for the new row
+    assert 3 in _docids(wdb, "Lpy")
+    assert wdb.get_uuid() == uuid_before  # same database identity
+
+
+def test_compact_folds_overlay(wdb):
+    wdb.delete_document(1)
+    wdb.replace_document(4, {"content": "delta golf kilo", "lang": "go"})
+    wdb.commit()
+    before = {t: _docids(wdb, t) for t in ("kilo", "golf", "alpha", "delta")}
+    uuid_before, rev_before = wdb.get_uuid(), wdb.get_revision()
+    assert os.path.exists(os.path.join(wdb.path, "tombstones"))
+    assert os.path.exists(os.path.join(wdb.path, "delta"))
+    assert wdb.index.blocked is None  # overlay serves via row postings
+
+    wdb.compact()
+    assert not os.path.exists(os.path.join(wdb.path, "tombstones"))
+    assert not os.path.exists(os.path.join(wdb.path, "delta"))
+    assert not os.path.exists(os.path.join(wdb.path, "delta_docs"))
+    assert wdb.index.blocked is not None  # WAND path restored
+    assert wdb.get_doccount() == 5
+    after = {t: _docids(wdb, t) for t in ("kilo", "golf", "alpha", "delta")}
+    assert before == after
+    assert wdb.get_uuid() == uuid_before  # uuid survives compaction
+    assert wdb.get_revision() == rev_before + 1
+    # docdata folded too: deleted doc gone, replacement row present
+    assert wdb.get_document(4)["lang"] == "go"
+    with pytest.raises(KeyError):
+        wdb.get_document(1)
+
+
+def test_transactions(wdb):
+    wdb.begin_transaction()
+    wdb.delete_document(6)
+    wdb.cancel_transaction()
+    wdb.commit()
+    assert wdb.get_doccount() == 6  # rollback discarded the delete
+
+    wdb.begin_transaction()
+    wdb.delete_document(6)
+    with pytest.raises(RuntimeError):
+        wdb.commit()  # must resolve the transaction first
+    wdb.commit_transaction()
+    assert wdb.get_doccount() == 5
+
+    with pytest.raises(RuntimeError):
+        wdb.cancel_transaction()  # none in progress
+
+
+def test_spelling_maintenance(wdb):
+    # not an index term, not yet added: suggestion falls back to index terms
+    assert wdb.get_spelling_suggestion("xylophone") is None
+    wdb.add_spelling("xylophone")
+    wdb.commit()
+    assert wdb.get_spelling_suggestion("xylophone") is None  # now a word
+    assert wdb.get_spelling_suggestion("xylophoen") == "xylophone"
+    assert ("xylophone", 1) in wdb.spellings()
+    wdb.remove_spelling("xylophone")
+    wdb.commit()
+    assert wdb.spellings() == []
+    assert wdb.get_spelling_suggestion("xylophoen") is None
+
+
+def test_synonym_maintenance(wdb):
+    wdb.add_synonym("fast", "quick")
+    wdb.add_synonym("fast", "rapid")
+    wdb.add_synonym("slow", "sluggish")
+    wdb.commit()
+    assert sorted(wdb.get_synonyms("fast")) == ["quick", "rapid"]
+
+    wdb.remove_synonym("fast", "rapid")
+    wdb.commit()
+    assert wdb.get_synonyms("fast") == ["quick"]
+
+    wdb.clear_synonyms("fast")
+    wdb.commit()
+    assert wdb.get_synonyms("fast") == []
+    assert wdb.get_synonyms("slow") == ["sluggish"]

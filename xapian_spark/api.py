@@ -325,8 +325,34 @@ class Database:
             self._has_positions = bool(row)
         return self._has_positions
 
+    def _spellings_df(self) -> DataFrame | None:
+        """Explicit spelling entries (WritableDatabase::add_spelling) —
+        (term, tf) parquet, or None."""
+        if not self.path:
+            return None
+        sp = os.path.join(self.path, "spellings")
+        if not os.path.exists(sp):
+            return None
+        return self.spark.read.parquet(sp)
+
     def get_spelling_suggestion(self, word: str, max_edit: int = 2):
-        return suggest_spelling(self.index, word, max_edit=max_edit)
+        return suggest_spelling(
+            self.index, word, max_edit=max_edit,
+            extra_terms=self._spellings_df(),
+        )
+
+    def spellings(self, limit: int = 100_000) -> list[tuple[str, int]]:
+        """Database::spellings_begin/_end: the explicit spelling entries
+        (word, freq), word-ordered.  Index terms are implicitly
+        correctable in this engine (documented divergence) and are not
+        repeated here."""
+        df = self._spellings_df()
+        if df is None:
+            return []
+        return [
+            (r["term"], r["tf"])
+            for r in df.orderBy("term").limit(limit).collect()
+        ]
 
     def allterms(self, prefix: str = "", limit: int | None = 100_000):
         """Iterator over dictionary terms (Database::allterms_begin).
@@ -438,6 +464,48 @@ class Database:
         with open(meta) as f:
             return json.load(f).get("uuid", "")
 
+    def get_revision(self) -> int:
+        """Database::get_revision (database.h): the committed revision
+        number — 1 after the initial build, +1 per mutating commit() and
+        per compact() (glass_version.h revision counter); 0 for an
+        in-memory index."""
+        if not self.path:
+            return 0
+        import json
+
+        meta = os.path.join(self.path, "_meta", "stats.json")
+        if not os.path.exists(meta):
+            return 0
+        with open(meta) as f:
+            return int(json.load(f).get("revision", 1))
+
+    def get_average_length(self) -> float:
+        """Database::get_average_length (the get_avlength alias in current
+        reference releases)."""
+        return self.get_avlength()
+
+    def get_total_length(self) -> int:
+        """Database::get_total_length: sum of document lengths."""
+        return int(self.index.stats.total_doclen)
+
+    def keep_alive(self) -> None:
+        """Database::keep_alive (database.h): a remote-backend heartbeat.
+        Spark sessions are kept alive by the driver; no-op."""
+
+    def lock(self) -> None:
+        """Database::lock (database.h): the reference locks the on-disk
+        database against concurrent writers.  A warehouse revision is an
+        immutable snapshot (writers produce a NEW revision and flip
+        metadata atomically), so readers never need a lock — no-op,
+        documented divergence that is strictly safer."""
+
+    def unlock(self) -> None:
+        """See lock() — no-op over immutable snapshots."""
+
+    def locked(self) -> bool:
+        """Database::locked: never, see lock()."""
+        return False
+
     def close(self) -> None:
         """Database::close (database.h): release cached resources.  Spark
         DataFrames hold no file handles; this unpersists any cached index
@@ -473,7 +541,13 @@ class WritableDatabase(Database):
         self.n_ranges = n_ranges
         self._pending: list[tuple[DataFrame, str, str]] = []
         self._pending_synonyms: list[tuple[str, str]] = []
+        self._pending_syn_removals: list[tuple[str, str | None]] = []
         self._pending_metadata: dict[str, str] = {}
+        self._pending_delete_ids: list[int] = []
+        self._pending_delete_terms: list[str] = []
+        self._pending_replacements: list[tuple[int, dict, str]] = []
+        self._pending_spellings: dict[str, int] = {}
+        self._txn_snapshot: dict | None = None
         self.index = None
         if os.path.exists(path) and merge.warehouse_complete(path):
             self.index = merge.read_warehouse(spark, path)
@@ -482,10 +556,108 @@ class WritableDatabase(Database):
                       docid_col: str = "docid") -> None:
         self._pending.append((docs, content_col, docid_col))
 
+    def delete_document(self, docid_or_term) -> None:
+        """WritableDatabase::delete_document (database.h): by docid, or by
+        unique-ID term (string form — deletes every document indexed by
+        that term).  Buffered; commit() appends the dead docids to
+        `{path}/tombstones` — the LSM re-expression of glass's in-place
+        postlist removal.  Matching excludes tombstoned docs from the very
+        next open; compact() reclaims the space physically (the Lucene
+        segment-merge shape, which is what survives at 10^12 files where a
+        per-delete posting-list rewrite cannot)."""
+        if isinstance(docid_or_term, str):
+            self._pending_delete_terms.append(docid_or_term)
+        else:
+            self._pending_delete_ids.append(int(docid_or_term))
+
+    def replace_document(self, docid: int, doc: dict,
+                         content_col: str = "content") -> None:
+        """WritableDatabase::replace_document (database.h): atomically
+        delete+reindex one document under the same docid.  `doc` is a dict
+        of column values including the content column (extra columns become
+        value slots, like add_documents rows).  Buffered; commit() appends
+        the new termlist to the `{path}/delta` overlay — last-writer-wins
+        per docid, the exact resolution the streaming path and compact()
+        already apply — so no base posting list is rewritten."""
+        if not isinstance(doc, dict):
+            raise TypeError("doc must be a dict of column values")
+        if content_col not in doc:
+            raise ValueError(f"doc must include the {content_col!r} column")
+        self._pending_replacements.append((int(docid), dict(doc), content_col))
+
+    def add_spelling(self, word: str, freqinc: int = 1) -> None:
+        """WritableDatabase::add_spelling (database.h): add a word to the
+        spelling dictionary.  This engine already treats every indexed term
+        as spelling-correctable (richer than the reference's opt-in
+        FLAG_SPELLING table — documented divergence); add_spelling adds
+        EXTRA words that aren't index terms.  Buffered until commit()."""
+        self._pending_spellings[word.lower()] = (
+            self._pending_spellings.get(word.lower(), 0) + int(freqinc)
+        )
+
+    def remove_spelling(self, word: str, freqdec: int = 1) -> None:
+        """WritableDatabase::remove_spelling: decrement an explicitly added
+        spelling entry (index terms remain correctable — see add_spelling)."""
+        self._pending_spellings[word.lower()] = (
+            self._pending_spellings.get(word.lower(), 0) - int(freqdec)
+        )
+
     def add_synonym(self, term: str, synonym: str) -> None:
         """WritableDatabase::add_synonym (glass synonym table): buffered,
         written to the warehouse at commit()."""
         self._pending_synonyms.append((term, synonym))
+
+    def remove_synonym(self, term: str, synonym: str) -> None:
+        """WritableDatabase::remove_synonym: drop one synonym of a term at
+        commit()."""
+        self._pending_syn_removals.append((term, synonym))
+
+    def clear_synonyms(self, term: str) -> None:
+        """WritableDatabase::clear_synonyms: drop every synonym of a term
+        at commit()."""
+        self._pending_syn_removals.append((term, None))
+
+    # -- transactions (database.h:1140-1230) ------------------------------
+    # The reference batches changes so they apply atomically or not at all;
+    # commit() here is already atomic per buffer (checkpointed stages plus
+    # driver-side metadata renames), so a transaction is a snapshot of the
+    # pending buffers that cancel_transaction can roll back to.
+
+    def begin_transaction(self, flushed: bool = True) -> None:
+        if self._txn_snapshot is not None:
+            raise RuntimeError("transaction already in progress")
+        import copy
+
+        self._txn_snapshot = {
+            "pending": list(self._pending),
+            "synonyms": list(self._pending_synonyms),
+            "syn_removals": list(self._pending_syn_removals),
+            "metadata": dict(self._pending_metadata),
+            "delete_ids": list(self._pending_delete_ids),
+            "delete_terms": list(self._pending_delete_terms),
+            "replacements": copy.deepcopy(self._pending_replacements),
+            "spellings": dict(self._pending_spellings),
+        }
+
+    def commit_transaction(self) -> None:
+        if self._txn_snapshot is None:
+            raise RuntimeError("no transaction in progress")
+        self._txn_snapshot = None
+        self.commit()
+
+    def cancel_transaction(self) -> None:
+        if self._txn_snapshot is None:
+            raise RuntimeError("no transaction in progress")
+        s = self._txn_snapshot
+        self._pending = s["pending"]
+        self._pending_synonyms = s["synonyms"]
+        self._pending_syn_removals = s["syn_removals"]
+        self._pending_metadata = s["metadata"]
+        self._pending_delete_ids = s["delete_ids"]
+        self._pending_delete_terms = s["delete_terms"]
+        self._pending_replacements = s["replacements"]
+        self._pending_spellings = s["spellings"]
+        self._txn_snapshot = None
 
     def set_metadata(self, key: str, value: str) -> None:
         """WritableDatabase::set_metadata (database.h:1340-1370): buffered,
@@ -495,7 +667,23 @@ class WritableDatabase(Database):
             raise ValueError("empty metadata key is invalid")
         self._pending_metadata[key] = value
 
+    def _next_batch_id(self) -> int:
+        delta_dir = os.path.join(self.path, "delta")
+        if not os.path.exists(delta_dir):
+            return 1
+        row = (
+            self.spark.read.parquet(delta_dir)
+            .agg(F.max("_batch_id").alias("m")).collect()[0]
+        )
+        return int(row["m"] or 0) + 1
+
     def commit(self) -> None:
+        if self._txn_snapshot is not None:
+            raise RuntimeError(
+                "transaction in progress: commit_transaction or "
+                "cancel_transaction first"
+            )
+        mutated = False
         if self._pending:
             if len(self._pending) > 1:
                 raise NotImplementedError(
@@ -507,22 +695,144 @@ class WritableDatabase(Database):
                 content_col=content_col, docid_col=docid_col, mode=self.mode,
                 prefix_fields=self.prefix_fields, n_ranges=self.n_ranges,
             )
-        if self._pending_synonyms:
+            # a fresh build stamps revision 1 itself — only overlay
+            # mutations below bump the revision
+        if (self._pending_delete_ids or self._pending_delete_terms
+                or self._pending_replacements):
+            if not merge.warehouse_complete(self.path):
+                raise RuntimeError(
+                    "delete/replace need a committed revision to apply to"
+                )
+            mutated = True
+        # deletes -> tombstones (append-only parquet of dead docids)
+        if self._pending_delete_ids or self._pending_delete_terms:
+            dead = set(self._pending_delete_ids)
+            if self._pending_delete_terms:
+                idx = self.index or merge.read_warehouse(self.spark, self.path)
+                tdf = self.spark.createDataFrame(
+                    [(t,) for t in set(self._pending_delete_terms)],
+                    "term string",
+                )
+                dead.update(
+                    r["docid"]
+                    for r in idx.postings.join(F.broadcast(tdf), "term")
+                    .select("docid").distinct().collect()
+                )
+            if dead:
+                self.spark.createDataFrame(
+                    [(int(d),) for d in sorted(dead)], "docid long"
+                ).coalesce(1).write.mode("append").parquet(
+                    os.path.join(self.path, "tombstones")
+                )
+            self._pending_delete_ids = []
+            self._pending_delete_terms = []
+        # replacements -> delta termlists + delta_docs (last-writer-wins)
+        if self._pending_replacements:
+            from xapian_spark.streaming.incremental import _batch_termlists
+
+            bid = self._next_batch_id()
+            by_cc: dict[str, list[tuple[int, dict]]] = {}
+            for did, doc, cc in self._pending_replacements:
+                by_cc.setdefault(cc, []).append((did, doc))
+            for cc, rows in by_cc.items():
+                df = self.spark.createDataFrame(
+                    [{**doc, "docid": did} for did, doc in rows]
+                )
+                tl = _batch_termlists(df, cc, "docid", self.mode)
+                if self.prefix_fields:
+                    # same boolean field terms the base build emits
+                    pf = {
+                        c: p for c, p in self.prefix_fields.items()
+                        if c in df.columns
+                    }
+                    if pf:
+                        src = df.withColumn(
+                            "docid", F.col("docid").cast("long")
+                        )
+                        bool_entries = F.array(*[
+                            F.struct(
+                                F.concat(
+                                    F.lit(p), F.lower(F.col(c))
+                                ).alias("term"),
+                                F.lit(0).cast("int").alias("wdf"),
+                                F.lit(None).cast("array<int>").alias(
+                                    "positions"
+                                ),
+                            )
+                            for c, p in pf.items()
+                        ])
+                        tl = tl.join(
+                            src.select(
+                                "docid", bool_entries.alias("_bools")
+                            ),
+                            "docid",
+                        ).withColumn(
+                            "plist", F.concat("plist", "_bools")
+                        ).drop("_bools")
+                tl.select(
+                    "docid", "content_sha256", "doclen", "plist"
+                ).withColumn("_batch_id", F.lit(bid)).write.mode(
+                    "append"
+                ).parquet(os.path.join(self.path, "delta"))
+                df.withColumn(
+                    "docid", F.col("docid").cast("long")
+                ).withColumn(
+                    "content_sha256",
+                    F.sha2(F.col(cc).cast("binary"), 256),
+                ).withColumn("_batch_id", F.lit(bid)).write.mode(
+                    "append"
+                ).parquet(os.path.join(self.path, "delta_docs"))
+            self._pending_replacements = []
+        # explicit spelling dictionary entries (word, freq)
+        if self._pending_spellings:
+            sp_path = os.path.join(self.path, "spellings")
+            new = self.spark.createDataFrame(
+                list(self._pending_spellings.items()),
+                "term string, tf long",
+            )
+            if os.path.exists(sp_path):
+                new = self.spark.read.parquet(sp_path).unionByName(new)
+            folded = (
+                new.groupBy("term").agg(F.sum("tf").alias("tf"))
+                .where(F.col("tf") > 0)
+            )
+            folded.write.mode("overwrite").parquet(sp_path + ".tmp")
+            import shutil
+
+            if os.path.exists(sp_path):
+                shutil.rmtree(sp_path)
+            os.replace(sp_path + ".tmp", sp_path)
+            self._pending_spellings = {}
+        if self._pending_synonyms or self._pending_syn_removals:
             syn_path = os.path.join(self.path, "synonyms")
             new = self.spark.createDataFrame(
-                self._pending_synonyms, "term string, synonym string"
-            )
+                self._pending_synonyms or [("", "")],
+                "term string, synonym string",
+            ).where(F.col("term") != "")
             if os.path.exists(syn_path):
                 new = self.spark.read.parquet(syn_path).unionByName(new)
+            new = new.distinct()
+            clears = [t for t, s in self._pending_syn_removals if s is None]
+            pairs = [
+                (t, s) for t, s in self._pending_syn_removals if s is not None
+            ]
+            if clears:
+                new = new.where(~F.col("term").isin(clears))
+            if pairs:
+                rm = self.spark.createDataFrame(
+                    pairs, "term string, synonym string"
+                )
+                new = new.join(rm, ["term", "synonym"], "left_anti")
             # write to .tmp then rename: the source parquet is never
             # overwritten while being read, so no materialization needed
-            new.distinct().write.mode("overwrite").parquet(syn_path + ".tmp")
+            new.write.mode("overwrite").parquet(syn_path + ".tmp")
             import shutil
 
             if os.path.exists(syn_path):
                 shutil.rmtree(syn_path)
             os.replace(syn_path + ".tmp", syn_path)
             self._pending_synonyms = []
+            self._pending_syn_removals = []
         if self._pending_metadata:
             mpath = os.path.join(self.path, "metadata")
             new = self.spark.createDataFrame(
@@ -543,8 +853,72 @@ class WritableDatabase(Database):
                 shutil.rmtree(mpath)
             os.replace(mpath + ".tmp", mpath)
             self._pending_metadata = {}
+        if mutated and merge.warehouse_complete(self.path):
+            # one more revision of the same database (glass_version.h)
+            meta = merge._read_meta(self.path, "stats")
+            meta["revision"] = int(meta.get("revision", 1)) + 1
+            merge._commit(self.path, "stats", meta)
         if merge.warehouse_complete(self.path):
             self.index = merge.read_warehouse(self.spark, self.path)
+
+    def compact(self, n_ranges: int | None = None,
+                block_size: int = 512) -> None:
+        """xapian-compact / Database::compact: fold the delete/replace
+        overlay (tombstones + delta) physically into the base tables and
+        rebuild the derived stages — one more revision, same uuid."""
+        from xapian_spark.streaming.incremental import compact as _compact
+
+        _compact(
+            self.spark, self.path, mode=self.mode,
+            n_ranges=n_ranges or self.n_ranges, block_size=block_size,
+        )
+        # fold the docdata overlay the same way (delta_docs rows replace,
+        # tombstoned docids drop) so value-slot queries stay exact
+        docs_dir = os.path.join(self.path, "docs")
+        dd_dir = os.path.join(self.path, "delta_docs")
+        if os.path.exists(docs_dir) and os.path.exists(dd_dir):
+            from pyspark.sql import Window
+            import shutil
+
+            repl = (
+                self.spark.read.parquet(dd_dir)
+                .withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        Window.partitionBy("docid").orderBy(
+                            F.desc("_batch_id")
+                        )
+                    ),
+                )
+                .where(F.col("_rn") == 1)
+                .drop("_rn", "_batch_id")
+            )
+            base = self.spark.read.parquet(docs_dir).join(
+                repl.select("docid"), "docid", "left_anti"
+            )
+            folded = base.unionByName(repl, allowMissingColumns=True)
+            live = self.spark.read.parquet(
+                os.path.join(self.path, "termlists")
+            ).select("docid")
+            folded = folded.join(live, "docid", "left_semi")
+            folded.write.mode("overwrite").parquet(docs_dir + ".tmp")
+            shutil.rmtree(docs_dir)
+            os.replace(docs_dir + ".tmp", docs_dir)
+            shutil.rmtree(dd_dir)
+        elif os.path.exists(docs_dir):
+            # deletes only: keep docdata rows for live termlists
+            import shutil
+
+            live = self.spark.read.parquet(
+                os.path.join(self.path, "termlists")
+            ).select("docid")
+            folded = self.spark.read.parquet(docs_dir).join(
+                live, "docid", "left_semi"
+            )
+            folded.write.mode("overwrite").parquet(docs_dir + ".tmp")
+            shutil.rmtree(docs_dir)
+            os.replace(docs_dir + ".tmp", docs_dir)
+        self.index = merge.read_warehouse(self.spark, self.path)
 
 
 class InMemoryDatabase(Database):

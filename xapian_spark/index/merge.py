@@ -339,6 +339,7 @@ def _stages_1_to_3(
         _commit(path, "stats", {
             "stage": 3,
             "uuid": str(_uuid.uuid4()),
+            "revision": 1,
             "doccount": g["doccount"],
             "total_doclen": g["total_doclen"],
             "doclen_lower_bound": g["doclen_lb"],
@@ -355,30 +356,167 @@ def warehouse_complete(path: str) -> bool:
     return all(_done(path, f"blocked_range_{i}") for i in range(n))
 
 
+def _delta_rows(spark: SparkSession, path: str) -> DataFrame | None:
+    """Uncompacted delta termlists, last-writer-wins per docid (the same
+    resolution query_with_delta and compact() apply)."""
+    delta_dir = os.path.join(path, "delta")
+    if not os.path.exists(delta_dir):
+        return None
+    from pyspark.sql import Window
+
+    return (
+        spark.read.parquet(delta_dir)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("docid").orderBy(F.desc("_batch_id"))
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_batch_id")
+    )
+
+
 def read_warehouse(spark: SparkSession, path: str) -> InvertedIndex:
     """Open a warehouse as an InvertedIndex (postings = the sorted runs,
-    blocked = the compressed block table)."""
+    blocked = the compressed block table).
+
+    LSM overlay (the Lucene-segment re-expression of glass's in-place
+    B-tree update, and what lets a 10^12-file index absorb deletes and
+    replaces without rewriting posting lists): if `{path}/tombstones`
+    (deleted docids) or `{path}/delta` (replacement/added termlists)
+    exist, the returned view composes base-minus-dead plus delta rows.
+    compact() folds both in physically.  Until then:
+
+      - matching and doclens are EXACT (dead docids anti-joined out,
+        delta postings unioned in);
+      - global stats (doccount, total_doclen) are recomputed exactly
+        with one small agg job at open;
+      - per-term tf/cf may slightly overcount replaced docs' old
+        postings (delta stats are added, old rows can't be cheaply
+        subtracted) — the same staleness Lucene accepts for docFreq
+        until segment merge; wdf_max stays a valid upper bound;
+      - the blocked (WAND) table is dropped from the view — its packed
+        payloads can't be row-filtered — so serving falls back to row
+        postings until compact() rebuilds blocks.
+    """
     m = _read_meta(path, "stats")
+    postings = spark.read.parquet(os.path.join(path, "runs"))
+    doclens = spark.read.parquet(os.path.join(path, "doclens"))
+    term_stats = spark.read.parquet(os.path.join(path, "term_stats"))
+    docs = (
+        spark.read.parquet(os.path.join(path, "docs"))
+        if os.path.exists(os.path.join(path, "docs"))
+        else spark.read.parquet(os.path.join(path, "termlists")).select(
+            "docid", "content_sha256"
+        )
+    )
+    blocked: DataFrame | None = spark.read.parquet(
+        os.path.join(path, "blocked")
+    )
+    stats = GlobalStats(
+        doccount=m["doccount"],
+        total_doclen=m["total_doclen"],
+        doclen_lower_bound=m["doclen_lower_bound"],
+        doclen_upper_bound=m["doclen_upper_bound"],
+    )
+
+    tomb_dir = os.path.join(path, "tombstones")
+    delta = _delta_rows(spark, path)
+    dead: DataFrame | None = None
+    if os.path.exists(tomb_dir):
+        dead = spark.read.parquet(tomb_dir).select("docid").distinct()
+    if delta is not None:
+        repl = delta.select("docid")
+        dead = repl if dead is None else dead.unionByName(repl).distinct()
+    if dead is not None:
+        postings = postings.join(dead, "docid", "left_anti")
+        doclens = doclens.join(dead, "docid", "left_anti")
+        docs = docs.join(dead, "docid", "left_anti")
+        if delta is not None:
+            dpost = delta.select(
+                "docid", "doclen", F.explode("plist").alias("e")
+            ).select(
+                F.col("e.term").alias("term"),
+                "docid",
+                F.col("e.wdf").alias("wdf"),
+                "doclen",
+                F.col("e.positions").alias("positions"),
+            )
+            postings = postings.unionByName(dpost)
+            doclens = doclens.unionByName(delta.select(
+                "docid", "doclen",
+                F.size("plist").cast("int").alias("uniqterms"),
+            ))
+            # docdata overlay: full replacement rows when the writer kept
+            # them (WritableDatabase.replace_document writes delta_docs),
+            # else just the sha invariant from the delta termlists
+            dd_dir = os.path.join(path, "delta_docs")
+            if os.path.exists(dd_dir):
+                from pyspark.sql import Window
+
+                drows = (
+                    spark.read.parquet(dd_dir)
+                    .withColumn(
+                        "_rn",
+                        F.row_number().over(
+                            Window.partitionBy("docid").orderBy(
+                                F.desc("_batch_id")
+                            )
+                        ),
+                    )
+                    .where(F.col("_rn") == 1)
+                    .drop("_rn", "_batch_id")
+                )
+                docs = docs.unionByName(
+                    drows, allowMissingColumns=True
+                ).unionByName(
+                    # delta docids with no delta_docs row (streaming adds)
+                    delta.select("docid", "content_sha256").join(
+                        drows.select("docid"), "docid", "left_anti"
+                    ),
+                    allowMissingColumns=True,
+                )
+            else:
+                docs = docs.unionByName(
+                    delta.select("docid", "content_sha256"),
+                    allowMissingColumns=True,
+                )
+            dstats = dpost.groupBy("term").agg(
+                F.count(F.lit(1)).alias("tf"),
+                F.sum("wdf").alias("cf"),
+                F.max("wdf").alias("wdf_max"),
+            )
+            term_stats = (
+                term_stats.unionByName(dstats)
+                .groupBy("term")
+                .agg(
+                    F.sum("tf").alias("tf"),
+                    F.sum("cf").alias("cf"),
+                    F.max("wdf_max").alias("wdf_max"),
+                )
+            )
+        blocked = None
+        g = doclens.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("doclen"), F.lit(0)).alias("total"),
+            F.coalesce(F.min("doclen"), F.lit(0)).alias("lb"),
+            F.coalesce(F.max("doclen"), F.lit(0)).alias("ub"),
+        ).collect()[0]
+        stats = GlobalStats(
+            doccount=g["n"], total_doclen=g["total"],
+            doclen_lower_bound=g["lb"], doclen_upper_bound=g["ub"],
+        )
+
     idx = InvertedIndex(
         spark=spark,
-        postings=spark.read.parquet(os.path.join(path, "runs")),
-        doclens=spark.read.parquet(os.path.join(path, "doclens")),
-        term_stats=spark.read.parquet(os.path.join(path, "term_stats")),
-        stats=GlobalStats(
-            doccount=m["doccount"],
-            total_doclen=m["total_doclen"],
-            doclen_lower_bound=m["doclen_lower_bound"],
-            doclen_upper_bound=m["doclen_upper_bound"],
-        ),
-        docs=(
-            spark.read.parquet(os.path.join(path, "docs"))
-            if os.path.exists(os.path.join(path, "docs"))
-            else spark.read.parquet(os.path.join(path, "termlists")).select(
-                "docid", "content_sha256"
-            )
-        ),
+        postings=postings,
+        doclens=doclens,
+        term_stats=term_stats,
+        stats=stats,
+        docs=docs,
         tokenizer_mode=m.get("tokenizer_mode", "xapian"),
-        blocked=spark.read.parquet(os.path.join(path, "blocked")),
+        blocked=blocked,
         synonyms=(
             spark.read.parquet(os.path.join(path, "synonyms"))
             if os.path.exists(os.path.join(path, "synonyms"))

@@ -27,12 +27,18 @@ from xapian_spark.index.builder import InvertedIndex
 # -- spelling ---------------------------------------------------------------
 
 
-def build_spelling_table(index: InvertedIndex) -> DataFrame:
+def build_spelling_table(
+    index: InvertedIndex, extra_terms: DataFrame | None = None
+) -> DataFrame:
     """(trigram, term, tf) dimension table from the term dictionary.
 
     Padded character trigrams: 'word' -> ['$wo','wor','ord','rd$'] — the
-    glass head/tail/middle fragment classes simplified to uniform padding."""
+    glass head/tail/middle fragment classes simplified to uniform padding.
+    `extra_terms` (term, tf) adds explicit WritableDatabase::add_spelling
+    entries that aren't index terms."""
     t = index.term_stats.select("term", "tf")
+    if extra_terms is not None:
+        t = t.unionByName(extra_terms.select("term", "tf"))
     padded = F.concat(F.lit("$"), F.col("term"), F.lit("$"))
     tri = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(padded) - 2, F.lit(1))),
@@ -51,6 +57,7 @@ def suggest_spelling(
     word: str,
     max_edit: int = 2,
     spelling: DataFrame | None = None,
+    extra_terms: DataFrame | None = None,
 ) -> str | None:
     """Best correction for `word`, or None (word in dictionary or no
     candidate within max_edit).  Ranking: min edit distance, then highest
@@ -59,7 +66,15 @@ def suggest_spelling(
     ts = index.collect_term_stats([word]).get(word)
     if ts is not None and ts.tf > 0:
         return None  # already a dictionary word
-    sp = spelling if spelling is not None else build_spelling_table(index)
+    if extra_terms is not None and extra_terms.where(
+        (F.col("term") == word) & (F.col("tf") > 0)
+    ).first() is not None:
+        return None  # explicitly added spelling entry
+    sp = (
+        spelling
+        if spelling is not None
+        else build_spelling_table(index, extra_terms=extra_terms)
+    )
     padded = f"${word}$"
     tris = [padded[i : i + 3] for i in range(max(1, len(padded) - 2))]
     tris = [t for t in tris if len(t) == 3]

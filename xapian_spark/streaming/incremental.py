@@ -94,26 +94,41 @@ def compact(
     WritableDatabase::replace_document semantics.
     """
     delta_dir = os.path.join(path, "delta")
+    tomb_dir = os.path.join(path, "tombstones")
     base_dir = os.path.join(path, "termlists")
-    if not os.path.exists(delta_dir):
+    if not os.path.exists(delta_dir) and not os.path.exists(tomb_dir):
         return
     delta = (
-        spark.read.parquet(delta_dir)
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("docid").orderBy(F.desc("_batch_id"))
-            ),
+        (
+            spark.read.parquet(delta_dir)
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("docid").orderBy(F.desc("_batch_id"))
+                ),
+            )
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_batch_id")
         )
-        .where(F.col("_rn") == 1)
-        .drop("_rn", "_batch_id")
+        if os.path.exists(delta_dir)
+        else None
     )
     if os.path.exists(base_dir) and m._done(path, "termlists"):
-        base = spark.read.parquet(base_dir)
-        merged = base.join(
-            delta.select("docid"), "docid", "left_anti"
-        ).unionByName(delta)
+        merged = spark.read.parquet(base_dir)
+        if os.path.exists(tomb_dir):
+            # fold tombstones: physically drop deleted docs' termlists
+            # (WritableDatabase::delete_document; the glass analogue is the
+            # in-place B-tree removal, ours happens at compaction like a
+            # Lucene segment merge)
+            dead = spark.read.parquet(tomb_dir).select("docid").distinct()
+            merged = merged.join(dead, "docid", "left_anti")
+        if delta is not None:
+            merged = merged.join(
+                delta.select("docid"), "docid", "left_anti"
+            ).unionByName(delta)
     else:
+        if delta is None:
+            return
         merged = delta
     tmp = base_dir + ".compact"
     merged.write.mode("overwrite").parquet(tmp)
@@ -121,6 +136,16 @@ def compact(
         shutil.rmtree(base_dir)
     os.replace(tmp, base_dir)
     n = spark.read.parquet(base_dir).count()
+    # database identity survives compaction: the uuid is per-database and
+    # the revision counts committed generations (glass_version.h semantics
+    # — a compact is one more revision of the SAME database)
+    ident: dict = {}
+    if m._done(path, "stats"):
+        old = m._read_meta(path, "stats")
+        ident = {
+            "uuid": old.get("uuid", ""),
+            "revision": int(old.get("revision", 1)) + 1,
+        }
     # invalidate downstream stage checkpoints, then rebuild
     meta_dir = os.path.join(path, "_meta")
     if os.path.exists(meta_dir):
@@ -134,16 +159,30 @@ def compact(
     m._commit(path, "termlists", {"stage": 0, "rows": n,
                                   "tokenizer_mode": mode,
                                   "compacted": True})
-    shutil.rmtree(delta_dir)
+    if os.path.exists(delta_dir):
+        shutil.rmtree(delta_dir)
+    if os.path.exists(tomb_dir):
+        shutil.rmtree(tomb_dir)
     m._stages_1_to_3(
         spark, path, mode=mode, n_ranges=n_ranges, block_size=block_size
     )
+    if ident:
+        stats = m._read_meta(path, "stats")
+        stats.update(ident)
+        m._commit(path, "stats", stats)
 
 
 def query_with_delta(spark: SparkSession, path: str) -> DataFrame:
     """Postings view spanning base runs + uncompacted deltas (multi-shard
-    search analogue).  Delta rows override base rows for the same docid."""
+    search analogue).  Delta rows override base rows for the same docid;
+    tombstoned docids are excluded."""
     runs = spark.read.parquet(os.path.join(path, "runs"))
+    tomb_dir = os.path.join(path, "tombstones")
+    if os.path.exists(tomb_dir):
+        runs = runs.join(
+            spark.read.parquet(tomb_dir).select("docid").distinct(),
+            "docid", "left_anti",
+        )
     delta_dir = os.path.join(path, "delta")
     if not os.path.exists(delta_dir):
         return runs
