@@ -366,3 +366,90 @@ def test_stoplist_and_unstem():
     qa.parse_query("the beta")
     assert qa.get_stoplist() == ["the", "the"]
     assert qa.unstem("alpha") == ["alpha"]
+
+
+def test_reference_named_setters():
+    """QueryParser::add_prefix / add_boolean_prefix / set_default_op /
+    set_stemmer / set_stemming_strategy / set_stopper / set_database
+    (queryparser.h) configure the same state the constructor does."""
+    from xapian_spark.text.stem import Stemmer
+
+    qp = QueryParser()
+    qp.add_prefix("title", "S")
+    qp.add_boolean_prefix("lang", "L")
+    qp.set_default_op("and")
+    assert qp.get_default_op() == "and"
+    qp.set_stopper({"the"})
+    qp.set_stemmer(Stemmer("english"))
+    node = qp.parse_query("title:connection lang:py")
+    # probabilistic prefix stems under the prefix; boolean filters
+    s = node.describe()
+    assert "ZSconnect" in s and "Lpy" in s
+    with pytest.raises(ValueError):
+        qp.set_default_op("xor")
+
+
+def test_stemming_strategies():
+    """set_stemming_strategy none/all/all_z/some_full_pos
+    (queryparser.h:448-480)."""
+    from xapian_spark.text.stem import Stemmer
+
+    st = Stemmer("english")
+    base = dict(stemmer=st)
+    assert QueryParser(**base).parse_query("connection").describe() \
+        .startswith("Zconnect@")
+    qp = QueryParser(**base); qp.set_stemming_strategy("none")
+    assert qp.parse_query("connection").describe().startswith("connection@")
+    qp = QueryParser(**base); qp.set_stemming_strategy("all")
+    assert qp.parse_query("connection").describe().startswith("connect@")
+    qp = QueryParser(**base); qp.set_stemming_strategy("all_z")
+    assert qp.parse_query("connection").describe().startswith("Zconnect@")
+    # some: positional contexts stay unstemmed; some_full_pos stems them
+    qp = QueryParser(**base)
+    assert "connection" in qp.parse_query('"connection refused"').describe()
+    qp.set_stemming_strategy("some_full_pos")
+    assert "Zconnect" in qp.parse_query('"connection refused"').describe()
+
+
+def test_max_expansion_and_min_prefix(simple_index):
+    """set_max_expansion / set_min_wildcard_prefix (queryparser.h:823-881):
+    expansion caps reach the wildcard node; short fixed prefixes raise."""
+    from xapian_spark.query.planner import Planner
+
+    qp = QueryParser()
+    qp.set_max_expansion(1, "error")
+    node = qp.parse_query("s*")
+    assert node.limit == 1 and node.limit_mode == "error"
+    # 's*' matches many dictionary terms -> limit 1 errors
+    with pytest.raises(Exception):
+        Planner(simple_index).plan(node).count()
+    qp.set_max_expansion(1, "first")
+    assert qp.parse_query("s*").limit_mode == "first"
+    assert Planner(simple_index).plan(qp.parse_query("s*")).count() > 0
+
+    qp.set_min_wildcard_prefix(4)
+    assert qp.parse_query("para*") is not None
+    with pytest.raises(ValueError):
+        qp.parse_query("pa*")
+    # the partial analogue: a short final word simply doesn't expand
+    qp2 = QueryParser(partial=True)
+    qp2.set_min_wildcard_prefix(3, flags=("partial",))
+    assert qp2.min_partial_prefix_len == 3
+
+
+def test_termgen_flags_and_word_length():
+    """TermGenerator::set_flags / set_max_word_length
+    (termgenerator.h:117-137, 216-230)."""
+    from xapian_spark.text.termgen import TermGenerator
+
+    tg = TermGenerator()
+    tg.set_flags({"ngrams"})
+    with pytest.raises(ValueError):
+        tg.set_flags({"bogus"})
+    tg.set_max_word_length(5)
+    tg.index_text("tiny elephantine words")
+    terms = {t for t, _, _ in tg.get_document().termlist()}
+    assert "tiny" in terms and "words" in terms
+    assert "elephantine" not in terms
+    with pytest.raises(ValueError):
+        tg.set_max_word_length(100)

@@ -139,6 +139,23 @@ class QueryParser:
     # across parse_query calls (multi-field query forms) instead of
     # resetting per parse.
     accumulate: bool = False
+    # set_max_expansion (queryparser.h:823-851): cap how many dictionary
+    # terms a wildcard may expand to (0 = unlimited, the reference
+    # default), with the WILDCARD_LIMIT_* policy on overflow.
+    max_wildcard_expansion: int = 0
+    wildcard_limit_mode: str = "error"
+    # set_min_wildcard_prefix (queryparser.h:852-881): a wildcard whose
+    # fixed initial portion is shorter than this raises (the reference
+    # throws Xapian::QueryParserError); the partial-term analogue is
+    # min_partial_prefix_len above.
+    min_wildcard_prefix_len: int = 0
+    # query-time stemming strategy (QueryParser::set_stemming_strategy,
+    # queryparser.h:448-480): None means STEM_SOME when a stemmer is set
+    # (the reference default once set_stemmer is called), STEM_NONE
+    # otherwise.  "all" stems every term with no Z prefix; "all_z" adds
+    # the Z prefix; "some_full_pos" stems even position-carrying terms
+    # (for indexes built with the matching TermGenerator strategy).
+    stem_strategy: str | None = None
 
     def __post_init__(self):
         self._pos = 0  # query-wide term position counter
@@ -157,6 +174,77 @@ class QueryParser:
         query words that produced `term` in the last parse (a stemmed
         Z-term can come from several distinct surface forms)."""
         return [raw for t, raw in self._unstem if t == term]
+
+    # -- reference-named configuration setters (queryparser.h) ------------
+
+    def add_prefix(self, fname: str, prefix: str) -> None:
+        """QueryParser::add_prefix (queryparser.h:900-940): map `fname:`
+        to a probabilistic term prefix."""
+        self.prefixes[fname] = prefix
+
+    def add_boolean_prefix(self, fname: str, prefix: str,
+                           grouping: str | None = None) -> None:
+        """QueryParser::add_boolean_prefix: map `fname:` to a boolean
+        filter term prefix (same-prefix terms OR, distinct prefixes AND —
+        _field_node's filter grouping; `grouping` is accepted for
+        signature parity, the prefix itself is the group key)."""
+        self.boolean_prefixes[fname] = prefix
+
+    def set_default_op(self, op: str) -> None:
+        """QueryParser::set_default_op — "or" | "and"."""
+        if op not in ("or", "and"):
+            raise ValueError(op)
+        self.default_op = op
+
+    def get_default_op(self) -> str:
+        return self.default_op
+
+    def set_stemmer(self, stemmer) -> None:
+        """QueryParser::set_stemmer."""
+        self.stemmer = stemmer
+
+    def set_stemming_strategy(self, strategy: str) -> None:
+        """QueryParser::set_stemming_strategy — "none" | "some" |
+        "some_full_pos" | "all" | "all_z" (the STEM_* enum)."""
+        if strategy not in ("none", "some", "some_full_pos", "all",
+                            "all_z"):
+            raise ValueError(strategy)
+        self.stem_strategy = strategy
+
+    def set_stopper(self, stopwords) -> None:
+        """QueryParser::set_stopper — any iterable of stopwords (the
+        reference's Stopper functor reduced to its decision set)."""
+        self.stopwords = frozenset(stopwords) if stopwords else None
+
+    def set_database(self, db) -> None:
+        """QueryParser::set_database (queryparser.h:816-822): the database
+        consulted for synonyms (and, in get_corrected_query_string, for
+        spelling)."""
+        self.synonym_source = db
+
+    def set_max_expansion(self, max_expansion: int,
+                          max_type: str = "error",
+                          flags: tuple = ("wildcard",)) -> None:
+        """QueryParser::set_max_expansion (queryparser.h:823-851): cap
+        wildcard ("wildcard" in flags) and/or FLAG_PARTIAL ("partial" in
+        flags) expansion; max_type is "error" | "first" |
+        "most_frequent" (WILDCARD_LIMIT_*)."""
+        if max_type not in ("error", "first", "most_frequent"):
+            raise ValueError(max_type)
+        if "wildcard" in flags:
+            self.max_wildcard_expansion = int(max_expansion)
+            self.wildcard_limit_mode = max_type
+        if "partial" in flags:
+            self.max_partial_expansion = int(max_expansion)
+
+    def set_min_wildcard_prefix(self, min_prefix_len: int,
+                                flags: tuple = ("wildcard", "partial")
+                                ) -> None:
+        """QueryParser::set_min_wildcard_prefix (queryparser.h:852-881)."""
+        if "wildcard" in flags:
+            self.min_wildcard_prefix_len = int(min_prefix_len)
+        if "partial" in flags:
+            self.min_partial_prefix_len = int(min_prefix_len)
 
     def add_rangeprocessor(self, proc) -> None:
         """QueryParser::add_rangeprocessor (queryparser.h:1070-1090)."""
@@ -236,10 +324,18 @@ class QueryParser:
         Term::make_term queryparser.lemony:328-340); capitalized raw words
         stay unstemmed (reference behavior)."""
         raw_terms = parse_terms(text)
+        strat = (
+            "none" if self.stemmer is None
+            else (self.stem_strategy or "some")
+        )
         stem_ok = (
-            self.stemmer is not None
-            and not positional
-            and len(raw_terms) == 1  # compounds become phrases (positional)
+            strat in ("some", "some_full_pos")
+            # some: only single non-positional words (compounds become
+            # phrases); some_full_pos: position-carrying terms stem too
+            and (
+                strat == "some_full_pos"
+                or (not positional and len(raw_terms) == 1)
+            )
             and not (text and text[0].isupper())
         )
         out = []
@@ -248,7 +344,14 @@ class QueryParser:
                 self._stoplist.append(t)  # add_to_stoplist (lemony:235-237)
                 self._next_pos()
                 continue
-            if stem_ok and should_stem(t):
+            if strat in ("all", "all_z"):
+                # STEM_ALL / STEM_ALL_Z: every term stemmed, Z prefix only
+                # for all_z (queryparser.h:448-480)
+                term = (
+                    ("Z" if strat == "all_z" else "")
+                    + prefix + self.stemmer(t)
+                )
+            elif stem_ok and should_stem(t):
                 term = "Z" + prefix + self.stemmer(t)
             else:
                 term = prefix + t
@@ -263,6 +366,16 @@ class QueryParser:
         if not syns:
             return term
         return ast.Synonym((term,) + tuple(ast.Term(s) for s in syns))
+
+    def _check_wildcard_prefix(self, fixed: str) -> None:
+        """set_min_wildcard_prefix contract (queryparser.h:852-881): a
+        wildcard whose fixed initial portion is shorter than the minimum
+        raises (the reference throws Xapian::QueryParserError)."""
+        if len(fixed) < self.min_wildcard_prefix_len:
+            raise ValueError(
+                f"wildcard fixed prefix {fixed!r} is shorter than the "
+                f"configured minimum ({self.min_wildcard_prefix_len})"
+            )
 
     def _word_node(
         self, text: str, prefix: str = "", positional: bool = False
@@ -291,13 +404,21 @@ class QueryParser:
         ):
             # glob wildcard (FLAG_WILDCARD_MULTI/SINGLE): the whole word is
             # the pattern, wildcards anywhere
+            self._check_wildcard_prefix(re.split(r"[*?]", text, 1)[0])
             return ast.Wildcard(
                 prefix + text.lower(), combiner="or",
                 multi=self.wildcard_multi, single=self.wildcard_single,
+                limit=self.max_wildcard_expansion,
+                limit_mode=self.wildcard_limit_mode,
             )
         if text.endswith("*") and len(text) > 1:
             head = text[:-1].lower()
-            return ast.Wildcard(prefix + head, combiner="or")
+            self._check_wildcard_prefix(head)
+            return ast.Wildcard(
+                prefix + head, combiner="or",
+                limit=self.max_wildcard_expansion,
+                limit_mode=self.wildcard_limit_mode,
+            )
         m = re.fullmatch(r"(.+?)~(\d+\.\d+|\d*)", text)
         if m:
             # fuzzy: term~k -> OP_EDIT_DISTANCE (:1497); default k=2.

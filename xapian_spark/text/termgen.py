@@ -94,6 +94,7 @@ class TermGenerator:
         self._stopwords: frozenset[str] | None = None
         self._stop_mode = "all"  # STOP_ALL default when a stopper is set
         self._termpos = 0
+        self._max_word_length = 64  # the glass 64-byte key cap
 
     # -- configuration (termgenerator.h setters) --------------------------
 
@@ -124,6 +125,32 @@ class TermGenerator:
             raise ValueError(mode)
         self._stop_mode = mode
 
+    def set_flags(self, flags: set | frozenset = frozenset()) -> None:
+        """TermGenerator::set_flags (termgenerator.h:117-137): supported
+        flags are "ngrams" (FLAG_NGRAMS — CJK/unbroken-script n-gram
+        indexing, on by default in this engine's "xapian" mode and off in
+        "simple") and "cjk_ngram" (the pre-1.5 alias).  FLAG_SPELLING is
+        accepted and ignored: every indexed term is spelling-correctable
+        here (documented divergence, see Database.get_spelling_suggestion).
+        """
+        known = {"ngrams", "cjk_ngram", "spelling"}
+        bad = set(flags) - known
+        if bad:
+            raise ValueError(f"unknown TermGenerator flags: {sorted(bad)}")
+        if "ngrams" in flags or "cjk_ngram" in flags:
+            self._mode = "xapian"
+
+    def set_max_word_length(self, max_word_length: int) -> None:
+        """TermGenerator::set_max_word_length (termgenerator.h:216-230):
+        words longer than this are not indexed.  The tokenizer's built-in
+        cap is the reference's 64-byte glass key limit; only tightening it
+        is supported (loosening would exceed the term-table contract)."""
+        if max_word_length > 64:
+            raise ValueError(
+                "max_word_length above the 64-byte term cap is unsupported"
+            )
+        self._max_word_length = int(max_word_length)
+
     def get_termpos(self) -> int:
         return self._termpos
 
@@ -138,7 +165,7 @@ class TermGenerator:
     # -- indexing ----------------------------------------------------------
 
     def _invert(self, text: str):
-        return invert_doc(
+        entries, doclen = invert_doc(
             text,
             mode=self._mode,
             stopwords=self._stopwords,
@@ -146,6 +173,11 @@ class TermGenerator:
             strategy=self._strategy if self._stemmer else "none",
             stop_mode=self._stop_mode,
         )
+        if self._max_word_length < 64:
+            entries = [
+                e for e in entries if len(e[0]) <= self._max_word_length
+            ]
+        return entries, doclen
 
     @staticmethod
     def _prefixed(term: str, prefix: str) -> str:
