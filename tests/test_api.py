@@ -512,3 +512,73 @@ def test_db_uuid_close_reopen(spark, db):
     enq.set_time_limit(0.5)
     enq.set_query(ast.Term("dup"))
     assert len(enq.get_mset(0, 3)) > 0
+
+
+def test_database_read_tail(db):
+    """postlist / get_wdfdocmax / unique-terms bounds / reconstruct_text /
+    valuestream (database.h read surface)."""
+    pl = db.postlist("dup")
+    assert pl == sorted(pl)
+    assert db.get_termfreq("dup") == len(pl)
+    did = pl[0][0]
+    assert db.get_wdfdocmax(did) >= max(w for d, w in pl if d == did)
+    lb = db.get_unique_terms_lower_bound()
+    ub = db.get_unique_terms_upper_bound()
+    assert 0 < lb <= db.get_unique_terms(did) <= ub
+    txt = db.reconstruct_text(did)
+    assert "dup" in txt.split()
+    assert len(db.reconstruct_text(did, length=20)) <= 20
+    vs = db.valuestream("lang")
+    assert vs and vs == sorted(vs) and all(v for _, v in vs)
+
+
+def test_mset_item_accessors(db):
+    """MSetIterator-named accessors + get_max_possible/get_max_attained/
+    get_firstitem (mset.h); collapse_key/count; ESet.get_ebound."""
+    enq = Enquire(db)
+    enq.set_query("dup OR vector")
+    m = enq.get_mset(1, 4)
+    assert m.get_firstitem() == 1
+    h = m[0]
+    assert h.get_docid() == h.docid and h.get_rank() == 1
+    assert h.get_weight() == h.weight and h.get_percent() == h.percent
+    # the a-priori bound dominates every attained weight
+    assert m.get_max_possible() >= m.get_max_attained() > 0
+
+    enq2 = Enquire(db)
+    enq2.set_query("dup")
+    enq2.set_collapse_key("source")
+    m2 = enq2.get_mset(0, 10)
+    total = enq2.db.index.docs.count()
+    # every hit carries its collapse key
+    assert all(h.get_collapse_key() is not None for h in m2)
+    # each group's eliminations are attributed to its best hit, exactly
+    uncol = Enquire(db)
+    uncol.set_query("dup")
+    all_hits = uncol.get_mset(0, total)
+    per_src: dict = {}
+    for h in all_hits:
+        src = db.get_document(h.docid)["source"]
+        per_src[src] = per_src.get(src, 0) + 1
+    for h in m2:
+        assert h.get_collapse_count() == per_src[h.get_collapse_key()] - 1
+    assert m2.get_uncollapsed_matches_estimated() == len(all_hits)
+    assert m2.get_uncollapsed_matches_estimated() >= len(m2)
+
+    # sort_key exposed under a value sort
+    enq3 = Enquire(db)
+    enq3.set_query("dup")
+    enq3.set_sort_by_value("n_chars")
+    m3 = enq3.get_mset(0, 3)
+    keys = [h.get_sort_key() for h in m3]
+    assert keys == sorted(keys)
+
+    # ESet bound: more candidates exist than the page returned
+    from xapian_spark.api import RSet
+
+    rs = RSet()
+    for h in m2[:2]:
+        rs.add_document(h.docid)
+    es = enq2.get_eset(3, rs)
+    assert len(es) == 3
+    assert es.get_ebound() >= len(es)

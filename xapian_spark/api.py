@@ -53,6 +53,54 @@ class MSetItem:
     docid: int
     weight: float
     percent: int
+    # collapse bookkeeping (MSetIterator::get_collapse_key/_count,
+    # mset.h:260-290): the collapse key value this hit represents and how
+    # many lower-ranked same-key docs were eliminated onto it (attached to
+    # the group's best hit, 0 elsewhere — exact, not the reference's
+    # matcher-progress estimate)
+    collapse_key: object = None
+    collapse_count: int = 0
+    # the value-sort key tuple (MSetIterator::get_sort_key) when the mset
+    # was sorted by value slots
+    sort_key: tuple | None = None
+
+    # reference-named accessors (MSetIterator surface)
+    def get_docid(self) -> int:
+        return self.docid
+
+    def get_weight(self) -> float:
+        return self.weight
+
+    def get_percent(self) -> int:
+        return self.percent
+
+    def get_rank(self) -> int:
+        return self.rank
+
+    def get_collapse_key(self):
+        return self.collapse_key
+
+    def get_collapse_count(self) -> int:
+        return self.collapse_count
+
+    def get_sort_key(self):
+        return self.sort_key
+
+
+class ESet(list):
+    """list[(term, weight)] + ESet::get_ebound (eset.h:80-95): how many
+    expansion terms COULD have been returned had maxitems been larger —
+    evaluated lazily (one count job over the unlimited candidate set)."""
+
+    _ebound_fn = None
+    _ebound: int | None = None
+
+    def get_ebound(self) -> int:
+        if self._ebound is None:
+            self._ebound = (
+                int(self._ebound_fn()) if self._ebound_fn else len(self)
+            )
+        return self._ebound
 
 
 def _query_terms_in_order(node: ast.Node):
@@ -98,6 +146,43 @@ class MSet(list):
 
     _enquire = None  # set by Enquire.get_mset (reference: MSet::Internal)
     _max_attained: float | None = None  # best weight over the whole match
+    _max_possible: float | None = None  # the WAND-style weight upper bound
+    _uncollapsed_fn = None  # lazy pre-collapse match count
+    _uncollapsed: int | None = None
+    _firstitem: int = 0
+
+    def get_max_attained(self) -> float:
+        """MSet::get_max_attained: the best weight over the WHOLE match
+        (exact — the reference's value can be a lower bound when the
+        matcher terminated early)."""
+        return float(self._max_attained or 0.0)
+
+    def get_max_possible(self) -> float:
+        """MSet::get_max_possible: the a-priori upper bound on any
+        document's weight — sum of per-term maxparts plus maxextra, the
+        same bound the block-max WAND pruning uses."""
+        return float(self._max_possible or 0.0)
+
+    def get_firstitem(self) -> int:
+        """MSet::get_firstitem: the `first` passed to get_mset."""
+        return self._firstitem
+
+    def get_uncollapsed_matches_estimated(self) -> int:
+        """MSet::get_uncollapsed_matches_estimated: match count before
+        collapsing (exact here, so lower == estimate == upper)."""
+        if self._uncollapsed is None:
+            self._uncollapsed = (
+                int(self._uncollapsed_fn())
+                if self._uncollapsed_fn
+                else self.get_matches_estimated()
+            )
+        return self._uncollapsed
+
+    def get_uncollapsed_matches_lower_bound(self) -> int:
+        return self.get_uncollapsed_matches_estimated()
+
+    def get_uncollapsed_matches_upper_bound(self) -> int:
+        return self.get_uncollapsed_matches_estimated()
 
     def get_termfreq(self, term: str) -> int:
         """MSet::get_termfreq (api/mset.cc:84-103): termfreq of a term,
@@ -334,6 +419,91 @@ class Database:
         if not os.path.exists(sp):
             return None
         return self.spark.read.parquet(sp)
+
+    def postlist(self, term: str,
+                 limit: int | None = 100_000) -> list[tuple[int, int]]:
+        """(docid, wdf) postings of one term, docid-ordered
+        (Database::postlist_begin/_end).  SCALE CONTRACT like allterms():
+        a stopword-class term's posting list can be billions of rows, so
+        this driver-side listing is capped; distributed consumers should
+        filter `index.postings` instead (term-major parquet layout makes
+        that a pruned range scan, not a full pass)."""
+        df = (
+            self.index.postings.where(F.col("term") == term)
+            .select("docid", "wdf").orderBy("docid")
+        )
+        if limit is not None:
+            df = df.limit(limit)
+        return [(r["docid"], r["wdf"]) for r in df.collect()]
+
+    def get_wdfdocmax(self, docid: int) -> int:
+        """Database::get_wdfdocmax (database.h): highest wdf of any term
+        in the document."""
+        return max((w for _, w, _ in self.termlist(docid)), default=0)
+
+    def _uniq_bounds(self) -> tuple[int, int]:
+        if not hasattr(self, "_uniq_bounds_memo"):
+            g = self.index.doclens.agg(
+                F.coalesce(F.min("uniqterms"), F.lit(0)).alias("lb"),
+                F.coalesce(F.max("uniqterms"), F.lit(0)).alias("ub"),
+            ).collect()[0]
+            self._uniq_bounds_memo = (int(g["lb"]), int(g["ub"]))
+        return self._uniq_bounds_memo
+
+    def get_unique_terms_lower_bound(self) -> int:
+        """Database::get_unique_terms_lower_bound — exact min here (the
+        reference returns a cheaper stored bound); memoized, one agg job."""
+        return self._uniq_bounds()[0]
+
+    def get_unique_terms_upper_bound(self) -> int:
+        return self._uniq_bounds()[1]
+
+    def reconstruct_text(self, docid: int, length: int = 0,
+                         prefix: str = "", start_pos: int = 0,
+                         end_pos: int = 0) -> str:
+        """Database::reconstruct_text (database.h:575-607): rebuild an
+        approximation of the document text by laying the (folded,
+        possibly stemmed) terms back out in position order.  Zero-wdf
+        boolean terms, Z-stem terms and other-prefix terms are skipped,
+        like the reference's prefix filtering."""
+        by_pos: dict[int, str] = {}
+        plen = len(prefix)
+        for term, _wdf, positions in self.termlist(docid):
+            if prefix:
+                if not term.startswith(prefix):
+                    continue
+                word = term[plen:]
+            else:
+                if term[:1].isupper():  # Z-stems / prefixed boolean terms
+                    continue
+                word = term
+            for p in positions or []:
+                if start_pos and p < start_pos:
+                    continue
+                if end_pos and p > end_pos:
+                    continue
+                by_pos.setdefault(p, word)
+        text = " ".join(by_pos[p] for p in sorted(by_pos))
+        if length and len(text) > length:
+            # cut at a word boundary within the byte budget (database.cc)
+            cut = text.rfind(" ", 0, length + 1)
+            text = text[:cut] if cut > 0 else text[:length]
+        return text
+
+    def valuestream(self, column: str,
+                    limit: int | None = 100_000) -> list[tuple[int, object]]:
+        """Database::valuestream_begin/_end: (docid, value) for every
+        document with a value in the slot, docid-ordered.  Driver-side
+        capped like allterms(); distributed consumers read the docs table
+        column directly."""
+        df = (
+            self.index.docs.select("docid", column)
+            .where(F.col(column).isNotNull())
+            .orderBy("docid")
+        )
+        if limit is not None:
+            df = df.limit(limit)
+        return [(r["docid"], r[column]) for r in df.collect()]
 
     def get_spelling_suggestion(self, word: str, max_edit: int = 2):
         return suggest_spelling(
@@ -1181,18 +1351,35 @@ class Enquire:
 
     def get_mset(self, first: int, maxitems: int) -> MSet:
         m = self._matches()
+        uncollapsed_fn = None
         if self._collapse_key:
             from pyspark.sql import Window
 
+            uncollapsed_fn = m.count  # lazy, pre-collapse (mset.h:300-330)
             docs = self.db.index.docs.select("docid", self._collapse_key)
             m = m.join(docs, "docid")
             w = Window.partitionBy(self._collapse_key).orderBy(
                 F.desc("score"), F.asc("docid")
             )
+            wn = Window.partitionBy(self._collapse_key)
             m = (
                 m.withColumn("_cr", F.row_number().over(w))
+                .withColumn("_ckn", F.count(F.lit(1)).over(wn))
                 .where(F.col("_cr") <= self._collapse_max)
-                .drop("_cr", self._collapse_key)
+                .withColumn("_ckey", F.col(self._collapse_key))
+                .withColumn(
+                    "_ccount",
+                    # eliminated docs are attributed to the group's best
+                    # hit (MSetIterator::get_collapse_count)
+                    F.when(
+                        F.col("_cr") == 1,
+                        F.greatest(
+                            F.lit(0),
+                            F.col("_ckn") - F.lit(self._collapse_max),
+                        ),
+                    ).otherwise(F.lit(0)),
+                )
+                .drop("_cr", "_ckn", self._collapse_key)
             )
         if self._weight_cutoff:
             m = m.where(F.col("score") >= F.lit(self._weight_cutoff))
@@ -1246,7 +1433,6 @@ class Enquire:
             # best-weight doc, and percents are relative to the best weight
             # OVERALL (mset.cc:253-271) — fetch the global max separately.
             global_max = m.agg(F.max("score")).collect()[0][0] or 0.0
-            rows = top.collect()
             # HALF_UP like Spark's F.round (and the reference's +0.5
             # truncation, mset.cc) — Python round() is HALF_EVEN and would
             # disagree with count_fn/with_percent on exact .5 boundaries
@@ -1255,38 +1441,74 @@ class Enquire:
                 if s > 0 and global_max > 0
                 else 0
             )
-            rows = [
-                (r["docid"], r["score"], pct_of(r["score"])) for r in rows
-            ]
+            rows = [(r, pct_of(r["score"])) for r in top.collect()]
         else:
             rows = [
-                (r["docid"], r["score"], r["percent"])
+                (r, r["percent"])
                 for r in with_percent(top, "score").collect()
             ]
         out = MSet()
         out._count_fn = count_fn
+        out._uncollapsed_fn = uncollapsed_fn
+        out._firstitem = first
         out._enquire = self  # for MSet.snippet (reference: MSet::Internal)
         # best attained weight, for convert_to_percent: the relevance-sorted
         # window contains the global best; under a value sort it was
         # fetched separately above
         out._max_attained = (
             global_max if self._sort_by
-            else max((s for _, s, _ in rows), default=0.0)
+            else max((r["score"] for r, _ in rows), default=0.0)
         )
+        out._max_possible = self._weight_upper_bound()
+        sort_cols = [c for c, _ in self._sort_by] if self._sort_by else []
         rank = -1
-        for i, (docid, score, percent) in enumerate(rows):
+        for i, (r, percent) in enumerate(rows):
             if i < first:
                 continue
             if self._percent_cutoff and percent < self._percent_cutoff:
                 continue
             rank += 1
+            d = r.asDict()
             out.append(
                 MSetItem(
-                    rank=first + rank, docid=docid, weight=score,
+                    rank=first + rank, docid=r["docid"], weight=r["score"],
                     percent=percent,
+                    collapse_key=d.get("_ckey"),
+                    collapse_count=int(d.get("_ccount") or 0),
+                    sort_key=(
+                        tuple(d.get(c) for c in sort_cols)
+                        if sort_cols else None
+                    ),
                 )
             )
         return out
+
+    def _weight_upper_bound(self) -> float:
+        """MSet::get_max_possible: sum of per-term weight maxparts plus
+        the document-independent maxextra — the same bound block-max WAND
+        prunes with (matcher.cc max_possible accounting).  0 for a pure
+        boolean / empty query."""
+        if self._query is None:
+            return 0.0
+        terms = [t for t in ast.leaf_terms(self._query)]
+        if not terms:
+            return 0.0
+        scheme = getattr(self, "_weight", None) or WEIGHT_SCHEMES["bm25"]()
+        if not hasattr(scheme, "init_term"):
+            return 0.0
+        stats = self.db.index.stats
+        names = sorted({t.term for t in terms})
+        ts = self.db.index.collect_term_stats(names)
+        bound = 0.0
+        for t in terms:
+            s = ts.get(t.term)
+            if s is None or s.tf == 0:
+                continue
+            tw = scheme.init_term(stats, s, wqf=getattr(t, "wqf", 1))
+            bound += tw.maxpart(s.wdf_max, stats.doclen_lower_bound)
+        if hasattr(scheme, "maxextra"):
+            bound += scheme.maxextra(stats, len(terms))
+        return bound
 
     def set_expansion_scheme(self, eweightname: str,
                              expand_k: float = 1.0) -> None:
@@ -1309,13 +1531,16 @@ class Enquire:
             exclude = {t.term for t in ast.leaf_terms(self._query)}
         scheme, ek = getattr(self, "_expand_scheme", ("bo1", 1.0))
         if scheme == "trad":
-            rows = trad_eset(
-                self.db.index, rset.docids, k=maxitems, expand_k=ek,
+            full = trad_eset(
+                self.db.index, rset.docids, k=None, expand_k=ek,
                 exclude_terms=exclude, decider=decider,
-            ).collect()
+            )
         else:
-            rows = bo1_eset(
-                self.db.index, rset.docids, k=maxitems,
+            full = bo1_eset(
+                self.db.index, rset.docids, k=None,
                 exclude_terms=exclude, decider=decider,
-            ).collect()
-        return [(r["term"], r["wt"]) for r in rows]
+            )
+        rows = full.limit(maxitems).collect()
+        out = ESet((r["term"], r["wt"]) for r in rows)
+        out._ebound_fn = full.count  # lazy (ESet::get_ebound)
+        return out

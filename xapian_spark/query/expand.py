@@ -167,11 +167,10 @@ def bo1_eset(
         F.col("rcf") * (F.log((1.0 + m) / m) / F.lit(log2))
         + (F.log(1.0 + m) / F.lit(log2))
     )
-    return (
-        joined.select("term", wt.alias("wt"))
-        .orderBy(F.desc("wt"), F.asc("term"))
-        .limit(k)
+    out = joined.select("term", wt.alias("wt")).orderBy(
+        F.desc("wt"), F.asc("term")
     )
+    return out.limit(k) if k is not None else out
 
 
 def trad_eset(
@@ -221,11 +220,10 @@ def trad_eset(
         (F.col("r") + 0.5) * (F.lit(n) - tf - without + 0.5)
         / ((tf - F.col("r") + 0.5) * (without + 0.5))
     )
-    return (
-        joined.select("term", (F.col("multiplier") * tw).alias("wt"))
-        .orderBy(F.desc("wt"), F.asc("term"))
-        .limit(k)
-    )
+    out = joined.select(
+        "term", (F.col("multiplier") * tw).alias("wt")
+    ).orderBy(F.desc("wt"), F.asc("term"))
+    return out.limit(k) if k is not None else out
 
 
 # -- percent scores ----------------------------------------------------------
