@@ -299,6 +299,83 @@ class Database:
 
     # -- reference Database surface ----------------------------------------
 
+    def add_database(self, other: "Database") -> None:
+        """Database::add_database (database.h): search several databases
+        as one.  The reference interleaves docids — combined docid =
+        (shard_docid - 1) * n_shards + shard_index + 1, unsharded on the
+        way back out (backends/multi.h) — and combined ids change when
+        another shard is added; this engine applies the SAME reversible
+        remap as a JVM column expression per shard and unions the tables.
+        At cluster scale each shard keeps its own parquet files, so the
+        union is a multi-scan plan, not a data move; collection statistics
+        are combined exactly (tf/cf sums, bound min/max).  The blocked
+        WAND table is dropped from the combined view (its packed payloads
+        can't be remapped row-wise) — serving falls back to row postings,
+        and a compact of the combined termlists rebuilds blocks."""
+        shards = list(getattr(self, "_shards", None) or [self.index])
+        shards.append(other.index)
+        self._shards = shards
+        n = len(shards)
+
+        def remap(df: DataFrame, i: int) -> DataFrame:
+            return df.withColumn(
+                "docid", ((F.col("docid") - 1) * n + i + 1).cast("long")
+            )
+
+        postings = doclens = docs = ts = syn = None
+        for i, idx in enumerate(shards):
+            p, d, dd = (
+                remap(idx.postings, i), remap(idx.doclens, i),
+                remap(idx.docs, i),
+            )
+            postings = p if postings is None else postings.unionByName(p)
+            doclens = (
+                d if doclens is None
+                else doclens.unionByName(d, allowMissingColumns=True)
+            )
+            docs = (
+                dd if docs is None
+                else docs.unionByName(dd, allowMissingColumns=True)
+            )
+            ts = (
+                idx.term_stats if ts is None
+                else ts.unionByName(idx.term_stats)
+            )
+            if idx.synonyms is not None:
+                syn = (
+                    idx.synonyms if syn is None
+                    else syn.unionByName(idx.synonyms).distinct()
+                )
+        term_stats = ts.groupBy("term").agg(
+            F.sum("tf").alias("tf"),
+            F.sum("cf").alias("cf"),
+            F.max("wdf_max").alias("wdf_max"),
+        )
+        from xapian_spark.ranking.weights import GlobalStats
+
+        sts = [s.stats for s in shards]
+        self.index = InvertedIndex(
+            spark=self.spark,
+            postings=postings,
+            doclens=doclens,
+            term_stats=term_stats,
+            stats=GlobalStats(
+                doccount=sum(s.doccount for s in sts),
+                total_doclen=sum(s.total_doclen for s in sts),
+                doclen_lower_bound=min(s.doclen_lower_bound for s in sts),
+                doclen_upper_bound=max(s.doclen_upper_bound for s in sts),
+            ),
+            docs=docs,
+            tokenizer_mode=shards[0].tokenizer_mode,
+            blocked=None,
+            synonyms=syn,
+        )
+        self.path = None  # a combined view has no single warehouse
+
+    def size(self) -> int:
+        """Database::size: number of shards this database aggregates."""
+        return len(getattr(self, "_shards", None) or [self.index])
+
     def get_doccount(self) -> int:
         return self.index.stats.doccount
 

@@ -49,6 +49,11 @@ class Document:
         ent = self._terms.setdefault(term, [0, []])
         ent[0] += wdf_inc
 
+    def add_boolean_term(self, term: str) -> None:
+        """document.h:150-158: add_term with wdf_inc 0 — filter terms
+        never contribute to term weighting."""
+        self.add_term(term, 0)
+
     def remove_posting(self, term: str, pos: int, wdf_dec: int = 1) -> None:
         ent = self._terms.get(term)
         if not ent or pos not in ent[1]:
@@ -56,16 +61,72 @@ class Document:
         ent[1].remove(pos)
         ent[0] = max(0, ent[0] - wdf_dec)
 
+    def remove_postings(self, term: str, pos_first: int, pos_last: int,
+                        wdf_dec: int = 1) -> int:
+        """document.h:186-210: remove the postings in [pos_first,
+        pos_last]; returns how many were removed."""
+        ent = self._terms.get(term)
+        if not ent:
+            raise ValueError(f"no such term: {term!r}")
+        keep = [p for p in ent[1] if not (pos_first <= p <= pos_last)]
+        removed = len(ent[1]) - len(keep)
+        ent[1] = keep
+        ent[0] = max(0, ent[0] - wdf_dec * removed)
+        return removed
+
     def remove_term(self, term: str) -> None:
         if term not in self._terms:
             raise ValueError(f"no such term: {term!r}")
         del self._terms[term]
+
+    def clear_terms(self) -> None:
+        """document.h:212-218."""
+        self._terms.clear()
 
     def add_value(self, slot: str, value) -> None:
         self.values[slot] = value
 
     def get_value(self, slot: str):
         return self.values.get(slot)
+
+    def remove_value(self, slot: str) -> None:
+        """document.h:86-92: removing is storing an absent value."""
+        self.values.pop(slot, None)
+
+    def clear_values(self) -> None:
+        """document.h:94-100."""
+        self.values.clear()
+
+    def values_count(self) -> int:
+        return len(self.values)
+
+    def termlist_count(self) -> int:
+        return len(self._terms)
+
+    def serialise(self) -> str:
+        """document.h:250-262: portable serialization.  The reference
+        emits a private binary format; JSON carries the same state and is
+        debuggable — documented divergence, unserialise() round-trips."""
+        import json
+
+        return json.dumps({
+            "data": self.data,
+            "terms": {
+                t: [w, list(ps)] for t, (w, ps) in self._terms.items()
+            },
+            "values": self.values,
+        }, sort_keys=True)
+
+    @classmethod
+    def unserialise(cls, s: str) -> "Document":
+        import json
+
+        d = json.loads(s)
+        doc = cls(data=d["data"])
+        for t, (w, ps) in d["terms"].items():
+            doc._terms[t] = [int(w), [int(p) for p in ps]]
+        doc.values.update(d["values"])
+        return doc
 
     def termlist(self) -> list[tuple[str, int, list[int]]]:
         """Sorted (term, wdf, positions) — the termlist B-tree row."""
