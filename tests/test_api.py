@@ -582,3 +582,12 @@ def test_mset_item_accessors(db):
     es = enq2.get_eset(3, rs)
     assert len(es) == 3
     assert es.get_ebound() >= len(es)
+
+
+def test_database_check(db, corpus):
+    """Database::check / xapian-check (bin/xapian-check.cc): structural
+    invariants over the committed warehouse, optionally vs the source."""
+    rep = db.check()
+    assert rep and all(v == 0 for v in rep.values())
+    rep2 = db.check(corpus, content_col="text", docid_col="docid")
+    assert rep2["sha256_mismatches"] == 0

@@ -453,3 +453,17 @@ def test_termgen_flags_and_word_length():
     assert "elephantine" not in terms
     with pytest.raises(ValueError):
         tg.set_max_word_length(100)
+
+
+def test_query_introspection_and_serialise():
+    """Query::get_type/get_num_subqueries/get_subquery/get_length/
+    get_terms/serialise round-trip (query.h:560-660)."""
+    q = QueryParser().parse_query('alpha AND (bravo OR "charlie delta")')
+    assert q.get_type() == "and"
+    assert q.get_num_subqueries() == 2
+    assert q.get_subquery(1).get_type() == "or"
+    assert q.get_length() == 4  # sum of wqf over leaf terms
+    assert q.get_terms() == ["alpha", "bravo", "charlie", "delta"]
+    assert not q.empty() and ast.MatchNothing().empty()
+    q2 = ast.Node.unserialise(q.serialise())
+    assert q2 == q and q2.describe() == q.describe()

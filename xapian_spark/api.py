@@ -711,6 +711,22 @@ class Database:
         with open(meta) as f:
             return json.load(f).get("uuid", "")
 
+    def check(self, docs: DataFrame | None = None,
+              content_col: str = "content",
+              docid_col: str = "docid") -> dict:
+        """Database::check / xapian-check (database.h:1570-1640,
+        bin/xapian-check.cc): verify the structural invariants of the
+        committed warehouse — term_stats vs recomputed postings, doclens
+        vs sum(wdf), blocked vs row postings, and (when the source table
+        is supplied) the content sha256 row invariant.  Returns the
+        per-invariant mismatch counts; all zeros == clean."""
+        if not self.path:
+            raise ValueError("check() needs an on-disk warehouse")
+        return merge.verify_invariants(
+            self.spark, self.path, docs,
+            content_col=content_col, docid_col=docid_col,
+        )
+
     def get_revision(self) -> int:
         """Database::get_revision (database.h): the committed revision
         number — 1 after the initial build, +1 per mutating commit() and

@@ -526,29 +526,32 @@ def read_warehouse(spark: SparkSession, path: str) -> InvertedIndex:
     return idx
 
 
-def verify_invariants(spark: SparkSession, path: str, docs: DataFrame,
+def verify_invariants(spark: SparkSession, path: str,
+                      docs: DataFrame | None = None,
                       content_col: str = "content",
                       docid_col: str = "docid") -> dict:
     """xapian-check-style structural invariants (bin/xapian-check.cc):
 
-    - content sha256 row invariant vs the source table
+    - content sha256 row invariant vs the source table (when `docs` is
+      given — Database::check has no source either, so it's optional)
     - per-term tf == count of postings, cf == sum(wdf) (runs vs term_stats)
     - doclen == sum(wdf) per doc
     - blocked postings == runs postings (modulo positions)
     """
     out: dict[str, int] = {}
     tl = spark.read.parquet(os.path.join(path, "termlists"))
-    src = docs.select(
-        F.col(docid_col).cast("long").alias("docid"),
-        F.sha2(F.col(content_col).cast("binary"), 256).alias("sha_src"),
-    )
-    bad_sha = (
-        tl.select("docid", "content_sha256")
-        .join(src, "docid")
-        .where(F.col("content_sha256") != F.col("sha_src"))
-        .count()
-    )
-    out["sha256_mismatches"] = bad_sha
+    if docs is not None:
+        src = docs.select(
+            F.col(docid_col).cast("long").alias("docid"),
+            F.sha2(F.col(content_col).cast("binary"), 256).alias("sha_src"),
+        )
+        bad_sha = (
+            tl.select("docid", "content_sha256")
+            .join(src, "docid")
+            .where(F.col("content_sha256") != F.col("sha_src"))
+            .count()
+        )
+        out["sha256_mismatches"] = bad_sha
 
     runs = spark.read.parquet(os.path.join(path, "runs"))
     ts = spark.read.parquet(os.path.join(path, "term_stats"))

@@ -17,6 +17,106 @@ class Node:
     def __str__(self) -> str:
         return f"Query({self.describe()})"
 
+    # -- Query introspection (query.h:560-660) -----------------------------
+
+    def get_type(self) -> str:
+        """Query::get_type: the node's operator name (LEAF_TERM for a
+        plain term, OP_* otherwise — lowercased class name here, same
+        information)."""
+        return type(self).__name__.lower()
+
+    def get_num_subqueries(self) -> int:
+        """Query::get_num_subqueries."""
+        if hasattr(self, "subs"):
+            return len(self.subs)
+        if hasattr(self, "left"):
+            return 2
+        if hasattr(self, "sub"):
+            return 1
+        return 0
+
+    def get_subquery(self, n: int) -> "Node":
+        """Query::get_subquery."""
+        if hasattr(self, "subs"):
+            return self.subs[n]
+        if hasattr(self, "left"):
+            return (self.left, self.right)[n]
+        if hasattr(self, "sub") and n == 0:
+            return self.sub
+        raise IndexError(n)
+
+    def get_length(self) -> int:
+        """Query::get_length: total wqf over the query's terms — the
+        query_length the k3/wqf weight components normalize by."""
+        return sum(t.wqf for t in leaf_terms(self))
+
+    def get_terms(self) -> list[str]:
+        """Query::get_terms_begin/_end: terms in position order, with
+        duplicates (get_unique_terms_begin dedups — use set())."""
+        return [t.term for t in leaf_terms(self)]
+
+    def get_unique_terms(self) -> list[str]:
+        """Query::get_unique_terms_begin/_end (sorted, deduped)."""
+        return sorted({t.term for t in leaf_terms(self)})
+
+    def empty(self) -> bool:
+        """Query::empty — true only for MatchNothing, like the reference's
+        default-constructed Query."""
+        return isinstance(self, MatchNothing)
+
+    def serialise(self) -> str:
+        """Query::serialise: portable round-trip.  The reference emits a
+        private binary format; JSON over the dataclass tree carries the
+        same state (documented divergence), unserialise() restores it."""
+        import json
+
+        def enc(n: "Node"):
+            d = {"op": type(n).__name__}
+            import dataclasses
+
+            if dataclasses.is_dataclass(n):
+                for f in dataclasses.fields(n):
+                    v = getattr(n, f.name)
+                    if isinstance(v, Node):
+                        v = enc(v)
+                    elif isinstance(v, tuple) and v and isinstance(
+                        v[0], Node
+                    ):
+                        v = [enc(s) for s in v]
+                    elif isinstance(v, tuple):
+                        v = list(v)
+                    d[f.name] = v
+            return d
+
+        return json.dumps(enc(self), sort_keys=True)
+
+    @staticmethod
+    def unserialise(s: str) -> "Node":
+        import dataclasses
+        import json
+        import sys
+
+        mod = sys.modules[__name__]
+
+        def dec(d):
+            cls = getattr(mod, d.pop("op"))
+            kw = {}
+            for f in dataclasses.fields(cls):
+                if f.name not in d:
+                    continue
+                v = d[f.name]
+                if isinstance(v, dict) and "op" in v:
+                    v = dec(v)
+                elif isinstance(v, list) and v and isinstance(v[0], dict) \
+                        and "op" in v[0]:
+                    v = tuple(dec(x) for x in v)
+                elif isinstance(v, list):
+                    v = tuple(v)
+                kw[f.name] = v
+            return cls(**kw)
+
+        return dec(json.loads(s))
+
 
 @dataclass(frozen=True)
 class MatchAll(Node):
