@@ -591,3 +591,23 @@ def test_database_check(db, corpus):
     assert rep and all(v == 0 for v in rep.values())
     rep2 = db.check(corpus, content_col="text", docid_col="docid")
     assert rep2["sha256_mismatches"] == 0
+
+
+def test_registry():
+    """xapian::Registry (registry.h): built-ins pre-registered, custom
+    registrations resolvable, unknown names -> None."""
+    from xapian_spark.api import MultiValueKeyMaker, Registry
+
+    r = Registry()
+    assert r.get_weighting_scheme("bm25") is not None
+    assert r.get_weighting_scheme("pl2") is not None
+    assert r.get_weighting_scheme("unknown") is None
+    assert r.get_posting_source(
+        "Xapian::ValueWeightPostingSource") is not None
+    assert r.get_key_maker("Xapian::MultiValueKeyMaker") is MultiValueKeyMaker
+
+    class MyWeight:  # user scheme
+        pass
+
+    r.register_weighting_scheme("mine", MyWeight)
+    assert r.get_weighting_scheme("mine") is MyWeight

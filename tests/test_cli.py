@@ -88,3 +88,26 @@ def test_cli_query_wand_engine_agrees(cli_warehouse):
         "--query", "dup vector", "-k", "5", "--engine", "planner",
     ])
     assert res[0]["hits"] == res2[0]["hits"]
+
+
+def test_cli_delve(cli_warehouse):
+    """scripts/delve.py — the xapian-delve twin: stats header, term
+    postings, record termlist, metadata/check modes run clean."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, "scripts/delve.py",
+         "--index", cli_warehouse, "-t", "dup", "--check"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "number of documents = " in out.stdout
+    assert "term 'dup': termfreq " in out.stdout
+    assert '"term_stats_mismatches": 0' in out.stdout
+    out2 = subprocess.run(
+        [sys.executable, "scripts/delve.py",
+         "--index", cli_warehouse, "-r", "1"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    assert "Record #1:" in out2.stdout and "Term List:" in out2.stdout

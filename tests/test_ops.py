@@ -400,3 +400,27 @@ def test_bpe_token_count(spark):
     }
     # 1: Hello | ' world' | ',' | ' it' | ''s' | ' 2024' | '!'
     assert got == {1: (7, 4), 2: (0, 0), 3: (0, 0), 4: (5, 2), 5: (2, 2)}
+
+
+def test_duplicate_components(spark):
+    """Connected components over a near-dup pair graph (min-label
+    propagation with per-round lineage truncation): chains merge across
+    transitive pairs, singletons in the pair table keep themselves, and
+    a too-small iteration cap raises instead of silently mislabeling."""
+    from xapian_spark.ops.dedup import duplicate_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (4, 5)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in duplicate_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    # a 5-node chain needs ~3 rounds; cap 1 must raise, not mislabel
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        duplicate_components(pairs, max_iterations=1)

@@ -1207,6 +1207,47 @@ class InMemoryDatabase(Database):
         super().__init__(spark, index=idx)
 
 
+class Registry:
+    """xapian::Registry (registry.h:36-130): name -> implementation lookup
+    used when unserialising custom Weight / PostingSource / KeyMaker /
+    MatchSpy objects.  Pre-registered: every built-in weighting scheme
+    (the 17 of `ranking/weights.py`) and the built-in posting sources —
+    the same defaults the reference's Registry constructor installs."""
+
+    def __init__(self):
+        self._weights = dict(WEIGHT_SCHEMES)
+        self._sources = {
+            "Xapian::ValueWeightPostingSource": ast.ValueWeightSource,
+            "Xapian::DecreasingValueWeightPostingSource":
+                ast.DecreasingValueWeightSource,
+            "Xapian::FixedWeightPostingSource": ast.FixedWeightSource,
+            "Xapian::ValueMapPostingSource": ast.ValueMapSource,
+        }
+        self._keymakers = {
+            "Xapian::MultiValueKeyMaker": MultiValueKeyMaker,
+        }
+
+    def register_weighting_scheme(self, name: str, cls) -> None:
+        self._weights[name] = cls
+
+    def get_weighting_scheme(self, name: str):
+        """The scheme class for a name, or None (like the reference
+        returning NULL for unknown names)."""
+        return self._weights.get(name)
+
+    def register_posting_source(self, name: str, cls) -> None:
+        self._sources[name] = cls
+
+    def get_posting_source(self, name: str):
+        return self._sources.get(name)
+
+    def register_key_maker(self, name: str, cls) -> None:
+        self._keymakers[name] = cls
+
+    def get_key_maker(self, name: str):
+        return self._keymakers.get(name)
+
+
 class MultiValueKeyMaker:
     """xapian::MultiValueKeyMaker (api/keymaker.cc:36-70): a composite sort
     key built from value slots, each ascending or descending.  The reference

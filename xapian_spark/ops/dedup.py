@@ -320,3 +320,72 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def duplicate_components(pairs: DataFrame,
+                         id_a: str = "id_a", id_b: str = "id_b",
+                         max_iterations: int = 25) -> DataFrame:
+    """(id, component) duplicate-group labels from a near-duplicate pair
+    table — the step after pair generation that turns pairwise evidence
+    into keep-one-per-group decisions.  component = min docid reachable
+    in the pair graph.
+
+    Spark shape: min-label propagation ("hash-to-min") — per iteration one
+    join of labels to the (bidirectional) edge list and one min-groupBy,
+    both shuffles on uniform ids.  Rounds needed = graph diameter, which
+    for dedup graphs is tiny (LSH/Jaccard pairs form near-cliques, not
+    paths); the driver holds only an 8-byte convergence checksum per round,
+    and lineage is truncated per round with localCheckpoint so a 10^9-edge
+    run never builds a deep plan.  Stops early on convergence; raises if
+    max_iterations rounds don't converge (pathological chain graphs —
+    raise the cap, or pre-cluster with banding)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    try:
+        prev_sum = None
+        for _ in range(max_iterations):
+            nbr_min = (
+                edges.join(
+                    labels.withColumnRenamed("id", "dst"), "dst"
+                )
+                .groupBy("src")
+                .agg(F.min("component").alias("nbr_component"))
+                .withColumnRenamed("src", "id")
+            )
+            labels = (
+                labels.join(nbr_min, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        "component",
+                        F.coalesce("nbr_component", "component"),
+                    ).alias("component"),
+                )
+                .localCheckpoint()  # truncate lineage each round
+            )
+            # convergence: the label multiset is non-increasing per id, so
+            # an unchanged sum means a fixed point (one tiny agg job)
+            cur = labels.agg(F.sum("component")).collect()[0][0]
+            if cur == prev_sum:
+                return labels
+            prev_sum = cur
+        raise RuntimeError(
+            f"duplicate_components did not converge in {max_iterations} "
+            "rounds (graph diameter exceeds the cap)"
+        )
+    finally:
+        edges.unpersist()
