@@ -1157,7 +1157,7 @@ class WritableDatabase(Database):
                 .drop("_rn", "_batch_id")
             )
             base = self.spark.read.parquet(docs_dir).join(
-                repl.select("docid"), "docid", "left_anti"
+                F.broadcast(repl.select("docid")), "docid", "left_anti"
             )
             folded = base.unionByName(repl, allowMissingColumns=True)
             live = self.spark.read.parquet(

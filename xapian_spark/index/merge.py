@@ -430,6 +430,11 @@ def read_warehouse(spark: SparkSession, path: str) -> InvertedIndex:
         repl = delta.select("docid")
         dead = repl if dead is None else dead.unionByName(repl).distinct()
     if dead is not None:
+        # the dead set is bounded by uncompacted delete/replace volume —
+        # small between compactions (the Lucene live-docs assumption) —
+        # so broadcast the anti-joins instead of shuffling the full
+        # postings table; compact() when the overlay grows large
+        dead = F.broadcast(dead)
         postings = postings.join(dead, "docid", "left_anti")
         doclens = doclens.join(dead, "docid", "left_anti")
         docs = docs.join(dead, "docid", "left_anti")

@@ -121,10 +121,12 @@ def compact(
             # in-place B-tree removal, ours happens at compaction like a
             # Lucene segment merge)
             dead = spark.read.parquet(tomb_dir).select("docid").distinct()
-            merged = merged.join(dead, "docid", "left_anti")
+            # dead/replaced docid sets are small between compactions:
+            # broadcast the anti-joins, never shuffle the base termlists
+            merged = merged.join(F.broadcast(dead), "docid", "left_anti")
         if delta is not None:
             merged = merged.join(
-                delta.select("docid"), "docid", "left_anti"
+                F.broadcast(delta.select("docid")), "docid", "left_anti"
             ).unionByName(delta)
     else:
         if delta is None:
@@ -180,7 +182,9 @@ def query_with_delta(spark: SparkSession, path: str) -> DataFrame:
     tomb_dir = os.path.join(path, "tombstones")
     if os.path.exists(tomb_dir):
         runs = runs.join(
-            spark.read.parquet(tomb_dir).select("docid").distinct(),
+            F.broadcast(
+                spark.read.parquet(tomb_dir).select("docid").distinct()
+            ),
             "docid", "left_anti",
         )
     delta_dir = os.path.join(path, "delta")
@@ -208,6 +212,6 @@ def query_with_delta(spark: SparkSession, path: str) -> DataFrame:
         F.col("e.positions").alias("positions"),
     )
     base = runs.join(
-        delta.select("docid"), "docid", "left_anti"
+        F.broadcast(delta.select("docid")), "docid", "left_anti"
     )
     return base.unionByName(dpost)
