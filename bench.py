@@ -197,6 +197,70 @@ def run_ann(spark, sf_dir, k: int = 10, n_queries: int = 32):
     return results
 
 
+def run_incremental(spark, sf_dir):
+    """Mutation-path economics: a logical commit (tombstones + termlist
+    delta, no base rewrite) must be cheap relative to the full rebuild it
+    avoids, and compact() folds the overlay at rebuild cost.  At 100 TB
+    the logical-commit latency is what an online index pays per
+    delete/replace batch; the rebuild only happens at compaction cadence.
+    """
+    import shutil
+    import tempfile
+
+    from xapian_spark.api import WritableDatabase
+
+    tmp = tempfile.mkdtemp(prefix="bench_incr_")
+    path = os.path.join(tmp, "idx")
+    try:
+        docs = load_docs(spark, sf_dir).withColumn(
+            "docid", (F.col("doc_id") + 1).cast("long")
+        )
+        db = WritableDatabase(spark, path, n_ranges=8)
+        db.add_documents(docs, content_col="text", docid_col="docid")
+        t0 = time.perf_counter()
+        db.commit()
+        full_build = time.perf_counter() - t0
+
+        # a delete+replace batch, committed logically (overlay only)
+        t0 = time.perf_counter()
+        for d in range(1, 11):
+            db.delete_document(d)
+        for d in range(11, 21):
+            db.replace_document(
+                d, {"text": f"replacement body for doc {d}"},
+                content_col="text",
+            )
+        db.commit()
+        logical_commit = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        q = db.postlist("replacement", limit=10)  # serve from the overlay
+        overlay_query = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        db.compact()
+        compact_sec = time.perf_counter() - t0
+        return {
+            "docs": int(docs.count()),
+            "full_build_sec": round(full_build, 3),
+            "delete_replace_commit_sec": round(logical_commit, 3),
+            "overlay_query_sec": round(overlay_query, 3),
+            "compact_sec": round(compact_sec, 3),
+            "replaced_visible": len(q) == 10,
+            "note": "logical commit = tombstones + termlist delta, no "
+                    "base rewrite; compact folds the overlay through the "
+                    "checkpointed stages (the Lucene segment-merge shape). "
+                    "At bench SF both walls are fixed-job-cost dominated; "
+                    "what matters for 100 TB is the SHAPE: the commit runs "
+                    "a size-independent job count over only the mutated "
+                    "batch (tombstone write + batch invert + one stats "
+                    "agg), while the rebuild it avoids scales with the "
+                    "whole corpus",
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def run_batch(idx, repeat: int = 4):
     """Batched QPS: the 10 headline queries x `repeat` copies in ONE job."""
     batch = {}
@@ -291,6 +355,7 @@ def main():
         "workload": "selective (rare-term anchor per query)",
     }
     result["ann"] = run_ann(spark, SF_DIR)
+    result["incremental"] = run_incremental(spark, SF_DIR)
     result.update(
         {
             "value": round(build_sec + query_total, 3),
