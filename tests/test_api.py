@@ -611,3 +611,23 @@ def test_registry():
 
     r.register_weighting_scheme("mine", MyWeight)
     assert r.get_weighting_scheme("mine") is MyWeight
+
+
+def test_small_accessor_tail(db):
+    """get_termweight / fetch / get_expansion_scheme / matchspy
+    top_values + total (mset.h, enquire.h, matchspy.h)."""
+    enq = Enquire(db)
+    enq.set_query("dup")
+    enq.add_matchspy("source")
+    m = enq.get_mset(0, 5)
+    m.fetch()  # no-op prefetch hint
+    assert m.get_termweight("dup") > 0
+    assert m.get_termweight("zzznothere") == 0.0
+    assert enq.get_expansion_scheme() == ("bo1", 1.0)
+    enq.set_expansion_scheme("trad", 2.0)
+    assert enq.get_expansion_scheme() == ("trad", 2.0)
+    allv = enq.get_matchspy_results("source")
+    top2 = enq.get_matchspy_top_values("source", 2)
+    assert top2 == allv[:2]
+    assert enq.get_matchspy_total("source") == sum(c for _, c in allv)
+    assert enq.get_matchspy_total("source") == m.get_matches_estimated()

@@ -184,6 +184,28 @@ class MSet(list):
     def get_uncollapsed_matches_upper_bound(self) -> int:
         return self.get_uncollapsed_matches_estimated()
 
+    def get_termweight(self, term: str) -> float:
+        """MSet::get_termweight (mset.h): the term's maximum possible
+        contribution to any document's weight in this match — the same
+        maxpart the snippet highlighter and block-max pruning use."""
+        enq = self._enquire
+        if enq is None:
+            return 0.0
+        scheme = getattr(enq, "_weight", None) or WEIGHT_SCHEMES["bm25"]()
+        if not hasattr(scheme, "init_term"):
+            return 0.0
+        ts = enq.db.index.collect_term_stats([term]).get(term)
+        if ts is None or ts.tf == 0:
+            return 0.0
+        stats = enq.db.index.stats
+        tw = scheme.init_term(stats, ts, wqf=1)
+        return tw.maxpart(ts.wdf_max, stats.doclen_lower_bound)
+
+    def fetch(self, first=None, last=None) -> None:
+        """MSet::fetch (mset.h:330-360): a prefetch hint for lazy remote
+        backends.  Every collected MSet here is already materialized on
+        the driver — no-op, like the reference's inmemory/glass case."""
+
     def get_termfreq(self, term: str) -> int:
         """MSet::get_termfreq (api/mset.cc:84-103): termfreq of a term,
         answered from the searched database (the reference first consults
@@ -1456,6 +1478,19 @@ class Enquire:
         """[(value, count)] sorted by count desc, value — docs/facets.rst."""
         return self._spy_results.get(column, [])
 
+    def get_matchspy_top_values(self, column: str,
+                                maxvalues: int) -> list[tuple]:
+        """ValueCountMatchSpy::top_values_begin (matchspy.h:240-270): the
+        maxvalues most frequent facet values.  The spy ran distributed
+        over the FULL match set during get_mset; merge_results across
+        shards is the groupBy that computed it — no driver-side merge
+        step exists to expose."""
+        return self.get_matchspy_results(column)[:maxvalues]
+
+    def get_matchspy_total(self, column: str) -> int:
+        """MatchSpy::get_total: documents the spy saw (the full match)."""
+        return sum(c for _, c in self._spy_results.get(column, []))
+
     def _matches(self) -> DataFrame:
         if self._query is None:
             raise ValueError("set_query first")
@@ -1643,6 +1678,10 @@ class Enquire:
         if hasattr(scheme, "maxextra"):
             bound += scheme.maxextra(stats, len(terms))
         return bound
+
+    def get_expansion_scheme(self) -> tuple:
+        """Enquire::get_expansion_scheme: (name, k) as configured."""
+        return getattr(self, "_expand_scheme", ("bo1", 1.0))
 
     def set_expansion_scheme(self, eweightname: str,
                              expand_k: float = 1.0) -> None:
