@@ -446,6 +446,15 @@ def _q_dedup_components(spark, sf_dir):
     return dedup.duplicate_components(pairs).orderBy("id")
 
 
+def _q_dedup_spans(spark, sf_dir):
+    """Per-doc exact-substring duplication coverage (repeated 10-token
+    windows across docs, ops/dedup.py duplicate_spans)."""
+    return dedup.duplicate_spans(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        "doc_id", "text", window=10, stride=5,
+    ).orderBy("id")
+
+
 def _q_minhash_lsh(spark, sf_dir):
     out = dedup.minhash_lsh_pairs(
         spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id", "text"
@@ -654,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # design (the 50 above are the stable checked set); still
         # oracle-checked by the local tools/check_entry.py run
         "dedup_components": _q_dedup_components,
+        "dedup_spans": _q_dedup_spans,
     }
 
 
@@ -1262,6 +1272,35 @@ reach(id, comp) AS (
   SELECT e.src, r.comp FROM edges e JOIN reach r ON r.id = e.dst
 )
 SELECT id, min(comp) AS component FROM reach GROUP BY id ORDER BY id
+"""
+    # per-doc exact-substring duplication coverage: md5 of each stride-5
+    # 10-token window; a window is "shared" when >= 2 distinct docs emit it
+    q["dedup_spans"] = """
+WITH t AS (
+  SELECT doc_id AS id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+  FROM documents
+),
+wins AS (
+  SELECT id, md5(array_to_string(toks[i+1:i+10], ' ')) AS whash
+  FROM t, unnest(range(0, len(toks) - 10 + 1, 5)) AS u(i)
+  WHERE len(toks) >= 10
+),
+per_doc AS (SELECT id, count(*) AS n_windows FROM wins GROUP BY id),
+shared AS (
+  SELECT whash FROM (SELECT DISTINCT id, whash FROM wins)
+  GROUP BY whash HAVING count(*) >= 2
+),
+dups AS (
+  SELECT id, count(*) AS n_dup_windows
+  FROM wins WHERE whash IN (SELECT whash FROM shared)
+  GROUP BY id
+)
+SELECT p.id, p.n_windows,
+       coalesce(d.n_dup_windows, 0) AS n_dup_windows,
+       round(coalesce(d.n_dup_windows, 0) * 1.0 / p.n_windows, 6)
+         AS dup_ratio
+FROM per_doc p LEFT JOIN dups d ON d.id = p.id
+ORDER BY p.id
 """
     q["token_count"] = """
 SELECT doc_id AS id,

@@ -424,3 +424,30 @@ def test_duplicate_components(spark):
 
     with _pytest.raises(RuntimeError):
         duplicate_components(pairs, max_iterations=1)
+
+
+def test_duplicate_spans(spark):
+    """Exact-substring coverage: docs sharing a verbatim token run are
+    flagged proportionally; unique docs score 0 (ops/dedup.py)."""
+    from xapian_spark.ops.dedup import duplicate_spans
+
+    shared = " ".join(f"tok{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique one two three four five"),
+            (2, shared + " other tail entirely different here now"),
+            (3, " ".join(f"solo{i}" for i in range(40))),
+            (4, "short text"),  # under the window: no rows
+        ],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: (r["n_windows"], r["n_dup_windows"], r["dup_ratio"])
+        for r in duplicate_spans(
+            docs, "id", "text", window=10, stride=5
+        ).collect()
+    }
+    assert 4 not in out
+    assert out[3] == (7, 0, 0.0)
+    # the 25 shared tokens cover windows at offsets 0,5,10,15 (4 of 5)
+    assert out[1] == (5, 4, 0.8) and out[2] == (5, 4, 0.8)

@@ -389,3 +389,71 @@ def duplicate_components(pairs: DataFrame,
         )
     finally:
         edges.unpersist()
+
+
+def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
+                    window: int = 20, stride: int = 10,
+                    min_docs: int = 2) -> DataFrame:
+    """Per-document exact-substring duplication coverage: which fraction
+    of a document's token windows also occurs verbatim in >= min_docs-1
+    OTHER documents.  The filter signal for boilerplate / license blocks /
+    copy-paste contamination that pair-level dedup misses (a doc can be
+    30% duplicated without any single near-duplicate partner).
+
+    Output: (id, n_windows, n_dup_windows, dup_ratio).
+
+    Scale shape: windows are md5-hashed (uniform 128-bit keys — skew-free
+    groupBy); the repeated-window set comes from one count-distinct-docs
+    aggregation over (window_hash, id); no docs x docs work anywhere.
+    `stride` trades recall for cost: stride == window is disjoint
+    windows, stride 1 is every offset (the exact-substring limit)."""
+    toks = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        _tokens(text_col).alias("_toks"),
+    )
+    n = F.size("_toks")
+    wins = (
+        toks.where(n >= window)
+        .withColumn(
+            "_i",
+            F.explode(
+                F.sequence(F.lit(0), n - window, F.lit(stride))
+            ),
+        )
+        .select(
+            "id",
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice("_toks", F.col("_i") + 1, window)
+                )
+            ).alias("whash"),
+        )
+    )
+    per_doc_windows = wins.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_windows")
+    )
+    # windows occurring in >= min_docs distinct docs (count per doc once)
+    shared = (
+        wins.distinct()
+        .groupBy("whash")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .where(F.col("ndocs") >= min_docs)
+        .select("whash")
+    )
+    dup_per_doc = (
+        wins.join(shared, "whash", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    return (
+        per_doc_windows.join(dup_per_doc, "id", "left")
+        .select(
+            "id",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.coalesce("n_dup_windows", F.lit(0))
+                / F.col("n_windows"), 6
+            ).alias("dup_ratio"),
+        )
+    )
