@@ -156,3 +156,54 @@ def test_synonym_maintenance(wdb):
     wdb.commit()
     assert wdb.get_synonyms("fast") == []
     assert wdb.get_synonyms("slow") == ["sluggish"]
+
+
+def test_interleaved_delete_replace(wdb):
+    """Per-docid last-op-wins within a commit, and tombstone-vs-delta
+    generation ordering across commits (a later delete must never be
+    resurrected by an earlier replacement's delta row)."""
+    # replace then delete in ONE commit: the delete wins
+    wdb.replace_document(2, {"content": "resurrect me", "lang": "py"})
+    wdb.delete_document(2)
+    wdb.commit()
+    assert wdb.get_doccount() == 5
+    assert _docids(wdb, "resurrect") == set()
+    # delete then replace in ONE commit: the replace wins (doc lives on)
+    wdb.delete_document(3)
+    wdb.replace_document(3, {"content": "phoenix words", "lang": "go"})
+    wdb.commit()
+    assert wdb.get_doccount() == 5
+    assert _docids(wdb, "phoenix") == {3}
+    # replace in commit A, delete in commit B: tombstone is NEWER than
+    # the delta row, so the doc is gone — postings AND docs view
+    wdb.replace_document(4, {"content": "zombie content", "lang": "go"})
+    wdb.commit()
+    assert _docids(wdb, "zombie") == {4}
+    wdb.delete_document(4)
+    wdb.commit()
+    assert wdb.get_doccount() == 4
+    assert _docids(wdb, "zombie") == set()
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        wdb.get_document(4)
+    # delete in commit A, replace in commit B: the doc comes back
+    wdb.delete_document(5)
+    wdb.commit()
+    assert wdb.get_doccount() == 3
+    wdb.replace_document(5, {"content": "lazarus five", "lang": "rs"})
+    wdb.commit()
+    assert wdb.get_doccount() == 4
+    assert _docids(wdb, "lazarus") == {5}
+    # compact folds the whole history to the same observable state
+    before = {
+        t: _docids(wdb, t)
+        for t in ("resurrect", "phoenix", "zombie", "lazarus", "alpha")
+    }
+    wdb.compact()
+    after = {
+        t: _docids(wdb, t)
+        for t in ("resurrect", "phoenix", "zombie", "lazarus", "alpha")
+    }
+    assert before == after
+    assert wdb.get_doccount() == 4

@@ -828,9 +828,14 @@ class WritableDatabase(Database):
         self._pending_synonyms: list[tuple[str, str]] = []
         self._pending_syn_removals: list[tuple[str, str | None]] = []
         self._pending_metadata: dict[str, str] = {}
-        self._pending_delete_ids: list[int] = []
-        self._pending_delete_terms: list[str] = []
-        self._pending_replacements: list[tuple[int, dict, str]] = []
+        # mutation buffers carry a per-op sequence number so interleaved
+        # delete/replace of the SAME docid resolves last-op-wins at
+        # commit, like the reference applying ops in call order
+        self._mut_seq = 0
+        self._pending_delete_ids: list[tuple[int, int]] = []  # (seq, docid)
+        self._pending_delete_terms: list[tuple[int, str]] = []
+        # (seq, docid, doc, content_col)
+        self._pending_replacements: list[tuple[int, int, dict, str]] = []
         self._pending_spellings: dict[str, int] = {}
         self._txn_snapshot: dict | None = None
         self.index = None
@@ -850,10 +855,13 @@ class WritableDatabase(Database):
         next open; compact() reclaims the space physically (the Lucene
         segment-merge shape, which is what survives at 10^12 files where a
         per-delete posting-list rewrite cannot)."""
+        self._mut_seq += 1
         if isinstance(docid_or_term, str):
-            self._pending_delete_terms.append(docid_or_term)
+            self._pending_delete_terms.append((self._mut_seq, docid_or_term))
         else:
-            self._pending_delete_ids.append(int(docid_or_term))
+            self._pending_delete_ids.append(
+                (self._mut_seq, int(docid_or_term))
+            )
 
     def replace_document(self, docid: int, doc: dict,
                          content_col: str = "content") -> None:
@@ -868,7 +876,10 @@ class WritableDatabase(Database):
             raise TypeError("doc must be a dict of column values")
         if content_col not in doc:
             raise ValueError(f"doc must include the {content_col!r} column")
-        self._pending_replacements.append((int(docid), dict(doc), content_col))
+        self._mut_seq += 1
+        self._pending_replacements.append(
+            (self._mut_seq, int(docid), dict(doc), content_col)
+        )
 
     def add_spelling(self, word: str, freqinc: int = 1) -> None:
         """WritableDatabase::add_spelling (database.h): add a word to the
@@ -953,14 +964,20 @@ class WritableDatabase(Database):
         self._pending_metadata[key] = value
 
     def _next_batch_id(self) -> int:
-        delta_dir = os.path.join(self.path, "delta")
-        if not os.path.exists(delta_dir):
-            return 1
-        row = (
-            self.spark.read.parquet(delta_dir)
-            .agg(F.max("_batch_id").alias("m")).collect()[0]
-        )
-        return int(row["m"] or 0) + 1
+        """Monotonic mutation-generation counter across the delta AND
+        tombstone overlays (their relative order decides which wins per
+        docid at read time)."""
+        hi = 0
+        for name in ("delta", "tombstones"):
+            d = os.path.join(self.path, name)
+            if not os.path.exists(d):
+                continue
+            row = (
+                self.spark.read.parquet(d)
+                .agg(F.max("_batch_id").alias("m")).collect()[0]
+            )
+            hi = max(hi, int(row["m"] or 0))
+        return hi + 1
 
     def commit(self) -> None:
         if self._txn_snapshot is not None:
@@ -989,35 +1006,64 @@ class WritableDatabase(Database):
                     "delete/replace need a committed revision to apply to"
                 )
             mutated = True
-        # deletes -> tombstones (append-only parquet of dead docids)
-        if self._pending_delete_ids or self._pending_delete_terms:
-            dead = set(self._pending_delete_ids)
-            if self._pending_delete_terms:
-                idx = self.index or merge.read_warehouse(self.spark, self.path)
-                tdf = self.spark.createDataFrame(
-                    [(t,) for t in set(self._pending_delete_terms)],
-                    "term string",
-                )
-                dead.update(
-                    r["docid"]
-                    for r in idx.postings.join(F.broadcast(tdf), "term")
-                    .select("docid").distinct().collect()
-                )
-            if dead:
-                self.spark.createDataFrame(
-                    [(int(d),) for d in sorted(dead)], "docid long"
-                ).coalesce(1).write.mode("append").parquet(
-                    os.path.join(self.path, "tombstones")
-                )
-            self._pending_delete_ids = []
-            self._pending_delete_terms = []
+        # resolve interleaved delete/replace per docid: the op with the
+        # highest sequence number wins, matching the reference applying
+        # mutations in call order within a transaction
+        del_seq: dict[int, int] = {}
+        for seq, d in self._pending_delete_ids:
+            del_seq[d] = max(del_seq.get(d, 0), seq)
+        if self._pending_delete_terms:
+            idx = self.index or merge.read_warehouse(self.spark, self.path)
+            tdf = self.spark.createDataFrame(
+                [(t,) for t in {t for _, t in self._pending_delete_terms}],
+                "term string",
+            )
+            term_seq: dict[str, int] = {}
+            for s, t in self._pending_delete_terms:
+                term_seq[t] = max(term_seq.get(t, 0), s)
+            for r in (
+                idx.postings.join(F.broadcast(tdf), "term")
+                .select("term", "docid").distinct().collect()
+            ):
+                d = r["docid"]
+                del_seq[d] = max(del_seq.get(d, 0), term_seq[r["term"]])
+        repl_by_id: dict[int, tuple[int, dict, str]] = {}
+        for seq, did, doc, cc in self._pending_replacements:
+            if did not in repl_by_id or seq > repl_by_id[did][0]:
+                repl_by_id[did] = (seq, doc, cc)
+        final_deletes = sorted(
+            d for d, s in del_seq.items()
+            if d not in repl_by_id or s > repl_by_id[d][0]
+        )
+        final_repls = [
+            (did, doc, cc)
+            for did, (s, doc, cc) in sorted(repl_by_id.items())
+            if did not in del_seq or s > del_seq[did]
+        ]
+        self._pending_delete_ids = []
+        self._pending_delete_terms = []
+        self._pending_replacements = []
+        bid = (
+            self._next_batch_id()
+            if (final_deletes or final_repls)
+            else 0
+        )
+        # deletes -> tombstones (append-only parquet of dead docids;
+        # _batch_id orders them against delta rows so a later delete is
+        # never resurrected by an earlier replacement's delta row)
+        if final_deletes:
+            self.spark.createDataFrame(
+                [(int(d), bid) for d in final_deletes],
+                "docid long, _batch_id long",
+            ).coalesce(1).write.mode("append").parquet(
+                os.path.join(self.path, "tombstones")
+            )
         # replacements -> delta termlists + delta_docs (last-writer-wins)
-        if self._pending_replacements:
+        if final_repls:
             from xapian_spark.streaming.incremental import _batch_termlists
 
-            bid = self._next_batch_id()
             by_cc: dict[str, list[tuple[int, dict]]] = {}
-            for did, doc, cc in self._pending_replacements:
+            for did, doc, cc in final_repls:
                 by_cc.setdefault(cc, []).append((did, doc))
             for cc, rows in by_cc.items():
                 df = self.spark.createDataFrame(
@@ -1067,7 +1113,6 @@ class WritableDatabase(Database):
                 ).withColumn("_batch_id", F.lit(bid)).write.mode(
                     "append"
                 ).parquet(os.path.join(self.path, "delta_docs"))
-            self._pending_replacements = []
         # explicit spelling dictionary entries (word, freq)
         if self._pending_spellings:
             sp_path = os.path.join(self.path, "spellings")

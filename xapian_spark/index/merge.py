@@ -356,15 +356,29 @@ def warehouse_complete(path: str) -> bool:
     return all(_done(path, f"blocked_range_{i}") for i in range(n))
 
 
-def _delta_rows(spark: SparkSession, path: str) -> DataFrame | None:
-    """Uncompacted delta termlists, last-writer-wins per docid (the same
-    resolution query_with_delta and compact() apply)."""
+def _tombstone_max(spark: SparkSession, path: str) -> DataFrame | None:
+    """(docid, _tomb_bid): newest tombstone generation per dead docid."""
+    tomb_dir = os.path.join(path, "tombstones")
+    if not os.path.exists(tomb_dir):
+        return None
+    t = spark.read.parquet(tomb_dir)
+    if "_batch_id" not in t.columns:  # pre-ordering tombstones
+        t = t.withColumn("_batch_id", F.lit(0))
+    return t.groupBy("docid").agg(F.max("_batch_id").alias("_tomb_bid"))
+
+
+def _delta_rows(spark: SparkSession, path: str,
+                keep_batch: bool = False) -> DataFrame | None:
+    """Uncompacted delta termlists, last-writer-wins per docid, with rows
+    older than a NEWER tombstone for the same docid suppressed (a later
+    delete must not be resurrected by an earlier replacement) — the
+    resolution read_warehouse, query_with_delta and compact() all apply."""
     delta_dir = os.path.join(path, "delta")
     if not os.path.exists(delta_dir):
         return None
     from pyspark.sql import Window
 
-    return (
+    d = (
         spark.read.parquet(delta_dir)
         .withColumn(
             "_rn",
@@ -373,8 +387,19 @@ def _delta_rows(spark: SparkSession, path: str) -> DataFrame | None:
             ),
         )
         .where(F.col("_rn") == 1)
-        .drop("_rn", "_batch_id")
+        .drop("_rn")
     )
+    tomb = _tombstone_max(spark, path)
+    if tomb is not None:
+        d = (
+            d.join(F.broadcast(tomb), "docid", "left")
+            .where(
+                F.col("_tomb_bid").isNull()
+                | (F.col("_batch_id") > F.col("_tomb_bid"))
+            )
+            .drop("_tomb_bid")
+        )
+    return d if keep_batch else d.drop("_batch_id")
 
 
 def read_warehouse(spark: SparkSession, path: str) -> InvertedIndex:
@@ -471,8 +496,21 @@ def read_warehouse(spark: SparkSession, path: str) -> InvertedIndex:
                         ),
                     )
                     .where(F.col("_rn") == 1)
-                    .drop("_rn", "_batch_id")
+                    .drop("_rn")
                 )
+                tombm = _tombstone_max(spark, path)
+                if tombm is not None:
+                    # a replaced-then-deleted doc must not resurface in
+                    # the docs view either
+                    drows = (
+                        drows.join(F.broadcast(tombm), "docid", "left")
+                        .where(
+                            F.col("_tomb_bid").isNull()
+                            | (F.col("_batch_id") > F.col("_tomb_bid"))
+                        )
+                        .drop("_tomb_bid")
+                    )
+                drows = drows.drop("_batch_id")
                 docs = docs.unionByName(
                     drows, allowMissingColumns=True
                 ).unionByName(

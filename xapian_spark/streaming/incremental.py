@@ -98,21 +98,9 @@ def compact(
     base_dir = os.path.join(path, "termlists")
     if not os.path.exists(delta_dir) and not os.path.exists(tomb_dir):
         return
-    delta = (
-        (
-            spark.read.parquet(delta_dir)
-            .withColumn(
-                "_rn",
-                F.row_number().over(
-                    Window.partitionBy("docid").orderBy(F.desc("_batch_id"))
-                ),
-            )
-            .where(F.col("_rn") == 1)
-            .drop("_rn", "_batch_id")
-        )
-        if os.path.exists(delta_dir)
-        else None
-    )
+    # last-writer-wins per docid, with rows older than a newer tombstone
+    # suppressed (shared resolution with read_warehouse)
+    delta = m._delta_rows(spark, path)
     if os.path.exists(base_dir) and m._done(path, "termlists"):
         merged = spark.read.parquet(base_dir)
         if os.path.exists(tomb_dir):
@@ -187,21 +175,9 @@ def query_with_delta(spark: SparkSession, path: str) -> DataFrame:
             ),
             "docid", "left_anti",
         )
-    delta_dir = os.path.join(path, "delta")
-    if not os.path.exists(delta_dir):
+    delta = m._delta_rows(spark, path)
+    if delta is None:
         return runs
-    from pyspark.sql import Window
-
-    delta = (
-        spark.read.parquet(delta_dir)
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("docid").orderBy(F.desc("_batch_id"))
-            ),
-        )
-        .where(F.col("_rn") == 1)
-    )
     dpost = delta.select(
         "docid", "doclen", F.explode("plist").alias("e")
     ).select(
