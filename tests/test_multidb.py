@@ -135,3 +135,26 @@ def test_document_facade_tail():
     assert d.termlist_count() == 0
     d.clear_values()
     assert d.values_count() == 0
+
+
+def test_compactor_consumes_live_views(spark, shards, tmp_path):
+    """A committed delete/replace overlay in a source must survive
+    multi-source compaction: deleted docs stay deleted, replacements win
+    (review finding: raw termlists would resurrect doc 1 here)."""
+    db = WritableDatabase(spark, shards[0], n_ranges=2)
+    db.delete_document(1)
+    db.replace_document(2, {"content": "modified bravo text"})
+    db.commit()
+    dest = str(tmp_path / "live")
+    compact_databases(spark, shards, dest)
+    out = Database(spark, dest)
+    assert out.get_doccount() == 4  # (3 - 1 deleted) + 2
+    enq = Enquire(out)
+    enq.set_query(ast.Term("alpha"))
+    # shard1's 'alpha bravo' doc is gone; only shard2's doc matches
+    # (shard2 offset by shard1's max docid 3 -> docid 4)
+    assert {h.docid for h in enq.get_mset(0, 10)} == {4}
+    enq.set_query(ast.Term("modified"))
+    assert {h.docid for h in enq.get_mset(0, 10)} == {2}
+    enq.set_query(ast.Term("charlie"))  # old doc-2 term replaced away
+    assert {h.docid for h in enq.get_mset(0, 10)} == {3}

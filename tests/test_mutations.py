@@ -207,3 +207,81 @@ def test_interleaved_delete_replace(wdb):
     }
     assert before == after
     assert wdb.get_doccount() == 4
+
+
+def test_synonym_op_order(wdb):
+    """Synonym ops honour call order: remove-then-add keeps the pair,
+    clear-then-add keeps only the later add (review finding)."""
+    wdb.add_synonym("fast", "quick")
+    wdb.commit()
+    wdb.remove_synonym("fast", "quick")
+    wdb.add_synonym("fast", "quick")  # later add wins
+    wdb.commit()
+    assert wdb.get_synonyms("fast") == ["quick"]
+    wdb.add_synonym("fast", "rapid")
+    wdb.clear_synonyms("fast")
+    wdb.add_synonym("fast", "speedy")  # add AFTER the clear survives
+    wdb.commit()
+    assert wdb.get_synonyms("fast") == ["speedy"]
+
+
+def test_memos_invalidated_on_mutation(wdb):
+    """Driver-side memoized aggregates refresh when the index view
+    changes (review finding: a stale 'upper bound' is not a bound)."""
+    ub_before = wdb.get_unique_terms_upper_bound()
+    big = " ".join(f"uniq{i}" for i in range(ub_before + 20))
+    wdb.replace_document(6, {"content": big, "lang": "rs"})
+    wdb.commit()
+    assert wdb.get_unique_terms_upper_bound() >= ub_before + 20
+    assert wdb.get_lastdocid() == 6
+
+
+def test_term_delete_sees_pending_replacement(wdb):
+    """A term-delete AFTER a same-commit replacement that introduces the
+    term must delete the replaced doc (reference call-order semantics)."""
+    wdb.replace_document(1, {"content": "freshword bravo", "lang": "py"})
+    wdb.delete_document("freshword")
+    wdb.commit()
+    assert wdb.get_doccount() == 5
+    assert _docids(wdb, "freshword") == set()
+    # reversed order: the replacement issued AFTER the term-delete lives
+    wdb.delete_document("golf")  # matches docs 4,5 (committed postings)
+    wdb.replace_document(4, {"content": "golf reborn", "lang": "go"})
+    wdb.commit()
+    assert _docids(wdb, "reborn") == {4}
+    assert 5 not in _docids(wdb, "golf")
+
+
+def test_null_collapse_key_not_collapsed(spark, tmp_path):
+    """Docs with a NULL collapse key are never collapsed together
+    (collapser.cc: an empty key leaves the doc uncollapsed)."""
+    path = str(tmp_path / "nulldb")
+    db = WritableDatabase(spark, path, n_ranges=2)
+    docs = spark.createDataFrame(
+        [(1, "shared words", "g1"), (2, "shared words", "g1"),
+         (3, "shared words", None), (4, "shared words", None),
+         (5, "shared words", None)],
+        "docid long, content string, grp string",
+    )
+    db.add_documents(docs, content_col="content", docid_col="docid")
+    db.commit()
+    enq = Enquire(db)
+    enq.set_query(ast.Term("shared"))
+    enq.set_collapse_key("grp")
+    m = enq.get_mset(0, 10)
+    # one survivor for g1, ALL THREE null-key docs survive
+    assert len(m) == 4
+    assert {h.docid for h in m} >= {3, 4, 5}
+    assert all(
+        h.get_collapse_count() == 0 for h in m if h.get_collapse_key() is None
+    )
+
+
+def test_max_possible_covers_wildcards(wdb):
+    """get_max_possible expands wildcard leaves before bounding (review
+    finding: an unexpanded wildcard made the 'upper bound' 0)."""
+    enq = Enquire(wdb)
+    enq.set_query(ast.Wildcard("fox", combiner="or"))
+    m = enq.get_mset(0, 10)
+    assert len(m) > 0
+    assert m.get_max_possible() >= m.get_max_attained() > 0

@@ -393,6 +393,7 @@ class Database:
             synonyms=syn,
         )
         self.path = None  # a combined view has no single warehouse
+        self._invalidate_memos()
 
     def size(self) -> int:
         """Database::size: number of shards this database aggregates."""
@@ -722,16 +723,9 @@ class Database:
         """Database::get_uuid (database.h): the uuid minted when the
         warehouse's stats were committed; "" for an in-memory index (the
         reference's inmemory backend also returns an empty uuid)."""
-        if not self.path:
+        if not self.path or not merge._done(self.path, "stats"):
             return ""
-        import json
-        import os
-
-        meta = os.path.join(self.path, "_meta", "stats.json")
-        if not os.path.exists(meta):
-            return ""
-        with open(meta) as f:
-            return json.load(f).get("uuid", "")
+        return merge._read_meta(self.path, "stats").get("uuid", "")
 
     def check(self, docs: DataFrame | None = None,
               content_col: str = "content",
@@ -749,20 +743,23 @@ class Database:
             content_col=content_col, docid_col=docid_col,
         )
 
+    def _invalidate_memos(self) -> None:
+        """Drop driver-side memoized aggregates after the index view
+        changes (reopen / mutating commit / compact) — a stale bound is
+        not a bound."""
+        for attr in ("_lastdocid", "_has_positions", "_uniq_bounds_memo",
+                     "_vstats_cache"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+
     def get_revision(self) -> int:
         """Database::get_revision (database.h): the committed revision
         number — 1 after the initial build, +1 per mutating commit() and
         per compact() (glass_version.h revision counter); 0 for an
         in-memory index."""
-        if not self.path:
+        if not self.path or not merge._done(self.path, "stats"):
             return 0
-        import json
-
-        meta = os.path.join(self.path, "_meta", "stats.json")
-        if not os.path.exists(meta):
-            return 0
-        with open(meta) as f:
-            return int(json.load(f).get("revision", 1))
+        return int(merge._read_meta(self.path, "stats").get("revision", 1))
 
     def get_average_length(self) -> float:
         """Database::get_average_length (the get_avlength alias in current
@@ -809,6 +806,7 @@ class Database:
         revision of the warehouse."""
         if self.path:
             self.index = merge.read_warehouse(self.spark, self.path)
+            self._invalidate_memos()
 
 
 class WritableDatabase(Database):
@@ -825,8 +823,9 @@ class WritableDatabase(Database):
         self.prefix_fields = prefix_fields
         self.n_ranges = n_ranges
         self._pending: list[tuple[DataFrame, str, str]] = []
-        self._pending_synonyms: list[tuple[str, str]] = []
-        self._pending_syn_removals: list[tuple[str, str | None]] = []
+        # ordered synonym ops: ("add"|"remove"|"clear", term, synonym) —
+        # replayed in call order at commit
+        self._pending_syn_ops: list[tuple[str, str, str | None]] = []
         self._pending_metadata: dict[str, str] = {}
         # mutation buffers carry a per-op sequence number so interleaved
         # delete/replace of the SAME docid resolves last-op-wins at
@@ -900,18 +899,18 @@ class WritableDatabase(Database):
 
     def add_synonym(self, term: str, synonym: str) -> None:
         """WritableDatabase::add_synonym (glass synonym table): buffered,
-        written to the warehouse at commit()."""
-        self._pending_synonyms.append((term, synonym))
+        applied in call order at commit()."""
+        self._pending_syn_ops.append(("add", term, synonym))
 
     def remove_synonym(self, term: str, synonym: str) -> None:
         """WritableDatabase::remove_synonym: drop one synonym of a term at
-        commit()."""
-        self._pending_syn_removals.append((term, synonym))
+        commit() (call order honoured — a later add wins)."""
+        self._pending_syn_ops.append(("remove", term, synonym))
 
     def clear_synonyms(self, term: str) -> None:
         """WritableDatabase::clear_synonyms: drop every synonym of a term
-        at commit()."""
-        self._pending_syn_removals.append((term, None))
+        at commit() (adds issued after the clear survive)."""
+        self._pending_syn_ops.append(("clear", term, None))
 
     # -- transactions (database.h:1140-1230) ------------------------------
     # The reference batches changes so they apply atomically or not at all;
@@ -926,8 +925,7 @@ class WritableDatabase(Database):
 
         self._txn_snapshot = {
             "pending": list(self._pending),
-            "synonyms": list(self._pending_synonyms),
-            "syn_removals": list(self._pending_syn_removals),
+            "syn_ops": list(self._pending_syn_ops),
             "metadata": dict(self._pending_metadata),
             "delete_ids": list(self._pending_delete_ids),
             "delete_terms": list(self._pending_delete_terms),
@@ -946,8 +944,7 @@ class WritableDatabase(Database):
             raise RuntimeError("no transaction in progress")
         s = self._txn_snapshot
         self._pending = s["pending"]
-        self._pending_synonyms = s["synonyms"]
-        self._pending_syn_removals = s["syn_removals"]
+        self._pending_syn_ops = s["syn_ops"]
         self._pending_metadata = s["metadata"]
         self._pending_delete_ids = s["delete_ids"]
         self._pending_delete_terms = s["delete_terms"]
@@ -1012,6 +1009,10 @@ class WritableDatabase(Database):
         del_seq: dict[int, int] = {}
         for seq, d in self._pending_delete_ids:
             del_seq[d] = max(del_seq.get(d, 0), seq)
+        repl_by_id: dict[int, tuple[int, dict, str]] = {}
+        for seq, did, doc, cc in self._pending_replacements:
+            if did not in repl_by_id or seq > repl_by_id[did][0]:
+                repl_by_id[did] = (seq, doc, cc)
         if self._pending_delete_terms:
             idx = self.index or merge.read_warehouse(self.spark, self.path)
             tdf = self.spark.createDataFrame(
@@ -1027,10 +1028,28 @@ class WritableDatabase(Database):
             ):
                 d = r["docid"]
                 del_seq[d] = max(del_seq.get(d, 0), term_seq[r["term"]])
-        repl_by_id: dict[int, tuple[int, dict, str]] = {}
-        for seq, did, doc, cc in self._pending_replacements:
-            if did not in repl_by_id or seq > repl_by_id[did][0]:
-                repl_by_id[did] = (seq, doc, cc)
+            # a same-commit replacement may INTRODUCE the deleted term:
+            # a later term-delete must see the replacement's content,
+            # like the reference applying ops in call order (tokenize the
+            # few pending docs driver-side with the build tokenizer)
+            if repl_by_id:
+                from xapian_spark.text.tokenizer import invert_doc
+
+                for did, (rseq, doc, cc) in repl_by_id.items():
+                    later = {
+                        t: s for t, s in term_seq.items() if s > rseq
+                    }
+                    if not later:
+                        continue
+                    entries, _dl = invert_doc(str(doc[cc]), mode=self.mode)
+                    new_terms = {t for t, _w, _p in entries}
+                    if self.prefix_fields:
+                        for c, p in self.prefix_fields.items():
+                            if c in doc:
+                                new_terms.add(p + str(doc[c]).lower())
+                    for t, s in later.items():
+                        if t in new_terms:
+                            del_seq[did] = max(del_seq.get(did, 0), s)
         final_deletes = sorted(
             d for d, s in del_seq.items()
             if d not in repl_by_id or s > repl_by_id[d][0]
@@ -1133,36 +1152,57 @@ class WritableDatabase(Database):
                 shutil.rmtree(sp_path)
             os.replace(sp_path + ".tmp", sp_path)
             self._pending_spellings = {}
-        if self._pending_synonyms or self._pending_syn_removals:
+        if self._pending_syn_ops:
             syn_path = os.path.join(self.path, "synonyms")
-            new = self.spark.createDataFrame(
-                self._pending_synonyms or [("", "")],
-                "term string, synonym string",
-            ).where(F.col("term") != "")
-            if os.path.exists(syn_path):
-                new = self.spark.read.parquet(syn_path).unionByName(new)
-            new = new.distinct()
-            clears = [t for t, s in self._pending_syn_removals if s is None]
-            pairs = [
-                (t, s) for t, s in self._pending_syn_removals if s is not None
-            ]
-            if clears:
-                new = new.where(~F.col("term").isin(clears))
-            if pairs:
-                rm = self.spark.createDataFrame(
-                    pairs, "term string, synonym string"
+            # replay ops in call order: a clear voids every earlier pair
+            # op for that term; the LAST add/remove of a pair wins
+            clear_terms: set[str] = set()
+            pair_state: dict[tuple[str, str], tuple[int, str]] = {}
+            for i, (op, t, s) in enumerate(self._pending_syn_ops):
+                if op == "clear":
+                    clear_terms.add(t)
+                    for k in [
+                        k for k, (j, _o) in pair_state.items()
+                        if k[0] == t and j < i
+                    ]:
+                        del pair_state[k]
+                else:
+                    pair_state[(t, s)] = (i, op)
+            base = (
+                self.spark.read.parquet(syn_path)
+                if os.path.exists(syn_path)
+                else self.spark.createDataFrame(
+                    [], "term string, synonym string"
                 )
-                new = new.join(rm, ["term", "synonym"], "left_anti")
+            )
+            if clear_terms:
+                base = base.where(~F.col("term").isin(list(clear_terms)))
+            removes = [
+                k for k, (_i, op) in pair_state.items() if op == "remove"
+            ]
+            adds = [k for k, (_i, op) in pair_state.items() if op == "add"]
+            if removes:
+                rm = self.spark.createDataFrame(
+                    removes, "term string, synonym string"
+                )
+                base = base.join(rm, ["term", "synonym"], "left_anti")
+            if adds:
+                base = base.unionByName(
+                    self.spark.createDataFrame(
+                        adds, "term string, synonym string"
+                    )
+                )
             # write to .tmp then rename: the source parquet is never
             # overwritten while being read, so no materialization needed
-            new.write.mode("overwrite").parquet(syn_path + ".tmp")
+            base.distinct().write.mode("overwrite").parquet(
+                syn_path + ".tmp"
+            )
             import shutil
 
             if os.path.exists(syn_path):
                 shutil.rmtree(syn_path)
             os.replace(syn_path + ".tmp", syn_path)
-            self._pending_synonyms = []
-            self._pending_syn_removals = []
+            self._pending_syn_ops = []
         if self._pending_metadata:
             mpath = os.path.join(self.path, "metadata")
             new = self.spark.createDataFrame(
@@ -1190,65 +1230,41 @@ class WritableDatabase(Database):
             merge._commit(self.path, "stats", meta)
         if merge.warehouse_complete(self.path):
             self.index = merge.read_warehouse(self.spark, self.path)
+            self._invalidate_memos()
 
     def compact(self, n_ranges: int | None = None,
                 block_size: int = 512) -> None:
         """xapian-compact / Database::compact: fold the delete/replace
         overlay (tombstones + delta) physically into the base tables and
         rebuild the derived stages — one more revision, same uuid."""
+        import shutil
+
         from xapian_spark.streaming.incremental import compact as _compact
+
+        # fold the docdata overlay FIRST (the live view reads the
+        # tombstone/delta dirs that the postings fold deletes): dead rows
+        # drop, replacement rows win, and a warehouse with no docs table
+        # but pending delta_docs gains one instead of orphaning them
+        docs_dir = os.path.join(self.path, "docs")
+        dd_dir = os.path.join(self.path, "delta_docs")
+        folded = merge.live_docs(self.spark, self.path)
+        had_overlay = os.path.exists(dd_dir) or os.path.exists(
+            os.path.join(self.path, "tombstones")
+        )
+        if folded is not None and had_overlay:
+            folded.write.mode("overwrite").parquet(docs_dir + ".tmp")
+            if os.path.exists(docs_dir):
+                shutil.rmtree(docs_dir)
+            os.replace(docs_dir + ".tmp", docs_dir)
+        if os.path.exists(dd_dir):
+            shutil.rmtree(dd_dir)
 
         _compact(
             self.spark, self.path, mode=self.mode,
             n_ranges=n_ranges or self.n_ranges, block_size=block_size,
         )
-        # fold the docdata overlay the same way (delta_docs rows replace,
-        # tombstoned docids drop) so value-slot queries stay exact
-        docs_dir = os.path.join(self.path, "docs")
-        dd_dir = os.path.join(self.path, "delta_docs")
-        if os.path.exists(docs_dir) and os.path.exists(dd_dir):
-            from pyspark.sql import Window
-            import shutil
-
-            repl = (
-                self.spark.read.parquet(dd_dir)
-                .withColumn(
-                    "_rn",
-                    F.row_number().over(
-                        Window.partitionBy("docid").orderBy(
-                            F.desc("_batch_id")
-                        )
-                    ),
-                )
-                .where(F.col("_rn") == 1)
-                .drop("_rn", "_batch_id")
-            )
-            base = self.spark.read.parquet(docs_dir).join(
-                F.broadcast(repl.select("docid")), "docid", "left_anti"
-            )
-            folded = base.unionByName(repl, allowMissingColumns=True)
-            live = self.spark.read.parquet(
-                os.path.join(self.path, "termlists")
-            ).select("docid")
-            folded = folded.join(live, "docid", "left_semi")
-            folded.write.mode("overwrite").parquet(docs_dir + ".tmp")
-            shutil.rmtree(docs_dir)
-            os.replace(docs_dir + ".tmp", docs_dir)
-            shutil.rmtree(dd_dir)
-        elif os.path.exists(docs_dir):
-            # deletes only: keep docdata rows for live termlists
-            import shutil
-
-            live = self.spark.read.parquet(
-                os.path.join(self.path, "termlists")
-            ).select("docid")
-            folded = self.spark.read.parquet(docs_dir).join(
-                live, "docid", "left_semi"
-            )
-            folded.write.mode("overwrite").parquet(docs_dir + ".tmp")
-            shutil.rmtree(docs_dir)
-            os.replace(docs_dir + ".tmp", docs_dir)
         self.index = merge.read_warehouse(self.spark, self.path)
+        self._invalidate_memos()
 
 
 class InMemoryDatabase(Database):
@@ -1579,13 +1595,19 @@ class Enquire:
             m = (
                 m.withColumn("_cr", F.row_number().over(w))
                 .withColumn("_ckn", F.count(F.lit(1)).over(wn))
-                .where(F.col("_cr") <= self._collapse_max)
+                # a NULL key never collapses (the reference leaves docs
+                # with an empty collapse key uncollapsed, collapser.cc)
+                .where(
+                    F.col(self._collapse_key).isNull()
+                    | (F.col("_cr") <= self._collapse_max)
+                )
                 .withColumn("_ckey", F.col(self._collapse_key))
                 .withColumn(
                     "_ccount",
                     # eliminated docs are attributed to the group's best
                     # hit (MSetIterator::get_collapse_count)
-                    F.when(
+                    F.when(F.col(self._collapse_key).isNull(), F.lit(0))
+                    .when(
                         F.col("_cr") == 1,
                         F.greatest(
                             F.lit(0),
@@ -1704,11 +1726,18 @@ class Enquire:
         boolean / empty query."""
         if self._query is None:
             return 0.0
-        terms = [t for t in ast.leaf_terms(self._query)]
-        if not terms:
-            return 0.0
         scheme = getattr(self, "_weight", None) or WEIGHT_SCHEMES["bm25"]()
         if not hasattr(scheme, "init_term"):
+            return 0.0
+        # expand wildcard/fuzzy leaves to their dictionary terms first —
+        # leaf_terms() alone would return nothing for OP_WILDCARD and
+        # break the upper-bound contract (bound < attained)
+        try:
+            q = Planner(self.db.index, weight=scheme)._expand(self._query)
+        except Exception:
+            q = self._query
+        terms = [t for t in ast.leaf_terms(q)]
+        if not terms:
             return 0.0
         stats = self.db.index.stats
         names = sorted({t.term for t in terms})

@@ -90,6 +90,16 @@ class Compactor:
                 .agg(F.coalesce(F.max("docid"), F.lit(0)).alias("m"))
                 .collect()[0]["m"]
             )
+            delta_dir = os.path.join(path, "delta")
+            if os.path.exists(delta_dir):
+                # uncompacted streamed adds may carry docids above the
+                # base range
+                hi2 = (
+                    self.spark.read.parquet(delta_dir)
+                    .agg(F.coalesce(F.max("docid"), F.lit(0)).alias("m"))
+                    .collect()[0]["m"]
+                )
+                hi = max(int(hi), int(hi2))
             cum += int(hi)
         return offs
 
@@ -154,16 +164,16 @@ class Compactor:
             raise ValueError(f"sources disagree on tokenizer mode: {modes}")
         mode = modes.pop()
 
-        # postlist table == union of source termlists with the docid
-        # offset folded in as a JVM expression; stage 1's
+        # postlist table == union of source LIVE termlist views (base
+        # minus tombstoned/replaced docids plus delta rows — a compaction
+        # must never resurrect a deleted doc or drop a replacement) with
+        # the docid offset folded in as a JVM expression; stage 1's
         # repartitionByRange(term, docid) then IS the k-way merge
         self.set_status("postlist", "begin")
         if not m._done(dest, "termlists"):
             merged = None
             for i, path in enumerate(self._sources):
-                tl = self.spark.read.parquet(
-                    os.path.join(path, "termlists")
-                )
+                tl = m.live_termlists(self.spark, path)
                 if self._renumber:
                     tl = tl.withColumn(
                         "docid",
@@ -187,7 +197,20 @@ class Compactor:
 
         self.set_status("docdata", "begin")
         if not m._done(dest, "docdata"):
-            docs = self._fold_side_table("docs", offsets, remap_docid=True)
+            docs = None
+            for i, path in enumerate(self._sources):
+                d = m.live_docs(self.spark, path)
+                if d is None:
+                    continue
+                if self._renumber:
+                    d = d.withColumn(
+                        "docid",
+                        (F.col("docid") + F.lit(offsets[i])).cast("long"),
+                    )
+                docs = (
+                    d if docs is None
+                    else docs.unionByName(d, allowMissingColumns=True)
+                )
             if docs is not None:
                 docs.write.mode("overwrite").parquet(
                     os.path.join(dest, "docs")

@@ -402,6 +402,86 @@ def _delta_rows(spark: SparkSession, path: str,
     return d if keep_batch else d.drop("_batch_id")
 
 
+def _delta_docs_rows(spark: SparkSession, path: str) -> DataFrame | None:
+    """Replacement docdata rows (delta_docs), last-writer-wins per docid
+    with tombstone-newer suppression — the docdata twin of _delta_rows."""
+    dd_dir = os.path.join(path, "delta_docs")
+    if not os.path.exists(dd_dir):
+        return None
+    from pyspark.sql import Window
+
+    d = (
+        spark.read.parquet(dd_dir)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("docid").orderBy(F.desc("_batch_id"))
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    tomb = _tombstone_max(spark, path)
+    if tomb is not None:
+        d = (
+            d.join(F.broadcast(tomb), "docid", "left")
+            .where(
+                F.col("_tomb_bid").isNull()
+                | (F.col("_batch_id") > F.col("_tomb_bid"))
+            )
+            .drop("_tomb_bid")
+        )
+    return d.drop("_batch_id")
+
+
+def live_termlists(spark: SparkSession, path: str) -> DataFrame:
+    """The LIVE termlist view of a warehouse: base termlists minus
+    tombstoned/replaced docids, plus surviving delta rows — what a
+    multi-source compaction must consume so deleted docs stay deleted
+    and replacements win (xapian-compact merges the live postings of
+    each source, never a stale snapshot)."""
+    tl = spark.read.parquet(os.path.join(path, "termlists"))
+    delta = _delta_rows(spark, path)
+    tomb = _tombstone_max(spark, path)
+    dead: DataFrame | None = None
+    if tomb is not None:
+        dead = tomb.select("docid")
+    if delta is not None:
+        repl = delta.select("docid")
+        dead = repl if dead is None else dead.unionByName(repl).distinct()
+    if dead is not None:
+        tl = tl.join(F.broadcast(dead), "docid", "left_anti")
+    if delta is not None:
+        tl = tl.unionByName(
+            delta.select("docid", "content_sha256", "doclen", "plist")
+        )
+    return tl
+
+
+def live_docs(spark: SparkSession, path: str) -> DataFrame | None:
+    """The LIVE docdata view (base docs minus dead, plus replacement
+    rows) — the docdata twin of live_termlists; None when the warehouse
+    stores no docs table."""
+    docs_dir = os.path.join(path, "docs")
+    drows = _delta_docs_rows(spark, path)
+    if not os.path.exists(docs_dir):
+        return drows
+    docs = spark.read.parquet(docs_dir)
+    delta = _delta_rows(spark, path)
+    tomb = _tombstone_max(spark, path)
+    dead: DataFrame | None = None
+    if tomb is not None:
+        dead = tomb.select("docid")
+    if delta is not None:
+        repl = delta.select("docid")
+        dead = repl if dead is None else dead.unionByName(repl).distinct()
+    if dead is not None:
+        docs = docs.join(F.broadcast(dead), "docid", "left_anti")
+    if drows is not None:
+        docs = docs.unionByName(drows, allowMissingColumns=True)
+    return docs
+
+
 def read_warehouse(spark: SparkSession, path: str) -> InvertedIndex:
     """Open a warehouse as an InvertedIndex (postings = the sorted runs,
     blocked = the compressed block table).
@@ -481,36 +561,8 @@ def read_warehouse(spark: SparkSession, path: str) -> InvertedIndex:
             # docdata overlay: full replacement rows when the writer kept
             # them (WritableDatabase.replace_document writes delta_docs),
             # else just the sha invariant from the delta termlists
-            dd_dir = os.path.join(path, "delta_docs")
-            if os.path.exists(dd_dir):
-                from pyspark.sql import Window
-
-                drows = (
-                    spark.read.parquet(dd_dir)
-                    .withColumn(
-                        "_rn",
-                        F.row_number().over(
-                            Window.partitionBy("docid").orderBy(
-                                F.desc("_batch_id")
-                            )
-                        ),
-                    )
-                    .where(F.col("_rn") == 1)
-                    .drop("_rn")
-                )
-                tombm = _tombstone_max(spark, path)
-                if tombm is not None:
-                    # a replaced-then-deleted doc must not resurface in
-                    # the docs view either
-                    drows = (
-                        drows.join(F.broadcast(tombm), "docid", "left")
-                        .where(
-                            F.col("_tomb_bid").isNull()
-                            | (F.col("_batch_id") > F.col("_tomb_bid"))
-                        )
-                        .drop("_tomb_bid")
-                    )
-                drows = drows.drop("_batch_id")
+            drows = _delta_docs_rows(spark, path)
+            if drows is not None:
                 docs = docs.unionByName(
                     drows, allowMissingColumns=True
                 ).unionByName(

@@ -63,10 +63,25 @@ def index_stream(
     Returns the StreamingQuery; caller awaits termination then compact()s.
     """
 
+    # _batch_id shares one ordering domain with WritableDatabase's
+    # tombstone/delta generations — offset the streaming micro-batch ids
+    # past whatever the overlay already holds, so a delete committed
+    # BEFORE the stream starts can never outrank (and suppress) a row
+    # this stream appends later
+    spark = stream_docs.sparkSession
+    base_bid = 0
+    for name in ("delta", "tombstones"):
+        d = os.path.join(path, name)
+        if os.path.exists(d):
+            df = spark.read.parquet(d)
+            if "_batch_id" in df.columns:
+                row = df.agg(F.max("_batch_id").alias("m")).collect()[0]
+                base_bid = max(base_bid, int(row["m"] or 0))
+
     def handle(batch: DataFrame, batch_id: int) -> None:
         out = _batch_termlists(batch, content_col, docid_col, mode)
         (
-            out.withColumn("_batch_id", F.lit(batch_id))
+            out.withColumn("_batch_id", F.lit(base_bid + 1 + batch_id))
             .write.mode("append")
             .parquet(os.path.join(path, "delta"))
         )
