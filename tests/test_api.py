@@ -631,3 +631,66 @@ def test_small_accessor_tail(db):
     assert top2 == allv[:2]
     assert enq.get_matchspy_total("source") == sum(c for _, c in allv)
     assert enq.get_matchspy_total("source") == m.get_matches_estimated()
+
+
+def test_percent_cutoff_under_value_sort(db):
+    """set_cutoff filters DURING the match, before the page window is
+    cut: a value-sorted page must contain only above-cutoff docs, drawn
+    from the full above-cutoff match set (mset.cc; review finding)."""
+    base = Enquire(db)
+    base.set_query(ast.Term("dup"))
+    allm = base.get_mset(0, 1000)
+    cut = 60
+    eligible = {m.docid for m in allm if m.percent >= cut}
+    assert 0 < len(eligible) < len(allm)  # the cutoff actually bites
+
+    enq = Enquire(db)
+    enq.set_query(ast.Term("dup"))
+    enq.set_cutoff(cut)
+    enq.set_sort_by_value("n_chars")
+    k = min(5, len(eligible))
+    page = enq.get_mset(0, k)
+    assert len(page) == k  # full page despite the cutoff
+    assert {m.docid for m in page} <= eligible
+    # and it is the value-order head OF THE ELIGIBLE SET
+    lens = {
+        r["docid"]: r["n_chars"]
+        for r in db.index.docs.select("docid", "n_chars").collect()
+    }
+    expect = sorted(eligible, key=lambda d: (lens[d], d))[:k]
+    assert [m.docid for m in page] == expect
+
+
+def test_value_set_decider_null_exclusive(spark):
+    """inclusive=False must match docs whose value column is NULL (the
+    slot is unset, so it is not in the set — review finding)."""
+    mem = InMemoryDatabase(
+        spark,
+        spark.createDataFrame(
+            [(1, "shared", "en"), (2, "shared", "fr"), (3, "shared", None)],
+            "docid long, content string, lang string",
+        ),
+        content_col="content", docid_col="docid",
+    )
+    enq = Enquire(mem)
+    enq.set_query(ast.Term("shared"))
+    enq.set_match_decider(
+        ValueSetMatchDecider("lang", False, {"en"})
+    )
+    assert {m.docid for m in enq.get_mset(0, 10)} == {2, 3}
+
+
+def test_leading_glob_skips_internal_terms(spark):
+    """A leading-wildcard glob must not expand into Z-stems or
+    capital-prefixed boolean terms (review finding)."""
+    mem = InMemoryDatabase(
+        spark,
+        spark.createDataFrame(
+            [(1, "nation", "en"), (2, "horizon", "fr")],
+            "docid long, content string, lang string",
+        ),
+        content_col="content", docid_col="docid",
+        prefix_fields={"lang": "L"},
+    )
+    terms = mem.index.expand_wildcard_pattern("*n", multi=True, single=False)
+    assert terms == ["horizon", "nation"]  # not the boolean 'Len'

@@ -1372,8 +1372,12 @@ class ValueSetMatchDecider:
             "'" + str(v).replace("'", "''") + "'"
             for v in sorted(self.values, key=str)
         )
-        op = "IN" if self.inclusive else "NOT IN"
-        return f"CAST(`{self.column}` AS STRING) {op} ({lits})"
+        col = f"CAST(`{self.column}` AS STRING)"
+        if self.inclusive:
+            return f"{col} IN ({lits})"
+        # exclusive: a doc with NO value in the slot is not in the set and
+        # must match (NULL NOT IN (...) is NULL, which where() drops)
+        return f"({col} IS NULL OR {col} NOT IN ({lits}))"
 
 
 @dataclass
@@ -1659,16 +1663,34 @@ class Enquire:
                 order = vals + [F.desc("score"), did]
             cols = [c for c, _ in self._sort_by]
             m = m.join(self.db.index.docs.select("docid", *cols), "docid")
+            # Under a value sort the collected window need not contain the
+            # best-weight doc, and percents are relative to the best weight
+            # OVERALL (mset.cc:253-271) — fetch the global max separately.
+            global_max = m.agg(F.max("score")).collect()[0][0] or 0.0
+            if self._percent_cutoff:
+                # the cutoff applies DURING the match (mset.cc), so it
+                # must filter before the page window is cut — filtering
+                # the collected page afterwards would return short pages
+                # while above-cutoff docs sit just outside the window
+                if global_max > 0:
+                    pct = F.greatest(
+                        F.lit(1),
+                        F.round(
+                            F.lit(100.0) * F.col("score")
+                            / F.lit(global_max)
+                        ).cast("int"),
+                    )
+                    m = m.where(F.col("score") > 0).where(
+                        pct >= F.lit(self._percent_cutoff)
+                    )
+                else:
+                    m = m.where(F.lit(False))
             top = m.orderBy(*order).limit(first + maxitems)
         else:
             top = m.orderBy(F.desc("score"), did).limit(
                 first + maxitems
             )
         if self._sort_by:
-            # Under a value sort the collected window need not contain the
-            # best-weight doc, and percents are relative to the best weight
-            # OVERALL (mset.cc:253-271) — fetch the global max separately.
-            global_max = m.agg(F.max("score")).collect()[0][0] or 0.0
             # HALF_UP like Spark's F.round (and the reference's +0.5
             # truncation, mset.cc) — Python round() is HALF_EVEN and would
             # disagree with count_fn/with_percent on exact .5 boundaries

@@ -467,6 +467,12 @@ class InvertedIndex:
         df = self.term_stats
         if head_len:
             df = df.where(F.col("term").startswith(pattern[:head_len]))
+        else:
+            # leading-wildcard pattern with no fixed head: keep the scan
+            # off internal terms (Z-stems and capital field/boolean
+            # prefixes) — the reference expands wildcards within the
+            # user's prefix only, never across the Z/prefix namespaces
+            df = df.where(~F.col("term").rlike("^[A-Z]"))
         df = df.where(F.col("term").rlike(regex))
         if limit and limit_mode == "most_frequent":
             df = df.orderBy(F.col("tf").desc(), F.col("term")).limit(limit)

@@ -417,18 +417,20 @@ def ivf_search(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
     wp = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cell"))
-    # persist: the probe table is evaluated twice (distinct-cell collect
-    # below + the returned join plan); it is tiny (|queries| x nprobe)
-    probe_df = (
+    # the probe table is tiny (|queries| x nprobe) and needed twice
+    # (distinct-cell pruning + the returned join): collect it once into a
+    # local relation — no executor storage to leak across a long-lived
+    # serving session, and the join side broadcasts for free
+    probe_plan = (
         q.crossJoin(F.broadcast(cents))
         .withColumn("csim", _cos("qvec", "centroid"))
         .withColumn("probe_rank", F.row_number().over(wp))
         .where(F.col("probe_rank") <= nprobe)
         .select("query_id", "qvec", "cell")
-    ).localCheckpoint(eager=True)
-    cells = sorted(
-        r["cell"] for r in probe_df.select("cell").distinct().collect()
     )
+    probe_rows = probe_plan.collect()
+    probe_df = spark.createDataFrame(probe_rows, probe_plan.schema)
+    cells = sorted({r["cell"] for r in probe_rows})
     v = spark.read.parquet(f"{path}/vectors").where(
         F.col("cell").isin([int(c) for c in cells])
     )

@@ -272,9 +272,14 @@ class QueryParser:
             if quote_count % 2 == 1:
                 in_quotes = not in_quotes
             low = tok.lower()
+            is_kw = tok in _KEYWORDS or (
+                # FLAG_BOOLEAN_ANY_CASE treats 'and'/'And' as operators,
+                # so the spelling pass must skip them too
+                self.boolean_any_case and tok.upper() in _KEYWORDS
+            )
             if (
                 not entering
-                and tok not in _KEYWORDS  # case-sensitive, pre-lowering
+                and not is_kw
                 and re.fullmatch(r"[a-z0-9_]+", low)
             ):
                 sug = suggest_spelling(index, low)

@@ -36,12 +36,17 @@ class Document:
         return self.data
 
     def add_posting(self, term: str, pos: int, wdf_inc: int = 1) -> None:
-        """document.h:124-136: add a positional occurrence."""
+        """document.h:124-136: add a positional occurrence.  Positions
+        stay sorted via bisect (O(log n) membership + O(n) insert — the
+        common ascending-append case inserts at the end) instead of a
+        full sort per call, which made hot terms quadratic."""
+        import bisect
+
         ent = self._terms.setdefault(term, [0, []])
         ent[0] += wdf_inc
-        if pos not in ent[1]:
-            ent[1].append(pos)
-            ent[1].sort()
+        i = bisect.bisect_left(ent[1], pos)
+        if i == len(ent[1]) or ent[1][i] != pos:
+            ent[1].insert(i, pos)
 
     def add_term(self, term: str, wdf_inc: int = 1) -> None:
         """document.h:138-148: add/boost a term without a position
