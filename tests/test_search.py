@@ -416,3 +416,54 @@ def test_or_under_phrase_three_groups(spark):
     )
     got = sorted(r["docid"] for r in pl.plan(node).collect())
     assert got == [4]  # beta alpha gamma consecutively
+
+
+def test_pure_value_range_query(spark, simple_index):
+    """A bare ValueRange query (no terms anywhere) must return the
+    in-range docs, not crash with cand=None (review finding); and a
+    ValueRange under OR must match docs containing no query term."""
+    from xapian_spark.query.planner import Planner
+    from xapian_spark.query import ast
+
+    # simple_index docs carry a 'lang' string column; use docid ranges
+    # via the docs table's repo column? Use n/a — build a tiny index
+    # with a numeric value column instead.
+    docs = spark.createDataFrame(
+        [(1, "alpha words", 5), (2, "bravo words", 15),
+         (3, "charlie text", 25)],
+        "docid long, content string, price long",
+    )
+    from xapian_spark.index.builder import build_index, persist_index
+
+    idx = persist_index(
+        build_index(spark, docs, content_col="content", docid_col="docid")
+    )
+    p = Planner(idx)
+    got = {r["docid"] for r in p.plan(
+        ast.ValueRange("price", 10, 30)).collect()}
+    assert got == {2, 3}
+    # OR with a term: doc 3 matches only via the range, doc 1 only via
+    # the term
+    got2 = {r["docid"] for r in p.plan(
+        ast.Or((ast.Term("alpha"), ast.ValueRange("price", 20, 30)))
+    ).collect()}
+    assert got2 == {1, 3}
+    # ANDed range stays term-gated (no all-docs scan needed for
+    # correctness; just assert the result)
+    got3 = {r["docid"] for r in p.plan(
+        ast.Filter(ast.Term("words"), ast.ValueRange("price", 10, 30))
+    ).collect()}
+    assert got3 == {2}
+
+
+def test_positional_with_empty_expansion(spark, simple_index):
+    """Phrase/NEAR with a wildcard child that expands to nothing matches
+    nothing instead of raising (review finding)."""
+    from xapian_spark.query.planner import Planner
+    from xapian_spark.query import ast
+
+    p = Planner(simple_index)
+    q = ast.Near(
+        (ast.Term("paragraph"), ast.Wildcard("zzzqq", combiner="or")), 5
+    )
+    assert p.plan(q).count() == 0

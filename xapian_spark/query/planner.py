@@ -148,9 +148,14 @@ class Planner:
         if isinstance(node, (ast.And, ast.Or, ast.Xor, ast.Max, ast.Synonym)):
             return type(node)(tuple(self._expand(s) for s in node.subs))
         if isinstance(node, (ast.Phrase, ast.Near)):
-            return type(node)(
-                tuple(self._expand(s) for s in node.subs), node.window
-            )
+            subs = tuple(self._expand(s) for s in node.subs)
+            if any(isinstance(s, ast.MatchNothing) for s in subs):
+                # a positional operator requires every child to match: a
+                # wildcard/fuzzy child expanding to zero dictionary terms
+                # makes the whole phrase match nothing (the reference
+                # returns an empty MSet, queryinternal.cc)
+                return ast.MatchNothing()
+            return type(node)(subs, node.window)
         if isinstance(node, (ast.AndNot, ast.AndMaybe, ast.Filter)):
             return type(node)(self._expand(node.left), self._expand(node.right))
         if isinstance(node, ast.ScaleWeight):
@@ -172,6 +177,29 @@ class Planner:
             elif isinstance(nd, ast.ScaleWeight):
                 stack.append(nd.sub)
         return False
+
+    @staticmethod
+    def _matches_termless(node: ast.Node) -> bool:
+        """Can this (expanded) query match a document that contains NO
+        query term?  Decides whether candidates must cover every doc
+        (the queryinternal sub_and_like / sub_or_like distinction): a
+        ValueRange or posting source ANDed/FILTERed with terms is gated
+        by them, but standing alone or under OR it matches term-free
+        docs and gating candidates to term-bearing docs drops results."""
+        mt = Planner._matches_termless
+        if isinstance(node, (ast.MatchAll, ast.ValueRange,
+                             ast.ValueWeightSource, ast.ValueMapSource,
+                             ast.FixedWeightSource)):
+            return True
+        if isinstance(node, ast.And):
+            return all(mt(s) for s in node.subs)
+        if isinstance(node, (ast.Or, ast.Xor, ast.Max, ast.Synonym)):
+            return any(mt(s) for s in node.subs)
+        if isinstance(node, (ast.AndNot, ast.AndMaybe, ast.Filter)):
+            return mt(node.left)
+        if isinstance(node, ast.ScaleWeight):
+            return mt(node.sub)
+        return False  # Term / Phrase / Near / MatchNothing / wildcards
 
     # -- candidate construction ---------------------------------------------
 
@@ -426,15 +454,10 @@ class Planner:
                 )
 
             groups = [_child_terms(c) for c in node.subs]
-            evs = []
-            for c in node.subs:
-                if isinstance(c, ast.Term):
-                    evs.append(
-                        self._eval(ast.Term(c.term), factor, tstats, wqf,
-                                   syn_stats)
-                    )
-                else:
-                    evs.append(self._eval(c, factor, tstats, wqf, syn_stats))
+            evs = [
+                self._eval(c, factor, tstats, wqf, syn_stats)
+                for c in node.subs
+            ]
             # child weights are self-gated (Terms by presence, Or/Synonym
             # by their own match logic), so a plain sum is correct
             match = evs[0].match
@@ -549,11 +572,16 @@ class Planner:
         nd: ast.Node,
         tstats: dict[str, TermStats],
         syn_stats: dict[int, TermStats],
+        weighted: bool = True,
     ) -> None:
         """Exact synonym-group stats (one tiny job per group); the reference
         estimates these by independence (queryinternal.cc:384-431), we pay a
-        cheap count for exactness — documented divergence."""
-        if isinstance(nd, ast.Synonym):
+        cheap count for exactness — documented divergence.  Stats are only
+        computed for groups _eval will actually score: a Synonym in an
+        unweighted context (Filter/AndNot right side) or nested inside
+        another Synonym matches via its terms but never reads its group
+        stats, so paying a count job there is pure waste."""
+        if weighted and isinstance(nd, ast.Synonym):
             sts = [t.term for t in ast.leaf_terms(nd)]
             key = tuple(sorted(set(sts)))
             cache = getattr(self.index, "_syn_cache", None)
@@ -576,15 +604,26 @@ class Planner:
                 ts = TermStats(term="(syn)", tf=tf, cf=cf, wdf_max=wdf_max)
                 cache[key] = ts
             syn_stats[id(nd)] = ts
-        if isinstance(nd, (ast.And, ast.Or, ast.Xor, ast.Max, ast.Synonym,
-                           ast.Phrase, ast.Near)):
+        if isinstance(nd, ast.Synonym):
+            # the group matches via its leaf terms directly; nested
+            # Synonym children are never scored on their own stats
             for s in nd.subs:
-                self._gather_syn(s, tstats, syn_stats)
-        elif isinstance(nd, (ast.AndNot, ast.AndMaybe, ast.Filter)):
-            self._gather_syn(nd.left, tstats, syn_stats)
-            self._gather_syn(nd.right, tstats, syn_stats)
+                self._gather_syn(s, tstats, syn_stats, weighted=False)
+        elif isinstance(nd, (ast.And, ast.Or, ast.Xor, ast.Max,
+                             ast.Phrase, ast.Near)):
+            for s in nd.subs:
+                self._gather_syn(s, tstats, syn_stats, weighted)
+        elif isinstance(nd, (ast.AndNot, ast.Filter)):
+            self._gather_syn(nd.left, tstats, syn_stats, weighted)
+            # right side is evaluated with factor 0 (match-only)
+            self._gather_syn(nd.right, tstats, syn_stats, weighted=False)
+        elif isinstance(nd, ast.AndMaybe):
+            self._gather_syn(nd.left, tstats, syn_stats, weighted)
+            self._gather_syn(nd.right, tstats, syn_stats, weighted)
         elif isinstance(nd, ast.ScaleWeight):
-            self._gather_syn(nd.sub, tstats, syn_stats)
+            self._gather_syn(
+                nd.sub, tstats, syn_stats, weighted and nd.factor != 0
+            )
 
     # -- public API -----------------------------------------------------------
 
@@ -609,11 +648,7 @@ class Planner:
         self._gather_syn(query, tstats, syn_stats)
 
         need_pos = self._contains(query, (ast.Phrase, ast.Near))
-        need_all = self._contains(
-            query,
-            (ast.MatchAll, ast.ValueWeightSource, ast.ValueMapSource,
-             ast.FixedWeightSource),
-        )
+        need_all = self._matches_termless(query)
         vr_fields = sorted(
             {
                 nd.field
@@ -663,11 +698,7 @@ class Planner:
                 wqf[t.term] = wqf.get(t.term, 0) + t.wqf
             all_terms.update(wqf)
             need_pos = need_pos or self._contains(q, (ast.Phrase, ast.Near))
-            need_all = need_all or self._contains(
-                q,
-                (ast.MatchAll, ast.ValueWeightSource, ast.ValueMapSource,
-                 ast.FixedWeightSource),
-            )
+            need_all = need_all or self._matches_termless(q)
             vr_fields.update(
                 nd.field for nd in _walk(q)
                 if isinstance(

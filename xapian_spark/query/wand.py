@@ -146,13 +146,11 @@ def wand_topk(
 
     sumpart = None
     for t in live:
-        part = F.when(
-            F.col("term") == t,
-            tws[t].sumpart_expr(F.col("wdf"), F.col("doclen")),
-        )
-        sumpart = part if sumpart is None else sumpart.when(
-            F.col("term") == t,
-            tws[t].sumpart_expr(F.col("wdf"), F.col("doclen")),
+        cond = F.col("term") == t
+        expr = tws[t].sumpart_expr(F.col("wdf"), F.col("doclen"))
+        sumpart = (
+            F.when(cond, expr) if sumpart is None
+            else sumpart.when(cond, expr)
         )
     sumpart = sumpart.otherwise(0.0)
     agg = post.groupBy("docid").agg(
@@ -258,6 +256,18 @@ def batch_wand_topk(
     from pyspark.sql import Window
 
     from xapian_spark.index.blocks import unpack_blocks, unpack_blocks_keyed
+    from xapian_spark.ranking.weights import BM25Weight, TradWeight
+
+    # the inlined sumpart/maxpart shapes below are the BM25-family
+    # closed forms — guard here, not just in search_batch_or, so a direct
+    # caller with e.g. TfIdfWeight gets an error instead of silently
+    # BM25-shaped scores
+    if not isinstance(weight, (BM25Weight, TradWeight)):
+        raise ValueError(
+            "batch_wand_topk supports BM25-family weights only "
+            f"(got {type(weight).__name__}); use the row-postings batch "
+            "path for other schemes"
+        )
 
     spark = blocked.sparkSession
     empty = spark.createDataFrame(
