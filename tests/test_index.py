@@ -216,3 +216,51 @@ def test_invert_arrow_fast_slow_parity(spark):
         )
         assert got == sorted(want_entries), f"docid {r['docid']}"
         assert r["doclen"] == want_dl
+
+
+def test_pack_group_duplicate_docids():
+    """Duplicate (term, docid) postings must not underflow the delta-1
+    coding (uint64 wrap corrupted the rest of the block — review
+    finding); duplicates collapse by summing wdf."""
+    import numpy as np
+
+    from xapian_spark.index.blocks import _pack_group, vbyte_decode
+
+    rows = _pack_group(
+        "t",
+        np.array([1, 5, 5, 9], dtype=np.int64),
+        np.array([2, 3, 4, 1], dtype=np.int64),
+        np.array([10, 10, 10, 10], dtype=np.int64),
+        block_size=512,
+    )
+    assert len(rows) == 1
+    term, first, last, n, wdf_max, payload = rows[0]
+    assert (first, last, n) == (1, 9, 3)
+    ints = vbyte_decode(payload)
+    deltas, wdfs = ints[:n], ints[n:2 * n]
+    docids = [int(deltas[0])]
+    for d in deltas[1:]:
+        docids.append(docids[-1] + int(d) + 1)
+    assert docids == [1, 5, 9]
+    assert list(wdfs) == [2, 7, 1]  # collapsed wdf sum
+
+
+def test_null_prefix_field_value(spark, tmp_path):
+    """A NULL prefix-field value must not emit a NULL boolean term
+    (NULL terms fall out of every stage-2 term range and fail the
+    blocked-vs-runs invariant — review finding)."""
+    from xapian_spark.api import WritableDatabase
+
+    docs = spark.createDataFrame(
+        [(1, "alpha words", "py"), (2, "bravo words", None)],
+        "docid long, content string, lang string",
+    )
+    db = WritableDatabase(spark, str(tmp_path / "nullpf"), n_ranges=2,
+                          prefix_fields={"lang": "L"})
+    db.add_documents(docs, content_col="content", docid_col="docid")
+    db.commit()
+    assert db.index.postings.where("term IS NULL").count() == 0
+    assert db.get_unique_terms(1) == 3  # alpha, words, Lpy
+    assert db.get_unique_terms(2) == 2  # no NULL boolean term
+    rep = db.check()
+    assert all(v == 0 for v in rep.values()), rep

@@ -1099,18 +1099,21 @@ class WritableDatabase(Database):
                         src = df.withColumn(
                             "docid", F.col("docid").cast("long")
                         )
-                        bool_entries = F.array(*[
-                            F.struct(
-                                F.concat(
-                                    F.lit(p), F.lower(F.col(c))
-                                ).alias("term"),
-                                F.lit(0).cast("int").alias("wdf"),
-                                F.lit(None).cast("array<int>").alias(
-                                    "positions"
-                                ),
-                            )
-                            for c, p in pf.items()
-                        ])
+                        bool_entries = F.array_distinct(F.filter(
+                            F.array(*[
+                                F.struct(
+                                    F.concat(
+                                        F.lit(p), F.lower(F.col(c))
+                                    ).alias("term"),
+                                    F.lit(0).cast("int").alias("wdf"),
+                                    F.lit(None).cast("array<int>").alias(
+                                        "positions"
+                                    ),
+                                )
+                                for c, p in pf.items()
+                            ]),
+                            lambda e: e["term"].isNotNull(),
+                        ))
                         tl = tl.join(
                             src.select(
                                 "docid", bool_entries.alias("_bools")

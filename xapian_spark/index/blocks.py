@@ -108,6 +108,17 @@ def _pack_group(
     block_size: int,
 ) -> list[tuple]:
     """Pack one term's docid-sorted postings into block rows."""
+    if len(docids) > 1 and np.any(docids[1:] == docids[:-1]):
+        # duplicate (term, docid) postings would underflow the delta-1
+        # coding (uint64 wrap -> corrupt docids for the rest of the
+        # block).  The inverter emits unique terms per doc, so this is
+        # defensive: collapse duplicates by summing wdf, keeping the
+        # first doclen
+        keep = np.concatenate(([True], docids[1:] != docids[:-1]))
+        grp = np.cumsum(keep) - 1
+        wdf_sum = np.zeros(int(keep.sum()), dtype=np.int64)
+        np.add.at(wdf_sum, grp, wdfs.astype(np.int64))
+        docids, wdfs, doclens = docids[keep], wdf_sum, doclens[keep]
     rows = []
     for s in range(0, len(docids), block_size):
         d = docids[s : s + block_size]

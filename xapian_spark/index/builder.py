@@ -558,7 +558,15 @@ def assign_docids(
             cols_out = [batch.column(c) for c in keep] + [docid]
             yield pa.RecordBatch.from_arrays(cols_out, names=keep + ["docid"])
 
-    return sorted_df.mapInArrow(stamp, out_schema)
+    # materialize the stamped output once (checkpoint), then free the
+    # sorted intermediate EXPLICITLY — leaving it persisted leaked one
+    # cached corpus copy per build for the session's lifetime; the
+    # checkpointed result is released with the returned DataFrame
+    stamped = sorted_df.mapInArrow(stamp, out_schema).localCheckpoint(
+        eager=True
+    )
+    sorted_df.unpersist()
+    return stamped
 
 
 def build_index(
@@ -611,16 +619,26 @@ def build_index(
         # Boolean field terms (wdf=0, positionless) appended to the termlist
         # map-side — the omega add_boolean_prefix convention
         # (api_queryparser.cc:63-79); they don't contribute to doclen.
-        bool_entries = F.array(
-            *[
-                F.struct(
-                    F.concat(F.lit(prefix), F.lower(F.col(col))).alias("term"),
-                    F.lit(0).cast("int").alias("wdf"),
-                    F.lit(None).cast("array<int>").alias("positions"),
-                )
-                for col, prefix in prefix_fields.items()
-            ]
-        )
+        bool_entries = F.array_distinct(F.filter(
+            F.array(
+                *[
+                    F.struct(
+                        F.concat(
+                            F.lit(prefix), F.lower(F.col(col))
+                        ).alias("term"),
+                        F.lit(0).cast("int").alias("wdf"),
+                        F.lit(None).cast("array<int>").alias("positions"),
+                    )
+                    for col, prefix in prefix_fields.items()
+                ]
+            ),
+            # a NULL field value must not become a NULL term (it would
+            # fall out of every term range downstream), and two fields
+            # mapping to one identical term must not emit a duplicate
+            # (term, docid) posting (delta coding requires strictly
+            # increasing docids per term)
+            lambda e: e["term"].isNotNull(),
+        ))
         termlists = termlists.withColumn(
             "plist", F.concat("plist", bool_entries)
         )

@@ -98,16 +98,25 @@ def build_warehouse(
             mode=mode,
         )
         if prefix_fields:
-            bool_entries = F.array(
-                *[
-                    F.struct(
-                        F.concat(F.lit(p), F.lower(F.col(c))).alias("term"),
-                        F.lit(0).cast("int").alias("wdf"),
-                        F.lit(None).cast("array<int>").alias("positions"),
-                    )
-                    for c, p in prefix_fields.items()
-                ]
-            )
+            bool_entries = F.array_distinct(F.filter(
+                F.array(
+                    *[
+                        F.struct(
+                            F.concat(
+                                F.lit(p), F.lower(F.col(c))
+                            ).alias("term"),
+                            F.lit(0).cast("int").alias("wdf"),
+                            F.lit(None).cast("array<int>").alias(
+                                "positions"
+                            ),
+                        )
+                        for c, p in prefix_fields.items()
+                    ]
+                ),
+                # NULL field values / duplicate identical terms: see
+                # builder.py bool_entries
+                lambda e: e["term"].isNotNull(),
+            ))
             tl = tl.withColumn("plist", F.concat("plist", bool_entries))
         tl = tl.select("docid", "content_sha256", "doclen", "plist")
         tl.write.mode("overwrite").parquet(os.path.join(path, "termlists"))
@@ -281,8 +290,16 @@ def _stages_1_to_3(
         part = runs.where(range_pred(i)).select(
             "term", "docid", "wdf", "doclen"
         )
+        # size the per-range packing parallelism from the session config
+        # (scaled down: n_ranges jobs run back to back) — a hard-coded
+        # 4-way split would serialize the heaviest stage on a big cluster
+        pack_parts = max(
+            4,
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32") or "32")
+            // max(1, n_ranges // 2),
+        )
         blocked = (
-            part.repartitionByRange(4, "term", "docid")
+            part.repartitionByRange(pack_parts, "term", "docid")
             .sortWithinPartitions("term", "docid")
             .mapInPandas(pack_blocks_udf(block_size), (
                 "term string, first_docid long, last_docid long, n int, "
@@ -464,10 +481,26 @@ def live_docs(spark: SparkSession, path: str) -> DataFrame | None:
     stores no docs table."""
     docs_dir = os.path.join(path, "docs")
     drows = _delta_docs_rows(spark, path)
-    if not os.path.exists(docs_dir):
-        return drows
-    docs = spark.read.parquet(docs_dir)
     delta = _delta_rows(spark, path)
+    if not os.path.exists(docs_dir):
+        if drows is None and delta is None:
+            return None
+        # no base docs table: the overlay IS the docdata (replacement
+        # rows, plus sha-invariant rows for delta docids without one)
+        docs = drows
+        if delta is not None:
+            sha_rows = delta.select("docid", "content_sha256")
+            if docs is not None:
+                sha_rows = sha_rows.join(
+                    docs.select("docid"), "docid", "left_anti"
+                )
+                docs = docs.unionByName(
+                    sha_rows, allowMissingColumns=True
+                )
+            else:
+                docs = sha_rows
+        return docs
+    docs = spark.read.parquet(docs_dir)
     tomb = _tombstone_max(spark, path)
     dead: DataFrame | None = None
     if tomb is not None:
@@ -479,6 +512,16 @@ def live_docs(spark: SparkSession, path: str) -> DataFrame | None:
         docs = docs.join(F.broadcast(dead), "docid", "left_anti")
     if drows is not None:
         docs = docs.unionByName(drows, allowMissingColumns=True)
+    if delta is not None:
+        # delta termlist docids with no delta_docs row (streaming adds /
+        # replaces): keep at least the sha-invariant docdata, mirroring
+        # read_warehouse — dropping them would erase live docs' rows
+        sha_rows = delta.select("docid", "content_sha256")
+        if drows is not None:
+            sha_rows = sha_rows.join(
+                drows.select("docid"), "docid", "left_anti"
+            )
+        docs = docs.unionByName(sha_rows, allowMissingColumns=True)
     return docs
 
 
