@@ -1358,7 +1358,13 @@ SELECT id,
        round(score, 6) AS lang_score
 FROM best WHERE rn = 1
 """
-    # fingerprint: sum over positions of (md5-28bit(token) % m) * pos, mod m
+    # fingerprint: sum over positions of (md5-28bit(token) % m) * pos, mod m.
+    # Portable form only: hex-literal cast for the 28-bit hash (exact
+    # equivalence with Spark conv(substring(md5,1,7),16,10) — same identity the
+    # simhash oracle relies on), positions via generate_subscripts, aggregate
+    # via GROUP BY + LEFT JOIN.  The left-fold (acc+v)%m in the engine equals
+    # sum(v)%m because every v >= 0 and DuckDB sums bigint into hugeint
+    # (no intermediate overflow).
     q["fingerprint"] = """
 WITH tk AS (
   SELECT doc_id AS id,
@@ -1368,14 +1374,14 @@ WITH tk AS (
 ),
 h AS (
   SELECT id,
-         (list_reduce([strpos('0123456789abcdef', c) - 1
-                       for c in regexp_extract_all(substring(md5(tok), 1, 7), '.')],
-                      (a, b) -> a * 16 + b) % 2147483647) * pos AS v
+         sum((('0x' || substring(md5(tok), 1, 7))::BIGINT % 2147483647) * pos)
+           % 2147483647 AS fp
   FROM tk
+  GROUP BY id
 )
 SELECT d.doc_id AS id,
-       coalesce((SELECT sum(h.v) % 2147483647 FROM h WHERE h.id = d.doc_id), 0) AS fingerprint
-FROM documents d
+       CAST(coalesce(h.fp, 0) AS BIGINT) AS fingerprint
+FROM documents d LEFT JOIN h ON h.id = d.doc_id
 """
     q["ivf_cosine_topk"] = """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
