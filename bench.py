@@ -104,7 +104,7 @@ def run_batch_or(idx, n_queries: int = 500):
     return n_queries, min(secs), secs
 
 
-def run_batch_wand(idx, n_queries: int = 200):
+def run_batch_wand(idx, n_queries: int = 500):
     """Selective-batch serving: WAND vs row-postings on the same workload.
 
     Every query anchors on the rarest term in the dictionary plus 1-2
@@ -331,6 +331,20 @@ def main():
     result["build_amplified_docs"] = n_amp
     result["build_amplified_sec"] = round(amp_sec, 3)
     result["build_amplified_docs_per_sec"] = round(n_amp / amp_sec, 1)
+    # batch WAND vs row-postings on the AMPLIFIED index: dynamic pruning's
+    # decode-volume win needs an index meaningfully bigger than the matched
+    # set (at the raw 5k-doc SF the comparison only measures fixed job
+    # costs, which the simpler row plan always wins)
+    n_w, wand_sec, row_sec = run_batch_wand(aidx)
+    result["batch_wand"] = {
+        "queries": n_w,
+        "wand_qps": round(n_w / wand_sec, 1),
+        "row_postings_qps": round(n_w / row_sec, 1),
+        "workload": "selective (rare-term anchor per query), 500-query "
+                    f"batch over the {n_amp}-doc amplified index",
+    }
+    if aidx.blocked is not None:
+        aidx.blocked.unpersist()
     for df in (aidx.postings, aidx.doclens, aidx.term_stats, aidx.termlists):
         if df is not None:
             df.unpersist()
@@ -347,13 +361,6 @@ def main():
     result["batch_or_queries"] = n_or
     result["batch_or_qps"] = round(n_or / or_sec, 1)
     result["batch_or_secs_all"] = [round(s, 3) for s in or_secs]
-    n_w, wand_sec, row_sec = run_batch_wand(idx)
-    result["batch_wand"] = {
-        "queries": n_w,
-        "wand_qps": round(n_w / wand_sec, 1),
-        "row_postings_qps": round(n_w / row_sec, 1),
-        "workload": "selective (rare-term anchor per query)",
-    }
     result["ann"] = run_ann(spark, SF_DIR)
     result["incremental"] = run_incremental(spark, SF_DIR)
     result.update(

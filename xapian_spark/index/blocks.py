@@ -236,6 +236,49 @@ def pack_blocks(
     )
 
 
+def _decode_block_batch(batch: pd.DataFrame) -> dict[str, np.ndarray]:
+    """Vectorized decode of a whole Arrow batch of block rows.
+
+    One vbyte_decode over the concatenated payloads (every payload ends on
+    a value boundary, so decode(concat) == concat(decode(each))), then pure
+    numpy segment arithmetic — no per-block Python loop in the query hot
+    path (the glass cursor decodes chunk-at-a-time, glass_postlist.cc:
+    219-329; we decode batch-at-a-time).
+    """
+    ns = batch["n"].to_numpy(np.int64)
+    ints = vbyte_decode(b"".join(batch["payload"]))
+    nblocks = len(ns)
+    total = int(ns.sum())
+    # flat layout per block i: [deltas(n_i), wdfs(n_i), doclens(n_i)]
+    starts3 = np.zeros(nblocks, dtype=np.int64)
+    pstarts = np.zeros(nblocks, dtype=np.int64)
+    if nblocks > 1:
+        np.cumsum(3 * ns[:-1], out=starts3[1:])
+        np.cumsum(ns[:-1], out=pstarts[1:])
+    block_of = np.repeat(np.arange(nblocks), ns)
+    within = np.arange(total, dtype=np.int64) - pstarts[block_of]
+    delta_idx = starts3[block_of] + within
+    n_rep = ns[block_of]
+    deltas = ints[delta_idx].astype(np.int64)
+    wdfs = ints[delta_idx + n_rep].astype(np.int64)
+    doclens = ints[delta_idx + 2 * n_rep].astype(np.int64)
+    # docid reconstruction: within a block d = segmented_cumsum(delta+1) - 1
+    c = np.cumsum(deltas + 1)
+    seg_base = np.zeros(nblocks, dtype=np.int64)
+    if nblocks > 1:
+        seg_base[1:] = c[pstarts[1:] - 1]
+    docids = c - seg_base[block_of] - 1
+    return {
+        "term": np.repeat(batch["term"].to_numpy(), ns),
+        "first_docid": np.repeat(
+            batch["first_docid"].to_numpy(np.int64), ns
+        ),
+        "docid": docids,
+        "wdf": wdfs,
+        "doclen": doclens,
+    }
+
+
 def unpack_blocks_udf():
     """mapInPandas fn: block rows -> (term, docid, wdf, doclen) postings."""
 
@@ -243,26 +286,13 @@ def unpack_blocks_udf():
         for batch in batches:
             if batch.empty:
                 continue
-            terms, docids, wdfs, doclens = [], [], [], []
-            for term, n, payload in zip(
-                batch["term"], batch["n"], batch["payload"]
-            ):
-                ints = vbyte_decode(bytes(payload))
-                deltas = ints[:n].astype(np.int64)
-                d = deltas.copy()
-                if n > 1:
-                    d[1:] += 1
-                    d = np.cumsum(d)
-                terms.append(np.repeat(term, n))
-                docids.append(d)
-                wdfs.append(ints[n : 2 * n].astype(np.int64))
-                doclens.append(ints[2 * n : 3 * n].astype(np.int64))
+            cols = _decode_block_batch(batch)
             yield pd.DataFrame(
                 {
-                    "term": np.concatenate(terms),
-                    "docid": np.concatenate(docids),
-                    "wdf": np.concatenate(wdfs),
-                    "doclen": np.concatenate(doclens),
+                    "term": cols["term"],
+                    "docid": cols["docid"],
+                    "wdf": cols["wdf"],
+                    "doclen": cols["doclen"],
                 }
             )
 
@@ -284,31 +314,7 @@ def unpack_blocks_keyed(blocked: DataFrame) -> DataFrame:
         for batch in batches:
             if batch.empty:
                 continue
-            terms, firsts, docids, wdfs, doclens = [], [], [], [], []
-            for term, first, n, payload in zip(
-                batch["term"], batch["first_docid"], batch["n"],
-                batch["payload"],
-            ):
-                ints = vbyte_decode(bytes(payload))
-                deltas = ints[:n].astype(np.int64)
-                d = deltas.copy()
-                if n > 1:
-                    d[1:] += 1
-                    d = np.cumsum(d)
-                terms.append(np.repeat(term, n))
-                firsts.append(np.repeat(np.int64(first), n))
-                docids.append(d)
-                wdfs.append(ints[n : 2 * n].astype(np.int64))
-                doclens.append(ints[2 * n : 3 * n].astype(np.int64))
-            yield pd.DataFrame(
-                {
-                    "term": np.concatenate(terms),
-                    "first_docid": np.concatenate(firsts),
-                    "docid": np.concatenate(docids),
-                    "wdf": np.concatenate(wdfs),
-                    "doclen": np.concatenate(doclens),
-                }
-            )
+            yield pd.DataFrame(_decode_block_batch(batch))
 
     return blocked.mapInPandas(
         unpack,

@@ -771,16 +771,17 @@ class Planner:
 
         Returns (query, rank, docid, score) with rank 1..k per query.
 
-        use_wand=True serves the batch by set-at-a-time block-max WAND
-        over blocked postings (wand.batch_wand_topk): per-query thresholds
-        prune (query, block) pairs before any payload decode.  OPT-IN, not
-        default: measured on a 500-query hot-term batch (sf0.1 x50, 32
-        cores) the row-postings path won 13 s vs 37 s — when every query
-        hits common terms, pruning removes little while Python block
-        decode replaces the JVM parquet scan.  WAND pays off when decode
-        volume shrinks a lot: selective queries over long posting lists,
-        or runs stored cold/remote where the metadata-only pass-1 avoids
-        reading payloads at all.
+        use_wand=True serves the batch by set-at-a-time MaxScore + block-max
+        pruning over blocked postings (wand.batch_wand_topk): per-query
+        thresholds split terms into essential (candidate-generating) and
+        non-essential (looked up for candidate docs only), so aggregate
+        input is proportional to candidates x query terms instead of
+        postings x queries.  OPT-IN, not default: on a 500-query selective
+        batch over a 100k-doc index (32 cores) WAND wins 5.1 s vs 9.9 s,
+        but when every query hits only common terms (nothing is
+        non-essential and candidates are most of the corpus) the simpler
+        row-postings plan wins — measured 13 s vs 37 s on a hot-term batch.
+        Pick use_wand for selective workloads over large indexes.
         """
         from collections import Counter
 
@@ -811,7 +812,7 @@ class Planner:
 
             return batch_wand_topk(
                 self.index.blocked, self.index.stats, tstats, queries, k,
-                self.weight,
+                self.weight, postings=self.index.postings,
             )
         rows = []
         for qname, terms in queries.items():

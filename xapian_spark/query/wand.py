@@ -27,9 +27,19 @@ honey_postlist_encodings.h:26-111) and the BM25 maxpart bound formula
 At cluster scale pass 1 is a metadata-only parquet scan (term + wdf_max +
 docid range columns; predicate pushdown, no payload decode), and pass 2
 decodes only the handful of blocks that can contain competitive docs.
+
+The BATCH path (batch_wand_topk) additionally layers MaxScore essential /
+non-essential term splitting (Turtle & Flood, "Query evaluation:
+strategies and optimizations", 1995 — the public algorithm Lucene ships
+as its default dynamic-pruning strategy) so that candidate generation
+touches only the selective terms and aggregate input stays proportional
+to candidates x query terms rather than postings x queries.
 """
 
 from __future__ import annotations
+
+import os
+import time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -222,30 +232,47 @@ def batch_wand_topk(
     queries: dict[str, list[str]],
     k: int,
     weight: Weight,
+    max_broadcast_candidates: int = 500_000,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Threshold-aware BATCH serving over blocked postings: exact per-query
     BM25 top-k for many weighted-OR queries in one plan.
 
-    Set-at-a-time block-max WAND:
+    Set-at-a-time MaxScore (Turtle & Flood 1995, the essential/non-essential
+    list split Lucene ships as its default dynamic-pruning strategy) layered
+    on block-max bounds:
 
       pass 0: per-query threshold T_q = k-th best single-term score of the
           query's highest-impact term — ONE decode job over the batch's
           star terms, grouped per query (a valid lower bound of each
           query's true k-th best total score).
-      pass 1: (query, block) pruning as a METADATA-only join: broadcast
-          (query, term, termweight, rest, T_q) against the block stats
-          columns; keep blocks with maxpart_block + rest >= T_q.  Parquet
-          column pruning means payloads of pruned blocks are never read.
-      pass 2: decode the union of surviving blocks ONCE (keyed by
-          first_docid), map postings back to (query, block) pairs, and
-          aggregate per (query, docid).
+      split (driver): order each query's terms by maxpart ascending; the
+          largest prefix whose maxpart prefix-sum stays < T_q is the
+          NON-ESSENTIAL set — a doc containing only those terms is bounded
+          by that prefix sum and can never reach T_q.  Every true top-k doc
+          therefore contains at least one ESSENTIAL term.
+      pass 1 (candidate generation, essential terms only): (query, block)
+          block-max pruning as a METADATA-only join — broadcast (query,
+          term, termweight, rest, T_q) against the block stats columns;
+          keep blocks with maxpart_block + rest >= T_q; decode the union
+          of surviving blocks ONCE.  Candidates = their (query, docid)s.
+      pass 2 (non-essential lookup): non-essential postings are needed only
+          for candidate docs (the skip_to/lookup phase of MaxScore).  When
+          the driver-side candidate estimate (sum of essential-term tfs) is
+          small, only blocks whose [first_docid, last_docid] range contains
+          a candidate are decoded; otherwise decode the non-essential
+          blocks once — never a per-query decode.  Either way the scoring
+          join runs postings->candidates on docid FIRST, so aggregate input
+          is proportional to |candidates| x query terms, not postings x
+          queries.
 
-    Pass 2 scores only surviving blocks, which is EXACT for top-k: if any
-    block holding doc d was pruned for query q, then score_q(d) <=
-    bound(block) + rest < T_q, while every true top-k doc of q scores
-    >= k-th best >= T_q with ALL its blocks surviving (see wand_topk's
-    bound argument) — so partially-scored docs rank strictly below every
-    true top-k member and can never displace one.
+    Exactness: a doc skipped at candidate generation either has only
+    non-essential terms (score < prefix-sum < T_q) or sat in a pruned
+    essential block (score <= bound < T_q); every true top-k doc of q
+    scores >= T_q, has all its blocks surviving, and all its non-essential
+    postings looked up — so its score is complete, while partially-scored
+    or skipped docs rank strictly below every true top-k member and can
+    never displace one (same argument as wand_topk).
 
     Requires a weight with no doc-dependent extra part (maxextra == 0,
     e.g. default BM25 k2=0); the caller falls back to the row-postings
@@ -276,7 +303,7 @@ def batch_wand_topk(
     dl_lb = stats.doclen_lower_bound
 
     shape = None          # shared k1/b/len_factor/min_normlen constants
-    qt_rows = []          # (query, term, tw, rest)
+    qmeta = {}            # query -> (tws, maxparts, total)
     star_rows = []        # (query, star_term)
     for qname, terms in queries.items():
         tws, maxparts = {}, {}
@@ -290,15 +317,10 @@ def batch_wand_topk(
             shape = tw
         if not tws:
             continue
-        total = sum(maxparts.values())
+        qmeta[qname] = (tws, maxparts, sum(maxparts.values()))
         t_star = max(tws, key=lambda t: (maxparts[t], t))
         star_rows.append((qname, t_star))
-        for t, tw in tws.items():
-            qt_rows.append(
-                (qname, t, float(tw.termweight),
-                 float(total - maxparts[t]))
-            )
-    if not qt_rows:
+    if not qmeta:
         return empty
 
     def _sumpart(tw_col, wdf, doclen):
@@ -331,62 +353,169 @@ def batch_wand_topk(
         return F.when(denom > 0, tw_col * (wm / denom)).otherwise(0.0)
 
     # -- pass 0: per-query thresholds ---------------------------------------
-    star_df = spark.createDataFrame(star_rows, "query string, term string")
-    star_terms = sorted({t for _, t in star_rows})
+    # Queries sharing a (star term, termweight) pair share a threshold, so
+    # dedupe BEFORE the scan: a batch whose queries anchor on the same rare
+    # term must not replicate that term's postings once per query.
+    star_pairs: dict[tuple, list] = {}  # (term, tw) -> [query, ...]
+    for qname, t in star_rows:
+        tw = float(qmeta[qname][0][t].termweight)
+        star_pairs.setdefault((t, tw), []).append(qname)
     star_tw = spark.createDataFrame(
-        [(q, t, tw) for q, t, tw, _ in qt_rows],
-        "query string, term string, tw double",
-    ).join(F.broadcast(star_df), ["query", "term"], "left_semi")
-    star_posts = unpack_blocks(
-        blocked.where(F.col("term").isin(star_terms))
+        [(t, tw) for t, tw in star_pairs], "term string, tw double"
     )
-    wq = Window.partitionBy("query").orderBy(F.desc("s"))
+    star_terms = sorted({t for t, _ in star_pairs})
+    if postings is not None:
+        # row postings available: the threshold scan stays JVM-side
+        # (parquet predicate pushdown on term, no Python block decode)
+        star_posts = postings.where(
+            F.col("term").isin(star_terms)
+        ).select("term", "wdf", "doclen")
+    else:
+        star_posts = unpack_blocks(
+            blocked.where(F.col("term").isin(star_terms))
+        )
+    wq = Window.partitionBy("term", "tw").orderBy(F.desc("s"))
+    _diag = bool(os.environ.get("WAND_DIAG"))  # phase timing for perf work
+    _t0 = time.perf_counter()
     kth = (
         star_posts.join(F.broadcast(star_tw), "term")
         .select(
-            "query",
+            "term", "tw",
             _sumpart(F.col("tw"), F.col("wdf"), F.col("doclen")).alias("s"),
         )
         .withColumn("r", F.row_number().over(wq))
         .where(F.col("r") == k)
-        .select("query", F.col("s").alias("thr"))
+        .select("term", "tw", F.col("s").alias("thr"))
         .collect()
     )
-    thresholds = {r["query"]: r["thr"] for r in kth}  # absent -> 0.0
+    thresholds = {}  # absent -> 0.0
+    for r in kth:
+        for qname in star_pairs[(r["term"], r["tw"])]:
+            thresholds[qname] = r["thr"]
+    if _diag:
+        print("\nDIAG pass0_sec", round(time.perf_counter() - _t0, 2),
+              "thr_min", round(min(thresholds.values(), default=0.0), 3),
+              "thr_max", round(max(thresholds.values(), default=0.0), 3))
+    _t0 = time.perf_counter()
 
-    qt = spark.createDataFrame(
-        [
-            (q, t, tw, rest, float(thresholds.get(q, 0.0)))
-            for q, t, tw, rest in qt_rows
-        ],
-        "query string, term string, tw double, rest double, thr double",
+    # -- split (driver): MaxScore essential / non-essential per query -------
+    # Ascending-maxpart prefix whose sum stays < T_q is non-essential: docs
+    # containing only those terms are bounded below T_q.  T_q = 0 (star
+    # term has < k postings) makes every term essential — the degenerate
+    # case falls back to pure block-max behavior.
+    ess_rows = []         # (query, term, tw, rest, thr)  candidate gen
+    non_rows = []         # (query, term, tw)             lookup scoring
+    ess_terms = set()     # distinct essential terms across the batch
+    for qname, (tws, maxparts, total) in qmeta.items():
+        thr = float(thresholds.get(qname, 0.0))
+        run, non_ess = 0.0, set()
+        for t in sorted(tws, key=lambda t: (maxparts[t], t)):
+            if len(non_ess) == len(tws) - 1:
+                break  # at least one essential term always remains
+            if run + maxparts[t] < thr:
+                run += maxparts[t]
+                non_ess.add(t)
+            else:
+                break
+        for t, tw in tws.items():
+            if t in non_ess:
+                non_rows.append((qname, t, float(tw.termweight)))
+            else:
+                ess_rows.append(
+                    (qname, t, float(tw.termweight),
+                     float(total - maxparts[t]), thr)
+                )
+                ess_terms.add(t)
+    # driver-side candidate-docset upper bound: the union of candidate
+    # docids is at most the union of the DISTINCT essential terms' postings
+    # (per-query sums would overcount shared anchor terms by the batch size)
+    est_cands = sum(tstats[t].tf for t in ess_terms)
+
+    qt_ess = spark.createDataFrame(
+        ess_rows, "query string, term string, tw double, rest double, "
+                  "thr double",
     )
 
-    # -- pass 1: metadata-only (query, block) pruning -----------------------
+    # -- pass 1: candidate generation over essential terms ------------------
+    # metadata-only (query, block) block-max pruning, then ONE decode of the
+    # union of surviving blocks
     meta = blocked.select("term", "first_docid", "wdf_max")
     surviving = (
-        meta.join(F.broadcast(qt), "term")
+        meta.join(F.broadcast(qt_ess), "term")
         .where(
             _maxpart(F.col("tw"), F.col("wdf_max")) + F.col("rest")
             >= F.col("thr")
         )
         .select("query", "term", "first_docid", "tw")
     ).persist()
-
-    # -- pass 2: decode surviving blocks once, score per (query, docid) -----
     sel_blocks = surviving.select("term", "first_docid").distinct()
     posts = unpack_blocks_keyed(
         blocked.join(sel_blocks, ["term", "first_docid"], "left_semi")
     )
-    scored = (
-        posts.join(surviving, ["term", "first_docid"])
-        .groupBy("query", "docid")
-        .agg(
-            F.sum(
-                _sumpart(F.col("tw"), F.col("wdf"), F.col("doclen"))
-            ).alias("score")
-        )
+    if non_rows:
+        # posts feeds both the per-query scoring join and the candidate
+        # docset — cache the (small, selective-by-design) decoded essential
+        # postings rather than their |queries|-times-larger scored join
+        posts = posts.persist()
+    ess_scored = posts.join(surviving, ["term", "first_docid"]).select(
+        "query", "docid",
+        _sumpart(F.col("tw"), F.col("wdf"), F.col("doclen")).alias("part"),
     )
+
+    scored_parts = [ess_scored]
+    if non_rows:
+        # The lookup key is the query-INDEPENDENT union of candidate docids,
+        # not per-(query, docid) pairs: batches whose queries share anchor
+        # terms would otherwise duplicate the same docids per query (and a
+        # posting->pairs join would blow up by the sharing factor).  Joining
+        # a doc's non-essential parts into a query it is NOT a candidate of
+        # is harmless: that doc's computed score is bounded by the query's
+        # non-essential prefix sum < T_q, so it ranks strictly below every
+        # true top-k member (there are >= k docs scoring >= T_q whenever
+        # T_q > 0, and T_q = 0 puts every term in the essential set).
+        docset = posts.select("docid").distinct()
+        qt_non = spark.createDataFrame(
+            non_rows, "query string, term string, tw double"
+        )
+        non_terms = sorted({t for _, t, _ in non_rows})
+        non_blocked = blocked.where(F.col("term").isin(non_terms))
+        if est_cands <= max_broadcast_candidates:
+            # the skip_to analogue: decode only non-essential blocks whose
+            # docid range contains a candidate (broadcast range semi-join
+            # on block METADATA — pruned payloads are never read), then
+            # keep candidate postings only
+            non_blocked = non_blocked.alias("b").join(
+                F.broadcast(docset.alias("c")),
+                (F.col("c.docid") >= F.col("b.first_docid"))
+                & (F.col("c.docid") <= F.col("b.last_docid")),
+                "left_semi",
+            )
+            non_posts = unpack_blocks(non_blocked).join(
+                F.broadcast(docset), "docid", "left_semi"
+            )
+        else:
+            # driver estimate says the docset may be too big to broadcast:
+            # shuffle semi-join on docid (hash-partitionable at any scale)
+            non_posts = unpack_blocks(non_blocked).join(
+                docset, "docid", "left_semi"
+            )
+        # candidate postings x the tiny (query, term, tw) broadcast:
+        # aggregate input is proportional to |candidate docs| x query
+        # terms, never postings x queries
+        non_scored = non_posts.join(F.broadcast(qt_non), "term").select(
+            "query", "docid",
+            _sumpart(F.col("tw"), F.col("wdf"), F.col("doclen")).alias(
+                "part"
+            ),
+        )
+        scored_parts.append(non_scored)
+    else:
+        docset = None
+
+    scored = (
+        scored_parts[0] if len(scored_parts) == 1
+        else scored_parts[0].unionByName(scored_parts[1])
+    ).groupBy("query", "docid").agg(F.sum("part").alias("score"))
     w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("docid"))
     out = (
         scored.withColumn("rank", F.row_number().over(w))
@@ -396,6 +525,13 @@ def batch_wand_topk(
     # Per-query top-k is bounded (|queries| * k rows): materialize it,
     # then explicitly free the persisted (query, block) survivors instead
     # of leaving them to ContextCleaner GC (see wand_topk).
+    if _diag:
+        print("\nDIAG ess_rows", len(ess_rows), "non_rows", len(non_rows),
+              "est_cands", est_cands)
     out = out.localCheckpoint(eager=True)
+    if _diag:
+        print("\nDIAG main_job_sec", round(time.perf_counter() - _t0, 2))
     surviving.unpersist()
+    if docset is not None:
+        posts.unpersist()
     return out
