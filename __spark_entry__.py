@@ -216,6 +216,20 @@ def _q_geo_nearest(spark, sf_dir):
     return out.select("docid", F.round("distance_m", 4).alias("distance_m"))
 
 
+def _q_unit_range(spark, sf_dir):
+    """UnitRangeProcessor (queryparser.h:409-442, valuerangeproc.cc:331-434):
+    `size:0.1K..0.3K` -> byte-unit multipliers (1024^i) -> OP_FILTER value
+    range over the n_chars slot (a unitless begin inherits the end bound's
+    factor, the end bound's unit is mandatory)."""
+    from xapian_spark.query.parser import QueryParser
+    from xapian_spark.query.rangeproc import UnitRangeProcessor
+
+    qp = QueryParser()
+    qp.add_rangeprocessor(UnitRangeProcessor("n_chars", marker="size:"))
+    node = qp.parse_query("join size:0.1K..0.3K")
+    return _search(node, k=10)(spark, sf_dir)
+
+
 def _q_date_range(spark, sf_dir):
     """DateRangeProcessor (valuerangeproc.cc:173-245): `date:D/M/Y..D/M/Y`
     normalized to YYYYMMDD bounds and attached as an OP_FILTER value range
@@ -628,10 +642,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse": _q_collapse,
         "facets": _q_facets,
         # -- weight schemes (SURVEY §2.5): BM25 (term_bm25) + one vector-space
-        # + one DFR representative; the other 13 are pinned to literal
-        # api_weight.cc doubles in tests/test_reference_golden.py
+        # representative inside the window; PL2 + the other 13 are pinned to
+        # literal api_weight.cc doubles in tests/test_reference_golden.py and
+        # PL2 stays oracle-checked below the window (see r4 rotation note in
+        # BASELINE.md: pl2_weight ceded its slot to unit_range)
         "tfidf_weight": _search(ast.Term("dup"), weight=TfIdfWeight),
-        "pl2_weight": _search(ast.Term("dup"), weight=PL2Weight),
+        # -- UnitRangeProcessor (queryparser.h:409, SURVEY §2.6)
+        "unit_range": _q_unit_range,
         "decreasing_value_source": _q_decreasing_value,
         "match_decider": _q_match_decider,
         "geo_nearest": _q_geo_nearest,
@@ -664,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked by the local tools/check_entry.py run
         "dedup_components": _q_dedup_components,
         "dedup_spans": _q_dedup_spans,
+        "pl2_weight": _search(ast.Term("dup"), weight=PL2Weight),
     }
 
 
@@ -905,6 +923,15 @@ SELECT docid, score FROM (
   GROUP BY docid HAVING count(*) = 5
 ) ORDER BY score DESC, docid LIMIT 10
 """
+    # UnitRangeProcessor: size:0.1K..0.3K -> n_chars in [102.4, 307.2]
+    # (byte-unit factor 1024 applied to both bounds; valuerangeproc.cc:331)
+    q["unit_range"] = _topk_sql(
+        "SELECT docid, round(sum(sumpart), 6) AS score FROM sp "
+        "WHERE term = 'join' AND docid IN "
+        "(SELECT doc_id + 1 FROM documents "
+        " WHERE n_chars BETWEEN 102.4 AND 307.2) "
+        "GROUP BY docid"
+    )
     # DateRangeProcessor: 01/02/2020..31/10/2020 (D/M/Y) -> 20200201..20201031
     # over the derived YYYYMMDD date_val slot (same arithmetic as _docs)
     q["date_range"] = _topk_sql(

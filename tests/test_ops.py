@@ -103,6 +103,77 @@ def test_simhash_near_pairs(spark, documents):
         assert r["id_a"] < r["id_b"]
 
 
+def test_simhash_blocking_plan_scales():
+    """Corpus-adaptive blocking: expected bucket size stays bounded as the
+    corpus grows, and every plan keeps the pigeonhole completeness
+    guarantee (any <= h corrupted blocks leave some table's key intact)."""
+    import itertools as it
+    import math
+
+    from xapian_spark.ops.dedup import simhash_blocking_plan
+
+    h = 3
+    # small corpus degenerates to the classic 4 x 15-bit chunk split
+    blocks, tables = simhash_blocking_plan(500, h)
+    assert len(blocks) == h + 1
+    assert tables == [(0,), (1,), (2,), (3,)]
+    assert [hi - lo for lo, hi in blocks] == [15, 15, 15, 15]
+
+    # simulated 10^9-doc corpus: key width must cover log2(N) so the
+    # expected bucket size N / 2^width is O(1), not N / 32768
+    n = 10 ** 9
+    blocks, tables = simhash_blocking_plan(n, h)
+    c = len(blocks)
+    key_width = min(
+        sum(blocks[b][1] - blocks[b][0] for b in subset)
+        for subset in tables
+    )
+    assert key_width >= math.log2(n)
+    assert n / 2 ** key_width <= 8.0  # bounded buckets at 10^9 docs
+    assert len(tables) == math.comb(c, c - h)
+
+    # pigeonhole completeness: for every way <= h blocks can be corrupted,
+    # at least one table's key blocks are all intact
+    for ncorr in range(h + 1):
+        for corrupted in it.combinations(range(c), ncorr):
+            assert any(
+                not (set(subset) & set(corrupted)) for subset in tables
+            )
+
+    # block boundaries tile [0, 60) exactly
+    assert blocks[0][0] == 0 and blocks[-1][1] == 60
+    for (lo1, hi1), (lo2, hi2) in zip(blocks, blocks[1:]):
+        assert hi1 == lo2
+
+
+def test_embedding_near_dup_adaptive_planes(spark, embeddings):
+    """Adaptive n_planes: every reported pair is exact-verified at the
+    threshold, and reported pairs are a subset of the brute-force truth."""
+    from xapian_spark.ops.similarity import embedding_near_dup_pairs
+
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(
+            embeddings, threshold=0.4, n_tables=8
+        ).collect()
+    }
+    data = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in embeddings.collect()
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(data), 2):
+        c = float(
+            np.dot(data[a], data[b])
+            / (np.linalg.norm(data[a]) * np.linalg.norm(data[b]))
+        )
+        if c >= 0.4:
+            want[(a, b)] = c
+    assert set(got).issubset(set(want))
+    for pair, cos in got.items():
+        assert cos == pytest.approx(want[pair], abs=1e-9)
+
+
 def test_cosine_topk_exact(spark, embeddings):
     from xapian_spark.ops.similarity import cosine_topk
 

@@ -179,3 +179,64 @@ def test_rangeproc_does_not_break_field_qualifiers():
 
     with _pt.raises(ValueError, match="Unknown range"):
         qp2.parse_query("1999-03-12..2001")
+
+
+# qp_range5 / test_unitrange1_queries (api_queryparser.cc:2091-2105):
+# UnitRangeProcessor(1, "size:") — B/K/M/G byte units, end unit required,
+# unitless begin inherits the end's factor
+UNITRANGE1 = [
+    ("size:100K..1M", 100.0 * 1024, 1024.0 ** 2),
+    ("size:1B..1G", 1.0, 1024.0 ** 3),
+    # interpret as size:10K..100K
+    ("size:10..100K", 10.0 * 1024, 100.0 * 1024),
+]
+
+
+@pytest.mark.parametrize("q,lo,hi", UNITRANGE1)
+def test_unitrange_goldens(q, lo, hi):
+    from xapian_spark.query.rangeproc import UnitRangeProcessor
+
+    qp = QueryParser()
+    qp.add_rangeprocessor(UnitRangeProcessor("size_val", marker="size:"))
+    node = _range(qp, q)
+    assert (node.lo, node.hi) == (lo, hi)
+
+
+def test_unitrange_single_ended():
+    from xapian_spark.query.rangeproc import UnitRangeProcessor
+
+    qp = QueryParser()
+    qp.add_rangeprocessor(UnitRangeProcessor("size_val", marker="size:"))
+    node = _range(qp, "size:10K..")
+    assert (node.lo, node.hi) == (10.0 * 1024, None)
+    node = _range(qp, "size:..2M")
+    assert (node.lo, node.hi) == (None, 2.0 * 1024 ** 2)
+
+
+@pytest.mark.parametrize(
+    "q", ["size:10B..100", "size:10..100", "size:..100", "size:10.."]
+)
+def test_unitrange_forbidden(q):
+    """The reference rejects these as 'Unknown range operation'."""
+    from xapian_spark.query.rangeproc import UnitRangeProcessor
+
+    qp = QueryParser()
+    qp.add_rangeprocessor(UnitRangeProcessor("size_val", marker="size:"))
+    with pytest.raises(ValueError, match="Unknown range"):
+        qp.parse_query(q)
+
+
+def test_unitrange_serialise_mode():
+    """serialise=True routes bounds through sortable_serialise — byte
+    parity with reference-stored slots (the class contract in
+    queryparser.h:404-407)."""
+    from xapian_spark.ops.sortable import sortable_serialise
+    from xapian_spark.query.rangeproc import UnitRangeProcessor
+
+    qp = QueryParser()
+    qp.add_rangeprocessor(
+        UnitRangeProcessor("size_val", marker="size:", serialise=True)
+    )
+    node = _range(qp, "size:100K..1M")
+    assert node.lo == sortable_serialise(102400.0)
+    assert node.hi == sortable_serialise(1048576.0)

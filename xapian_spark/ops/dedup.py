@@ -275,36 +275,80 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select("id", fp.alias("simhash"))
 
 
-def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
-) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, chunk-blocked.
+def simhash_blocking_plan(
+    n_docs: int, max_hamming: int, nbits: int = 60, max_blocks: int = 12
+) -> tuple[list[tuple[int, int]], list[tuple[int, ...]]]:
+    """Corpus-adaptive multi-table blocking plan (Manku/Jain/Das Sarma,
+    "Detecting Near-Duplicates for Web Crawling", WWW 2007).
 
-    Split the 60-bit fingerprint into 4 x 15-bit chunks: any pair within
-    Hamming distance 3 agrees on >= 1 chunk (pigeonhole) -> equality join
-    per chunk, then exact popcount verify.
+    Split the fingerprint into c blocks; a pair within Hamming distance h
+    touches at most h blocks, so some (c - h)-subset of blocks agrees
+    (pigeonhole) — one table per (c - h)-subset, keyed on those blocks'
+    bits, finds every such pair.  c is the smallest block count whose key
+    width nbits*(c-h)/c covers log2(N) + margin: expected bucket size stays
+    O(1) as the corpus grows, instead of N/2^15 going quadratic per bucket.
+    Returns ([(lo, hi) block bit-ranges], [(block indices) per table]).
+    """
+    import math
+    from itertools import combinations
+
+    h = max_hamming
+    target_bits = min(
+        nbits - h - 1, math.ceil(math.log2(max(n_docs, 2))) + 6
+    )
+    c = h + 1
+    while c < max_blocks and nbits * (c - h) // c < target_bits:
+        c += 1
+    bounds = [round(i * nbits / c) for i in range(c + 1)]
+    blocks = [(bounds[i], bounds[i + 1]) for i in range(c)]
+    tables = list(combinations(range(c), c - h))
+    return blocks, tables
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, multi-table blocked.
+
+    Blocking is corpus-adaptive (see simhash_blocking_plan): at small N it
+    degenerates to the classic 4 x 15-bit chunk split; at 10^9 docs it
+    widens keys to ~37 bits across C(8,5)=56 tables so per-bucket candidate
+    generation never goes quadratic.  The OUTPUT is blocking-independent —
+    pigeonhole completeness means every pair within max_hamming is found
+    regardless of c — only the candidate volume changes.  Exact popcount
+    verify on candidates.
     """
     fps = simhash64(df, id_col, text_col)
-    chunks = fps.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), c * 15)
-                        .bitwiseAND(F.lit((1 << 15) - 1))
-                        .alias("val"),
-                    )
-                    for c in range(4)
-                ]
+    if n_docs is None:
+        n_docs = df.count()
+    blocks, tables = simhash_blocking_plan(n_docs, max_hamming)
+    table_exprs = []
+    for ti, subset in enumerate(tables):
+        key = F.lit(0).cast("long")
+        shift = 0
+        for bi in subset:
+            lo, hi = blocks[bi]
+            width = hi - lo
+            val = (
+                F.shiftright(F.col("simhash"), lo)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .cast("long")
             )
-        ).alias("cv"),
-    ).select("id", "simhash", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+            key = key + F.shiftleft(val, shift)
+            shift += width
+        table_exprs.append(
+            F.struct(F.lit(ti).alias("tbl"), key.alias("val"))
+        )
+    keyed = fps.select(
+        "id", "simhash", F.explode(F.array(*table_exprs)).alias("cv")
+    ).select(
+        "id", "simhash",
+        F.col("cv.tbl").alias("tbl"), F.col("cv.val").alias("val"),
+    )
     cand = (
-        chunks.alias("a")
-        .join(chunks.alias("b"), ["chunk", "val"])
+        keyed.alias("a")
+        .join(keyed.alias("b"), ["tbl", "val"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),

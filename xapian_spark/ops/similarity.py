@@ -226,12 +226,26 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 10,
+    n_planes: int | None = None,
     n_tables: int = 6,
     dim: int | None = None,
     seed: int = 7,
 ) -> DataFrame:
-    """(id_a < id_b, cosine >= threshold), LSH-blocked then exact-verified."""
+    """(id_a < id_b, cosine >= threshold), LSH-blocked then exact-verified.
+
+    When ``n_planes`` is None the bucket count is sized to the corpus the
+    same way lsh_cosine_topk sizes it: ceil(log2(n / target)) planes with
+    target ≈ 16 vectors per bucket.  Candidate generation inside a bucket
+    is quadratic, so a FIXED plane count degrades as n grows (bucket size
+    n/2^p); corpus-adaptive p keeps expected bucket size — and therefore
+    total candidate volume per table, n·target/2 — linear in n.
+    """
+    if n_planes is None:
+        n_vec = vectors.count()
+        target = 16
+        n_planes = max(
+            2, int(math.ceil(math.log2(max(2.0, n_vec / target))))
+        )
     if dim is None:
         dim = _infer_dim(vectors, vec_col)
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))

@@ -155,6 +155,9 @@ class DateRangeProcessor(RangeProcessor):
 
 _NUM_RE = re.compile(r"-?(\d+(\.\d*)?|\.\d+)([eE][-+]?\d+)?")
 
+# B/K/M/G = 1024^0..3 (valuerangeproc.cc:311-329)
+_BYTE_UNITS = {"B": 1.0, "K": 1024.0, "M": 1024.0 ** 2, "G": 1024.0 ** 3}
+
 
 @dataclass
 class NumberRangeProcessor(RangeProcessor):
@@ -175,6 +178,59 @@ class NumberRangeProcessor(RangeProcessor):
             if not _NUM_RE.fullmatch(e):
                 return None
             num_e = float(e)
+        if self.serialise:
+            from xapian_spark.ops.sortable import sortable_serialise
+
+            lo = sortable_serialise(num_b) if num_b is not None else None
+            hi = sortable_serialise(num_e) if num_e is not None else None
+            return ast.ValueRange(self.field, lo, hi)
+        return ast.ValueRange(self.field, num_b, num_e)
+
+
+@dataclass
+class UnitRangeProcessor(RangeProcessor):
+    """Byte-unit numeric ranges, e.g. ``size:3K..10M``
+    (queryparser.h:409-442, UnitRangeProcessor::operator(),
+    valuerangeproc.cc:331-434).
+
+    Suffix B/K/M/G multiplies by 1024^0..3.  Reference semantics: the END
+    bound must carry a unit (``20..100K``); a unitless BEGIN inherits the
+    end bound's factor; a begin-only range (``200K..``) requires the unit
+    on the begin; anything else is not our range.  The unit must be
+    exactly the final character (strtod endptr == size-1 in the
+    reference).  serialise mirrors NumberRangeProcessor.
+    """
+
+    serialise: bool = False
+
+    def __call__(self, b: str, e: str) -> ast.Node | None:
+        num_b = num_e = None
+        b_has_unit = False
+        if b:
+            m = _NUM_RE.match(b)
+            if not m:
+                return None
+            num_b = float(m.group(0))
+            rest = b[m.end():]
+            if rest:
+                if rest not in _BYTE_UNITS:
+                    return None
+                num_b *= _BYTE_UNITS[rest]
+                b_has_unit = True
+        if e:
+            m = _NUM_RE.match(e)
+            if not m:
+                return None
+            num_e = float(m.group(0))
+            rest = e[m.end():]
+            if rest not in _BYTE_UNITS:
+                return None
+            num_e *= _BYTE_UNITS[rest]
+            if b and not b_has_unit:
+                num_b *= _BYTE_UNITS[rest]
+        elif b and not b_has_unit:
+            # fail case when the lower bound has no unit, e.g. "200.."
+            return None
         if self.serialise:
             from xapian_spark.ops.sortable import sortable_serialise
 
