@@ -280,6 +280,58 @@ def _cjk_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
     return idx
 
 
+# FLAG_WORD_BREAKS corpus: a-m -> Katakana (UAX#29 joins runs, WB13),
+# n-z -> Thai consonants (each its own WB999 segment, dictionary-less
+# default rules).  Segmentation of a translated word is therefore exactly
+# "split the ORIGINAL word around every n-z letter" — SQL-replayable.
+_KATA13 = "".join(chr(0x30A2 + i) for i in range(13))
+_THAI13 = "".join(chr(0x0E01 + i) for i in range(13))
+_WB26 = _KATA13 + _THAI13
+_WB_IDX_CACHE: dict[str, InvertedIndex] = {}
+
+
+def _wb_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    idx = _WB_IDX_CACHE.get(sf_dir)
+    if idx is None:
+        docs = _docs(spark, sf_dir).withColumn(
+            "wb_text",
+            F.translate(
+                F.lower(F.col("text")), "abcdefghijklmnopqrstuvwxyz", _WB26
+            ),
+        )
+        idx = build_index(
+            spark, docs, content_col="wb_text", docid_col="docid",
+            word_breaks=True,
+        )
+        persist_index(idx)
+        _WB_IDX_CACHE[sf_dir] = idx
+    return idx
+
+
+def _q_word_breaks(spark, sf_dir):
+    """FLAG_WORD_BREAKS end-to-end (queryparser.h:637; break_words,
+    termgenerator_internal.cc:136-172; lemony:574-586): the mixed
+    Katakana/Thai corpus indexes each UAX#29 word segment as one
+    positional token (Katakana runs join, Thai chars split), and the
+    query run parses to an AND of its segments at one position —
+    distinct from both FLAG_NGRAMS (unigrams+bigrams) and plain parsing
+    (whole run as one term), so the value-hash pins the word-break path.
+    """
+    from xapian_spark.query.parser import QueryParser
+
+    idx = _wb_index(spark, sf_dir)
+    wb_query = "dup".translate(
+        str.maketrans("abcdefghijklmnopqrstuvwxyz", _WB26)
+    )
+    node = QueryParser(word_breaks=True).parse_query(wb_query)
+    m = Planner(idx).plan(node)
+    return (
+        m.select("docid", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(10)
+    )
+
+
 def _q_cjk_ngram(spark, sf_dir):
     """CJK n-gram search (FLAG_NGRAMS, word-breaker.cc): the query run
     for 'dup' in the derived CJK corpus parses to the reference's
@@ -631,11 +683,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard": _search(ast.Wildcard("s", combiner="or")),
         # -- CJK n-gram word-breaking (word-breaker.cc, FLAG_NGRAMS)
         "cjk_ngram_search": _q_cjk_ngram,
+        # -- UAX#29 word segmentation (FLAG_WORD_BREAKS, queryparser.h:637)
+        "word_breaks_search": _q_word_breaks,
         # -- values / match-set ops (SURVEY §2.5, §2.7)
         "value_range": _search(
             ast.Filter(ast.Term("join"), ast.ValueRange("n_chars", 120, 360))
         ),
-        "matches_estimated": _q_matches_estimated,
         "allterms_page": _q_allterms_page,
         "sort_multi_key": _q_sort_multi_key,
         "date_range": _q_date_range,
@@ -682,6 +735,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "dedup_spans": _q_dedup_spans,
         "pl2_weight": _search(ast.Term("dup"), weight=PL2Weight),
+        # rotated below the window in r4 (ceded its slot to
+        # word_breaks_search); exactness pinned by
+        # tests/test_api.py::test_matches_estimated_exact
+        "matches_estimated": _q_matches_estimated,
     }
 
 
@@ -932,6 +989,67 @@ SELECT docid, score FROM (
         " WHERE n_chars BETWEEN 102.4 AND 307.2) "
         "GROUP BY docid"
     )
+    # FLAG_WORD_BREAKS: UAX#29 segmentation of the mixed Katakana/Thai
+    # corpus replayed on the ORIGINAL text — a translated word's segments
+    # are exactly the original word split around every n-z letter (a-m ->
+    # Katakana joins per WB13, n-z -> Thai splits per WB999), then
+    # translated.  Query = AND of the segments of translated 'dup'.
+    wb_terms = [
+        seg.translate(str.maketrans("abcdefghijklmnopqrstuvwxyz", _WB26))
+        for seg in ["d", "u", "p"]
+    ]
+    wb_term_list = ", ".join(f"'{t}'" for t in wb_terms)
+    q["word_breaks_search"] = f"""
+WITH words AS (
+  SELECT doc_id + 1 AS docid,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+segs AS (
+  SELECT docid,
+         unnest(list_filter(
+           string_split(regexp_replace(w, '([n-z])', '|\\1|', 'g'), '|'),
+           x -> x <> '')) AS seg
+  FROM words
+),
+wtoks AS (
+  SELECT docid,
+         translate(seg, 'abcdefghijklmnopqrstuvwxyz', '{_WB26}') AS term
+  FROM segs
+),
+wpost AS (SELECT term, docid, count(*) AS wdf FROM wtoks
+          GROUP BY term, docid),
+wdl AS (
+  SELECT d.doc_id + 1 AS docid, coalesce(t.doclen, 0) AS doclen
+  FROM documents d
+  LEFT JOIN (SELECT docid, count(*) AS doclen FROM wtoks GROUP BY docid) t
+    ON t.docid = d.doc_id + 1
+),
+wg AS (SELECT count(*) AS n, CAST(sum(doclen) AS DOUBLE) AS total FROM wdl),
+wtstat AS (SELECT term, count(*) AS tf FROM wpost GROUP BY term),
+wbm AS (
+  SELECT t.term,
+         (ln(CASE WHEN (g.n - t.tf + 0.5) / (t.tf + 0.5) < 2
+                  THEN (g.n - t.tf + 0.5) / (t.tf + 0.5) * 0.5 + 1
+                  ELSE (g.n - t.tf + 0.5) / (t.tf + 0.5) END) * 2.0)
+           AS termweight
+  FROM wtstat t, wg g
+),
+wsp AS (
+  SELECT p.docid, p.term,
+         b.termweight * (p.wdf / (1.0 * (greatest(l.doclen *
+           (1.0 / (g.total / g.n)), 0.5) * 0.5 + 0.5) + p.wdf)) AS sumpart
+  FROM wpost p
+  JOIN wdl l ON l.docid = p.docid
+  JOIN wbm b ON b.term = p.term
+  CROSS JOIN wg g
+)
+SELECT docid, score FROM (
+  SELECT docid, round(sum(sumpart), 6) AS score FROM wsp
+  WHERE term IN ({wb_term_list})
+  GROUP BY docid HAVING count(*) = {len(wb_terms)}
+) ORDER BY score DESC, docid LIMIT 10
+"""
     # DateRangeProcessor: 01/02/2020..31/10/2020 (D/M/Y) -> 20200201..20201031
     # over the derived YYYYMMDD date_val slot (same arithmetic as _docs)
     q["date_range"] = _topk_sql(

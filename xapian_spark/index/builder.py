@@ -124,6 +124,7 @@ def invert_arrow(
     stemmer=None,
     stem_strategy: str = "some",
     stop_mode: str = "all",
+    word_breaks: bool = False,
 ) -> DataFrame:
     """mapInArrow inverter: (keep_cols..., content) ->
     (keep_cols..., plist, doclen).
@@ -154,6 +155,8 @@ def invert_arrow(
     )
     # the vectorized path computes exactly invert_doc's default semantics,
     # so it only applies under default options
+    # (word_breaks doesn't gate vectorizability: the fast path only takes
+    # simple-class ASCII rows, which contain no unbroken-script runs)
     vectorizable = (
         mode == "xapian" and stemmer is None and stopwords is None
     )
@@ -229,7 +232,7 @@ def invert_arrow(
             entries, dl = invert_doc(
                 text or "", mode=mode, stopwords=stopwords,
                 stemmer=stemmer, strategy=stem_strategy,
-                stop_mode=stop_mode,
+                stop_mode=stop_mode, word_breaks=word_breaks,
             )
             for t, w, ps in entries:
                 terms.append(t)
@@ -581,6 +584,7 @@ def build_index(
     stemmer=None,
     stem_strategy: str = "some",
     stop_mode: str = "all",
+    word_breaks: bool = False,
 ) -> InvertedIndex:
     """Build the logical index tables from a corpus DataFrame.
 
@@ -613,6 +617,7 @@ def build_index(
         stemmer=stemmer,
         stem_strategy=stem_strategy,
         stop_mode=stop_mode,
+        word_breaks=word_breaks,
     )
 
     if prefix_fields:

@@ -108,6 +108,11 @@ class QueryParser:
     # 589-597; api_queryparser qp_default_prefix1 CJK goldens).  Divergence
     # by design: defaults ON to match the indexer's default.
     ngrams: bool = True
+    # FLAG_WORD_BREAKS (queryparser.h:637; queryparser.lemony:574-586): a
+    # run becomes an AND over its UAX#29 word segments at ONE position
+    # (see text/wordbreak.py).  Takes precedence over ngrams, like the
+    # reference's ICU path; must match the flag the index was built with.
+    word_breaks: bool = False
     # FLAG_PARTIAL (queryparser.h:528-556): treat the final word of the
     # query as a partially-typed term — OR of a most-frequent-limited
     # wildcard over the prefix and the word as normally parsed — for
@@ -439,7 +444,7 @@ class QueryParser:
         explicit_syn = text.startswith("~")
         if explicit_syn:
             text = text[1:]
-        if self.ngrams and not text.isascii():
+        if (self.ngrams or self.word_breaks) and not text.isascii():
             scan = list(_scan_tokens(text, ngrams=True))
             if any(k == "run" for k, _ in scan):
                 return self._ngram_node(text, scan, prefix)
@@ -497,10 +502,22 @@ class QueryParser:
                     subs.append(ast.Term(prefix + val, pos=self._next_pos()))
             else:
                 pos = self._next_pos()
-                grams = [
-                    ast.Term(prefix + g, pos=pos)
-                    for g, _uni in ngram_tokens(val)
-                ]
+                if self.word_breaks:
+                    # FLAG_WORD_BREAKS: AND of the run's UAX#29 word
+                    # segments, all at one position (lemony:574-586)
+                    from xapian_spark.text.wordbreak import word_tokens
+
+                    grams = [
+                        ast.Term(prefix + seg, pos=pos)
+                        for seg in word_tokens("".join(val))
+                    ]
+                else:
+                    grams = [
+                        ast.Term(prefix + g, pos=pos)
+                        for g, _uni in ngram_tokens(val)
+                    ]
+                if not grams:
+                    continue
                 subs.append(grams[0] if len(grams) == 1
                             else ast.And(tuple(grams)))
         if not subs:

@@ -36,15 +36,19 @@ import math
 
 from xapian_spark.text.tokenizer import (
     _is_wordchar,
+    is_unbroken_script,
     parse_terms,
 )
 
 SNIPPET_BACKGROUND_MODEL = 1
 SNIPPET_EXHAUSTIVE = 2  # accepted; selection is always exhaustive here
 SNIPPET_EMPTY_WITHOUT_MATCH = 4
+SNIPPET_WORD_BREAKS = 8  # mset.h:299-309; requires a word_breaks index
 
 
-def words_with_spans(text: str) -> list[tuple[int, int, str]]:
+def words_with_spans(
+    text: str, word_breaks: bool = False
+) -> list[tuple[int, int, str]]:
     """(start, end, normalized_term) for each word of *text*, using the
     index tokenizer: spans are maximal word-character runs (plus any
     in-word '.' / '+' / '#' the scanner consumes), the term is what
@@ -72,6 +76,23 @@ def words_with_spans(text: str) -> list[tuple[int, int, str]]:
         # trailing +/# suffixes (c++, c#) ARE part of the term
         while j < n and text[j] in "+#":
             j += 1
+        if word_breaks and any(
+            is_unbroken_script(ord(c)) for c in text[i:j]
+        ):
+            # SNIPPET_WORD_BREAKS: subdivide the span at UAX#29 word
+            # boundaries so highlights align with word-break index terms
+            # (break_words feeding the snippet scanner,
+            # termgenerator_internal.cc:815-830)
+            from xapian_spark.text.wordbreak import word_boundaries
+
+            seg_text = text[i:j]
+            b = word_boundaries(seg_text)
+            for s0, s1 in zip(b, b[1:]):
+                sub = parse_terms(seg_text[s0:s1])
+                if sub:
+                    out.append((i + s0, i + s1, sub[0]))
+            i = j
+            continue
         terms = parse_terms(text[i:j])
         if len(terms) == 1:
             out.append((i, j, terms[0]))
@@ -113,7 +134,9 @@ def snippet(
     background_freq/doccount: optional term->tf map for the background
     model's idf flavouring.
     """
-    words = words_with_spans(text)
+    words = words_with_spans(
+        text, word_breaks=bool(flags & SNIPPET_WORD_BREAKS)
+    )
     stems = stems or {}
     max_tw = max(
         [w for w in term_weights.values()] + [w for w in stems.values()] + [0.0]

@@ -161,6 +161,7 @@ class TermGenerator:
         self._stop_mode = "all"  # STOP_ALL default when a stopper is set
         self._termpos = 0
         self._max_word_length = 64  # the glass 64-byte key cap
+        self._word_breaks = False
 
     # -- configuration (termgenerator.h setters) --------------------------
 
@@ -195,16 +196,20 @@ class TermGenerator:
         """TermGenerator::set_flags (termgenerator.h:117-137): supported
         flags are "ngrams" (FLAG_NGRAMS — CJK/unbroken-script n-gram
         indexing, on by default in this engine's "xapian" mode and off in
-        "simple") and "cjk_ngram" (the pre-1.5 alias).  FLAG_SPELLING is
-        accepted and ignored: every indexed term is spelling-correctable
-        here (documented divergence, see Database.get_spelling_suggestion).
+        "simple"), "cjk_ngram" (the pre-1.5 alias), and "word_breaks"
+        (FLAG_WORD_BREAKS, queryparser.h:637 — unbroken-script runs
+        segmented by UAX#29 word-boundary rules instead of n-grams; see
+        text/wordbreak.py).  FLAG_SPELLING is accepted and ignored: every
+        indexed term is spelling-correctable here (documented divergence,
+        see Database.get_spelling_suggestion).
         """
-        known = {"ngrams", "cjk_ngram", "spelling"}
+        known = {"ngrams", "cjk_ngram", "spelling", "word_breaks"}
         bad = set(flags) - known
         if bad:
             raise ValueError(f"unknown TermGenerator flags: {sorted(bad)}")
         if "ngrams" in flags or "cjk_ngram" in flags:
             self._mode = "xapian"
+        self._word_breaks = "word_breaks" in flags
 
     def set_max_word_length(self, max_word_length: int) -> None:
         """TermGenerator::set_max_word_length (termgenerator.h:216-230):
@@ -238,6 +243,7 @@ class TermGenerator:
             stemmer=self._stemmer,
             strategy=self._strategy if self._stemmer else "none",
             stop_mode=self._stop_mode,
+            word_breaks=self._word_breaks,
         )
         if self._max_word_length < 64:
             entries = [

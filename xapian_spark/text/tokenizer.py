@@ -297,6 +297,7 @@ def tokenize_with_positions(
     mode: str = "xapian",
     stopwords: frozenset[str] | None = None,
     ngrams: bool = True,
+    word_breaks: bool = False,
 ) -> list[tuple[str, int | None]]:
     """(term, position) pairs; positions start at 1.
 
@@ -311,9 +312,30 @@ def tokenize_with_positions(
     FLAG_NGRAMS / $XAPIAN_CJK_NGRAM and defaults OFF; a multilingual
     100 TB corpus should be searchable out of the box, so we default ON
     (pass ngrams=False for reference-default behavior).
+
+    word_breaks: FLAG_WORD_BREAKS (queryparser.h:637; break_words,
+    termgenerator_internal.cc:136-172) — unbroken-script runs are
+    segmented by UAX#29 default word-boundary rules into positional word
+    tokens instead of n-grams (see text/wordbreak.py for the
+    dictionary-less scope note).  Takes precedence over ngrams, like the
+    reference's ICU path does.
     """
     if mode != "xapian":
         toks = [(t, True) for t in parse_terms_simple(text)]
+    elif word_breaks and not text.isascii():
+        from xapian_spark.text.wordbreak import word_tokens
+
+        toks = []
+        for kind, val in _scan_tokens(text, ngrams=True):
+            if kind == "w":
+                toks.append((val, True))
+            else:
+                # every segment of an unbroken run is positional, exactly
+                # like the reference's WordIterator tokens (break_words
+                # calls action(token, with_positions, ...))
+                toks.extend(
+                    (seg, True) for seg in word_tokens("".join(val))
+                )
     elif ngrams and not text.isascii():
         toks = []
         for kind, val in _scan_tokens(text, ngrams=True):
@@ -342,9 +364,12 @@ def tokenize_batch(
     texts: Iterable[str],
     mode: str = "xapian",
     stopwords: frozenset[str] | None = None,
+    word_breaks: bool = False,
 ) -> list[list[tuple[str, int]]]:
     return [
-        tokenize_with_positions(t or "", mode=mode, stopwords=stopwords)
+        tokenize_with_positions(
+            t or "", mode=mode, stopwords=stopwords, word_breaks=word_breaks
+        )
         for t in texts
     ]
 
@@ -373,6 +398,7 @@ def invert_doc(
     stemmer=None,
     strategy: str = "some",
     stop_mode: str = "all",
+    word_breaks: bool = False,
 ) -> tuple[list[tuple[str, int, list[int]]], int]:
     """Per-document termlist: -> ([(term, wdf, positions)], doclen).
 
@@ -393,7 +419,10 @@ def invert_doc(
     stopword list.
     """
     stream_stop = stopwords if stop_mode == "all" else None
-    toks = tokenize_with_positions(text or "", mode=mode, stopwords=stream_stop)
+    toks = tokenize_with_positions(
+        text or "", mode=mode, stopwords=stream_stop,
+        word_breaks=word_breaks,
+    )
     if stemmer is not None and strategy in ("all", "all_z"):
         pre = "Z" if strategy == "all_z" else ""
         toks = [(pre + stemmer(t), p) for t, p in toks]
