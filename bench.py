@@ -173,13 +173,18 @@ def run_ann(spark, sf_dir, k: int = 10, n_queries: int = 32):
     t0 = time.perf_counter()
     exact = topk_sets(cosine_topk(vecs, queries, k=k))
     exact_sec = time.perf_counter() - t0
+    recall_floor = 0.85
     results = {"n_vectors": n_vecs, "n_queries": n_queries, "k": k,
                "exact_sec": round(exact_sec, 3),
+               "recall_floor": recall_floor,
                "note": ("ivf sec includes k-means training (a real deployment "
                         "trains once and persists cell assignments); lsh uses "
-                        "corpus-adaptive plane count")}
+                        "corpus-adaptive plane count + multiprobe radius")}
+    # ivf: nprobe=8/16 cells is the recall>=floor operating point on this
+    # corpus (recall@10 0.75/0.85/0.91 at nprobe 4/6/8); at real scale
+    # n_cells grows ~sqrt(N) and the probed FRACTION shrinks accordingly
     for name, fn in (
-        ("ivf", lambda: ivf_cosine_topk(vecs, queries, k=k)),
+        ("ivf", lambda: ivf_cosine_topk(vecs, queries, k=k, nprobe=8)),
         ("lsh", lambda: lsh_cosine_topk(vecs, queries, k=k)),
     ):
         t0 = time.perf_counter()
@@ -189,9 +194,11 @@ def run_ann(spark, sf_dir, k: int = 10, n_queries: int = 32):
             len(approx.get(q, set()) & nb) / len(nb)
             for q, nb in exact.items()
         ]
+        recall = round(sum(recalls) / len(recalls), 3)
         results[name] = {
             "sec": round(sec, 3),
-            "recall_at_k": round(sum(recalls) / len(recalls), 3),
+            "recall_at_k": recall,
+            "floor_met": recall >= recall_floor,
         }
     vecs.unpersist()
     return results
