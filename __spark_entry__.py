@@ -616,22 +616,39 @@ def _q_embedding_near_dup(spark, sf_dir):
 def _q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing end-to-end: synthetic binary media table ->
     mapInPandas feature extraction -> flattened deterministic columns.
-    Uses decode="fake" (sha256-derived features) because that arithmetic
-    is SQL-reproducible, so the oracle hash-checks the whole pipeline;
-    decode="real" (PPM/WAV/Y4M codecs, resize, frame sampling) is
-    exercised by tests/test_ops.py."""
+    Two blocks union-ed so both decode paths sit in the driver check:
+
+    - decode="fake" rows (media_id 0-63): sha256-derived features whose
+      arithmetic is SQL-reproducible, hash-checking the whole pipeline.
+    - REAL PNG decode rows (media_id 1000+): synth_real_media's gradient
+      images round-tripped through the pure-stdlib PNG encoder/decoder
+      (zlib + all five row filters), reduced to integer per-channel pixel
+      sums the oracle recomputes from the gradient's closed form — a
+      byte-exact check of decode_png.  decode="real" for WAV/Y4M, resize
+      and frame sampling are exercised by tests/test_ops.py."""
     from xapian_spark.ops import multimodal
 
     media = multimodal.synth_media(spark, n=64)
     feats = multimodal.extract_features(media)
-    return feats.select(
+    fake = feats.select(
         "media_id",
         "kind",
-        "n_bytes",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
         F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
         F.round(F.element_at("feature", 2).cast("double"), 4).alias("f1"),
         F.round(F.element_at("feature", 16).cast("double"), 4).alias("f15"),
-    ).orderBy("media_id")
+    )
+    real = multimodal.synth_real_media(spark, n=48)
+    png = multimodal.image_pixel_sums(real.where(F.col("mime") == "image/png"))
+    png_rows = png.select(
+        (F.col("media_id") + F.lit(1000)).alias("media_id"),
+        F.lit("png").alias("kind"),
+        F.col("n_raw").alias("n_bytes"),
+        F.col("sum_r").cast("double").alias("f0"),
+        F.col("sum_g").cast("double").alias("f1"),
+        F.col("sum_b").cast("double").alias("f15"),
+    )
+    return fake.unionByName(png_rows).orderBy("media_id")
 
 
 # --------------------------------------------------------------------------
@@ -1071,7 +1088,10 @@ ORDER BY d.source ASC, d.n_chars DESC, docid LIMIT 10
 """
     )
     # multimodal plumbing: synth media + sha256-derived fake features are
-    # fully SQL-reproducible (same arithmetic as ops/multimodal.py)
+    # fully SQL-reproducible (same arithmetic as ops/multimodal.py); the
+    # png block replays synth_real_media's gradient images in closed form
+    # (R = x*255//(w-1), G = y*255//(h-1), B = (42+37*i)%256) so the
+    # engine's real decode_png must reproduce every pixel byte-exactly
     q["multimodal_features"] = """
 WITH m AS (
   SELECT i,
@@ -1082,12 +1102,36 @@ WITH m AS (
 ),
 f AS (SELECT i, kind, 32 * (4 + i % 7) AS n_bytes,
              sha256(payload_hex) AS h
-      FROM m)
-SELECT i AS media_id, kind, n_bytes,
+      FROM m),
+png AS (
+  SELECT i, 16 + (i % 8) * 4 AS w, 12 + (i % 5) * 4 AS h,
+         (42 + 37 * i) % 256 AS blue
+  FROM (SELECT unnest(generate_series(0, 47)) AS i)
+  WHERE i % 3 = 0 AND (i // 3) % 2 = 1
+),
+rsum AS (
+  SELECT p.i, sum((t.x * 255) // (p.w - 1)) AS s
+  FROM png p, LATERAL unnest(generate_series(0, p.w - 1)) AS t(x)
+  GROUP BY p.i
+),
+gsum AS (
+  SELECT p.i, sum((t.y * 255) // (p.h - 1)) AS s
+  FROM png p, LATERAL unnest(generate_series(0, p.h - 1)) AS t(y)
+  GROUP BY p.i
+)
+SELECT i AS media_id, kind, n_bytes::bigint AS n_bytes,
   round(('0x' || substr(h, 1, 2))::int / 255.0 * 2.0 - 1.0, 4) AS f0,
   round(('0x' || substr(h, 3, 2))::int / 255.0 * 2.0 - 1.0, 4) AS f1,
   round(('0x' || substr(h, 31, 2))::int / 255.0 * 2.0 - 1.0, 4) AS f15
-FROM f ORDER BY media_id
+FROM f
+UNION ALL
+SELECT 1000 + p.i AS media_id, 'png' AS kind,
+  (p.w * p.h * 3)::bigint AS n_bytes,
+  (p.h * rsum.s)::double AS f0,
+  (p.w * gsum.s)::double AS f1,
+  (p.w * p.h * p.blue)::double AS f15
+FROM png p JOIN rsum ON rsum.i = p.i JOIN gsum ON gsum.i = p.i
+ORDER BY media_id
 """
     # exact total match count (get_matches_estimated)
     q["matches_estimated"] = (

@@ -374,6 +374,38 @@ def test_multimodal_codecs_roundtrip():
     assert fps == 10 and (got == frames).all()
 
 
+def test_png_codec_roundtrip():
+    """Pure-stdlib PNG: every filter type, grey/RGB/RGBA, honest raises."""
+    import numpy as np
+    import pytest
+
+    from xapian_spark.ops.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    # each row filter type in isolation must unfilter exactly
+    for ft in range(5):
+        assert (decode_png(encode_png(rgb, filters=[ft])) == rgb).all()
+    # default cycling filters; grey and RGBA shapes
+    assert (decode_png(encode_png(rgb)) == rgb).all()
+    grey = rng.integers(0, 256, (9, 21), dtype=np.uint8)
+    assert (decode_png(encode_png(grey)) == grey).all()
+    rgba = rng.integers(0, 256, (8, 8, 4), dtype=np.uint8)
+    assert (decode_png(encode_png(rgba)) == rgba).all()
+    # 1-pixel edge case (Paeth/Sub with no left neighbour)
+    one = np.array([[[250, 0, 7]]], dtype=np.uint8)
+    assert (decode_png(encode_png(one, filters=[4])) == one).all()
+
+    with pytest.raises(ValueError):
+        decode_png(b"P6 not a png")
+    # unsupported corners raise the labeled NotImplementedError:
+    # forge a 16-bit-depth IHDR from a valid payload
+    payload = bytearray(encode_png(grey))
+    payload[8 + 8 + 8] = 16  # IHDR bit-depth byte
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(payload))
+
+
 def test_multimodal_real_decode(spark):
     """decode='real' end-to-end over genuine PPM/WAV/Y4M payloads."""
     from xapian_spark.ops.multimodal import (

@@ -8,12 +8,14 @@ Two decode paths:
   oracle can hash-check the full mapInPandas pipeline (this is the path
   the driver-contract ``multimodal_features`` entry uses).
 - ``decode="real"`` actually decodes the payload and computes signal-level
-  features — implemented from scratch for the container-free public
-  formats that need no codec library: PPM P6 images (netpbm), RIFF/WAV
+  features — implemented from scratch for the public formats decodable
+  with stdlib alone: PPM P6 images (netpbm), baseline PNG (zlib inflate
+  + the five row filters, 8-bit grey/RGB/RGBA non-interlaced), RIFF/WAV
   PCM audio (stdlib ``wave``), and YUV4MPEG2 video (the uncompressed
-  interchange format used by mjpegtools/ffmpeg).  Compressed formats
-  (PNG/JPEG/MP4) still raise NotImplementedError at the exact point a
-  codec (PIL/ffmpeg/soundfile) would plug in — this container ships none.
+  interchange format used by mjpegtools/ffmpeg).  Formats needing a real
+  codec library (JPEG/MP4, and PNG's palette/16-bit/interlaced corners)
+  still raise NotImplementedError at the exact point PIL/ffmpeg would
+  plug in — this container ships none.
 
 ``synth_real_media`` generates genuine PPM/WAV/Y4M payloads so the real
 path is testable end-to-end; ``resize_images`` and ``sample_frames`` are
@@ -25,6 +27,7 @@ from __future__ import annotations
 import hashlib
 import io
 import wave
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -126,6 +129,140 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return raster.reshape(h, w, 3)
 
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        len(data).to_bytes(4, "big")
+        + ctype
+        + data
+        + zlib.crc32(ctype + data).to_bytes(4, "big")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG spec Paeth predictor (left a, above b, upper-left c)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(img: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """Baseline PNG encoder, pure stdlib zlib (PNG spec, RFC 2083):
+    8-bit greyscale (h, w), RGB (h, w, 3) or RGBA (h, w, 4), non-
+    interlaced, one IDAT.  ``filters`` picks the per-row filter type
+    (0-4); the default cycles row % 5 so a round-trip exercises every
+    unfilter path (None/Sub/Up/Average/Paeth) — a production encoder
+    would pick per-row minimum-sum-of-absolutes instead."""
+    assert img.dtype == np.uint8
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    raw = img.reshape(h, w * ch).astype(np.int16)
+    prev = np.zeros(w * ch, np.int16)
+    out = []
+    for r in range(h):
+        ft = filters[r % len(filters)] if filters else r % 5
+        row = raw[r]
+        left = np.concatenate([np.zeros(ch, np.int16), row[:-ch]])
+        up = prev
+        upleft = np.concatenate([np.zeros(ch, np.int16), prev[:-ch]])
+        if ft == 0:
+            enc = row
+        elif ft == 1:
+            enc = row - left
+        elif ft == 2:
+            enc = row - up
+        elif ft == 3:
+            enc = row - (left + up) // 2
+        else:
+            pred = np.fromiter(
+                (_paeth(int(a), int(b), int(c))
+                 for a, b, c in zip(left, up, upleft)),
+                np.int16, count=w * ch,
+            )
+            enc = row - pred
+        out.append(bytes([ft]) + (enc % 256).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Baseline PNG decoder, pure stdlib zlib: 8-bit depth, colour types
+    0 (grey), 2 (RGB), 6 (RGBA), non-interlaced; all five row filters
+    (the part a naive decoder gets wrong).  Returns (h, w) uint8 for
+    grey, else (h, w, channels).  Palette / 16-bit / interlaced PNGs
+    raise — this is the honestly-labeled in-container baseline; plug a
+    real codec (PIL) in for the full format."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos < len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    if depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={color_type} "
+            f"interlace={interlace}: only 8-bit grey/RGB/RGBA "
+            "non-interlaced decode in-container — plug a codec in here"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[color_type]
+    stride = w * ch
+    flat = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if flat.size != h * (stride + 1):
+        raise ValueError("bad IDAT payload size")
+    rows = flat.reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.int32)
+    for r in range(h):
+        ft, row = int(rows[r, 0]), rows[r, 1:].astype(np.int32)
+        prev = out[r - 1] if r else np.zeros(stride, np.int32)
+        if ft == 0:
+            out[r] = row
+        elif ft == 2:
+            out[r] = (row + prev) % 256
+        elif ft in (1, 3, 4):
+            cur = out[r]
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + prev[i]) // 2
+                else:
+                    pred = _paeth(a, int(prev[i]),
+                                  int(prev[i - ch]) if i >= ch else 0)
+                cur[i] = (row[i] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+    img = out.astype(np.uint8)
+    return img.reshape(h, w) if ch == 1 else img.reshape(h, w, ch)
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     """Mono 16-bit PCM RIFF/WAV from an int16 sample array (stdlib wave)."""
     assert samples.dtype == np.int16
@@ -211,7 +348,16 @@ def synth_real_media(spark, n: int = 48, seed: int = 42) -> DataFrame:
                 ],
                 axis=-1,
             )
-            rows.append((i, kind, "image/x-portable-pixmap", w, h, None, encode_ppm(rgb)))
+            # alternate PPM / PNG so both real image decoders are
+            # exercised end-to-end (PNG's default filter choice cycles
+            # all five row filters)
+            if (i // 3) % 2:
+                rows.append((i, kind, "image/png", w, h, None, encode_png(rgb)))
+            else:
+                rows.append(
+                    (i, kind, "image/x-portable-pixmap", w, h, None,
+                     encode_ppm(rgb))
+                )
         elif kind == "audio":
             rate, dur_ms = 8000, 250 + (i % 8) * 125
             freq = 200.0 + 50.0 * (i % 12)
@@ -249,7 +395,14 @@ def _real_feature(kind: str, payload: bytes, dim: int) -> list[float]:
               8-bin histogram of the first frame
     """
     if kind == "image":
-        img = decode_ppm(payload).astype(np.float32) / 255.0
+        raw = (
+            decode_png(payload)
+            if payload[:8] == b"\x89PNG\r\n\x1a\n"
+            else decode_ppm(payload)
+        )
+        if raw.ndim == 2:  # grey -> 3-channel
+            raw = np.repeat(raw[:, :, None], 3, axis=2)
+        img = raw[:, :, :3].astype(np.float32) / 255.0  # RGBA: ignore alpha
         luma = img @ np.array([0.299, 0.587, 0.114], np.float32)
         hist = np.histogram(luma, bins=8, range=(0.0, 1.0))[0]
         vec = (
@@ -308,12 +461,15 @@ def extract_features(
                     # container-free formats only; anything else needs a
                     # codec library this container doesn't ship
                     if not (
-                        p[:2] == b"P6" or p[:4] == b"RIFF" or p[:9] == b"YUV4MPEG2"
+                        p[:2] == b"P6"
+                        or p[:8] == b"\x89PNG\r\n\x1a\n"
+                        or p[:4] == b"RIFF"
+                        or p[:9] == b"YUV4MPEG2"
                     ):
                         raise NotImplementedError(
-                            "real decode of compressed formats (PNG/JPEG/MP4) "
-                            "requires PIL/ffmpeg/soundfile; only PPM/WAV/Y4M "
-                            "decode in-container — plug a codec in here"
+                            "real decode of JPEG/MP4 requires PIL/ffmpeg/"
+                            "soundfile; only PPM/PNG/WAV/Y4M decode "
+                            "in-container — plug a codec in here"
                         )
                     feats.append(_real_feature(kind, p, dim))
             else:
@@ -332,6 +488,49 @@ def extract_features(
     return media.mapInPandas(_extract, FEATURE_SCHEMA)
 
 
+PIXEL_SUM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_raw", T.LongType()),  # decoded bytes: h * w * 3
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def image_pixel_sums(media: DataFrame) -> DataFrame:
+    """Byte-exact decode check: per-channel pixel sums of REAL-decoded
+    images (PNG or PPM rows; other kinds dropped).  Integer outputs make
+    this oracle-verifiable to the last bit — the driver's closed-form SQL
+    recomputes the sums from the synthetic gradient definition, so any
+    decode error (a wrong unfilter, an off-by-one stride) flips the hash."""
+
+    def _sums(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("media_id", "n_raw", "sum_r", "sum_g", "sum_b")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(p)
+                if p[:8] == b"\x89PNG\r\n\x1a\n":
+                    img = decode_png(p)
+                elif p[:2] == b"P6":
+                    img = decode_ppm(p)
+                else:
+                    continue
+                if img.ndim == 2:
+                    img = np.repeat(img[:, :, None], 3, axis=2)
+                img = img[:, :, :3]
+                s = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                rows["media_id"].append(mid)
+                rows["n_raw"].append(int(img.size))
+                rows["sum_r"].append(int(s[0]))
+                rows["sum_g"].append(int(s[1]))
+                rows["sum_b"].append(int(s[2]))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_sums, PIXEL_SUM_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -343,18 +542,25 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
-    """Real image resize over the binary column: decode PPM, area-style
-    nearest-index downsample with numpy fancy indexing, re-encode PPM.
-    Non-PPM rows are dropped (a production pipeline routes by mime)."""
+    """Real image resize over the binary column: decode PPM or PNG,
+    area-style nearest-index downsample with numpy fancy indexing,
+    re-encode PPM.  Other formats are dropped (a production pipeline
+    routes by mime)."""
 
     def _resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, payloads = [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 p = bytes(p)
-                if p[:2] != b"P6":
+                if p[:8] == b"\x89PNG\r\n\x1a\n":
+                    img = decode_png(p)
+                    if img.ndim == 2:
+                        img = np.repeat(img[:, :, None], 3, axis=2)
+                    img = np.ascontiguousarray(img[:, :, :3])
+                elif p[:2] == b"P6":
+                    img = decode_ppm(p)
+                else:
                     continue
-                img = decode_ppm(p)
                 h, w = img.shape[:2]
                 ri = np.arange(out_h) * h // out_h
                 ci = np.arange(out_w) * w // out_w
