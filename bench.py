@@ -57,9 +57,10 @@ def build_timed(spark, sf_dir):
     t0 = time.perf_counter()
     idx = build_index(spark, docs, content_col="text", docid_col="docid")
     persist_index(idx)
-    # force materialization of every index table
+    # force materialization of every index table + the (lazy) global stats
     idx.postings.count()
     idx.term_stats.count()
+    _ = idx.stats.average_length
     build_sec = time.perf_counter() - t0
     return idx, n_docs, build_sec
 
@@ -334,6 +335,7 @@ def main():
     aidx = build_index(spark, amp, content_col="text", docid_col="docid")
     persist_index(aidx)
     aidx.term_stats.count()
+    _ = aidx.stats.average_length
     amp_sec = time.perf_counter() - t0
     result["build_amplified_docs"] = n_amp
     result["build_amplified_sec"] = round(amp_sec, 3)

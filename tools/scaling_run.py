@@ -86,8 +86,11 @@ def one_level(cores: int) -> dict:
         idx = build_index(spark, docs, content_col="text", docid_col="docid")
         persist_index(idx)
         # one action materializes postings cache AND term stats (the cache
-        # populates as a side effect of computing its dependents)
+        # populates as a side effect of computing its dependents); the
+        # global-stats agg is lazy since the fixed-cost shave — touch it
+        # inside the measured region to stay comparable with prior rounds
         idx.term_stats.count()
+        _ = idx.stats.average_length
         build_secs.append(time.perf_counter() - t0)
 
     import random

@@ -381,7 +381,7 @@ class Database:
             postings=postings,
             doclens=doclens,
             term_stats=term_stats,
-            stats=GlobalStats(
+            _stats=GlobalStats(
                 doccount=sum(s.doccount for s in sts),
                 total_doclen=sum(s.total_doclen for s in sts),
                 doclen_lower_bound=min(s.doclen_lower_bound for s in sts),

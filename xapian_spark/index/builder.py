@@ -308,7 +308,11 @@ class InvertedIndex:
     postings:   (term, docid, wdf, doclen, positions array<int>)
     doclens:    (docid, doclen, uniqterms)
     term_stats: (term, tf, cf, wdf_max)
-    stats:      GlobalStats
+    _stats:     GlobalStats, or None to compute lazily from doclens on
+                first access (via the ``stats`` property) — build_index
+                stays action-free so the first real job (usually the
+                term-stats materialization) pays the inversion exactly
+                once instead of across two job barriers
     docs:       original corpus with docid (the `docdata` analogue)
     blocked:    optional blocked postings table (see merge.py)
     """
@@ -317,7 +321,7 @@ class InvertedIndex:
     postings: DataFrame
     doclens: DataFrame
     term_stats: DataFrame
-    stats: GlobalStats
+    _stats: GlobalStats | None
     docs: DataFrame
     tokenizer_mode: str = "xapian"
     blocked: DataFrame | None = None
@@ -332,6 +336,31 @@ class InvertedIndex:
         # the stats job for already-seen terms (the reference keeps these hot
         # in the version file / B-tree cache for the same reason).
         self._ts_cache: dict[str, TermStats] = {}
+
+    @property
+    def stats(self) -> GlobalStats:
+        """Collection-wide stats (glass_version.h:127-273), computed lazily
+        from doclens on first access.  Read paths that know the stats from
+        stored metadata pass them in; build_index defers so its first
+        materializing action runs the inversion once."""
+        if self._stats is None:
+            row = self.doclens.agg(
+                F.count(F.lit(1)).alias("doccount"),
+                F.coalesce(F.sum("doclen"), F.lit(0)).alias("total_doclen"),
+                F.coalesce(F.min("doclen"), F.lit(0)).alias("doclen_lb"),
+                F.coalesce(F.max("doclen"), F.lit(0)).alias("doclen_ub"),
+            ).collect()[0]
+            self._stats = GlobalStats(
+                doccount=row["doccount"],
+                total_doclen=row["total_doclen"],
+                doclen_lower_bound=row["doclen_lb"],
+                doclen_upper_bound=row["doclen_ub"],
+            )
+        return self._stats
+
+    @stats.setter
+    def stats(self, value: GlobalStats | None) -> None:
+        self._stats = value
 
     def collect_term_stats(self, terms: list[str]) -> dict[str, TermStats]:
         """Driver-side stats for a (small) query-term set — the analogue of
@@ -572,6 +601,39 @@ def assign_docids(
     return stamped
 
 
+def _right_size(df: DataFrame, target_bytes: int = 64 << 20) -> DataFrame:
+    """Coalesce a many-tiny-partitions input before the Arrow pass.
+
+    Each mapInArrow task pays a fixed JVM<->Python round-trip cost
+    (worker handshake, Arrow stream setup/flush) that measured ~8 ms/task
+    regardless of task size — an input split into 4 MB partitions spends
+    more wall time on IPC setup than on tokenizing (a 1M-doc build's noop
+    round-trip: 2.4 s at 256 partitions vs 0.8 s at 64, same bytes).  At
+    cluster scale healthy inputs already carry 128-256 MB per split
+    (spark.sql.files.maxPartitionBytes), so this only rewrites degenerate
+    layouts: if the optimizer's size estimate says partitions average well
+    under ``target_bytes``, coalesce (no shuffle) down to the byte-derived
+    count, floored at 2x defaultParallelism to keep every core busy with
+    scheduling headroom.  Unknown/absurd size estimates leave the input
+    untouched."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    n = df.rdd.getNumPartitions()
+    if n <= 2 * par:
+        return df
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return df
+    # 1 PB cap guards the "unknown" sentinel (Long.MaxValue-ish estimates)
+    if size <= 0 or size > (1 << 50) or size >= n * target_bytes:
+        return df
+    want = max(2 * par, -(-size // target_bytes))
+    return df.coalesce(want) if want < n else df
+
+
 def build_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -609,7 +671,7 @@ def build_index(
     # reference also pays I/O: term-major layout + per-term stats.
     pf_cols = list(prefix_fields.keys()) if prefix_fields else []
     termlists = invert_arrow(
-        docs.select("docid", *pf_cols, content_col),
+        _right_size(docs.select("docid", *pf_cols, content_col)),
         content_col,
         keep_cols=["docid", *pf_cols],
         mode=mode,
@@ -676,25 +738,17 @@ def build_index(
         F.max("wdf").cast("int").alias("wdf_max"),
     )
 
-    row = doclens.agg(
-        F.count(F.lit(1)).alias("doccount"),
-        F.coalesce(F.sum("doclen"), F.lit(0)).alias("total_doclen"),
-        F.coalesce(F.min("doclen"), F.lit(0)).alias("doclen_lb"),
-        F.coalesce(F.max("doclen"), F.lit(0)).alias("doclen_ub"),
-    ).collect()[0]
-    stats = GlobalStats(
-        doccount=row["doccount"],
-        total_doclen=row["total_doclen"],
-        doclen_lower_bound=row["doclen_lb"],
-        doclen_upper_bound=row["doclen_ub"],
-    )
-
+    # Global stats are NOT collected here: build_index runs zero jobs, so
+    # the caller's first materializing action (typically the term-stats
+    # cache fill) pays the inversion in ONE job instead of two barriers —
+    # part of the measured Amdahl fixed-cost shave (BASELINE.md).  The
+    # stats property computes them from the (by then warm) doclens cache.
     return InvertedIndex(
         spark=spark,
         postings=postings,
         doclens=doclens,
         term_stats=term_stats,
-        stats=stats,
+        _stats=None,
         docs=docs,
         tokenizer_mode=mode,
         termlists=termlists,
@@ -746,7 +800,7 @@ def read_index(spark: SparkSession, path: str) -> InvertedIndex:
         doclens=spark.read.parquet(os.path.join(path, "doclens")),
         term_stats=spark.read.parquet(os.path.join(path, "term_stats")),
         docs=spark.read.parquet(os.path.join(path, "docs")),
-        stats=GlobalStats(
+        _stats=GlobalStats(
             doccount=m["doccount"],
             total_doclen=m["total_doclen"],
             doclen_lower_bound=m["doclen_lower_bound"],

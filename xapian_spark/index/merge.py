@@ -651,7 +651,7 @@ def read_warehouse(spark: SparkSession, path: str) -> InvertedIndex:
         postings=postings,
         doclens=doclens,
         term_stats=term_stats,
-        stats=stats,
+        _stats=stats,
         docs=docs,
         tokenizer_mode=m.get("tokenizer_mode", "xapian"),
         blocked=blocked,
