@@ -106,3 +106,96 @@ def kmeans(
     out = assigned_df(cents).select("id", "cluster", "dist")
     v.unpersist()
     return out
+
+
+def lcd_cluster(
+    mset: DataFrame,
+    k: int,
+    id_col: str = "docid",
+    weight_col: str = "score",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """LCD clustering of a ranked result set (`cluster/lcd_clusterer.cc:
+    64-154`): greedy equal-size partition for result diversification.
+
+    Semantics preserved from the reference:
+    - k_ = min(k, size); cluster sizes split so that the FIRST
+      ``n = k_ - size % k_`` clusters get ``x - 1`` points and the rest
+      ``x = size // k_ + 1`` (lcd_clusterer.cc:96-101).
+    - The first cluster center is the highest-weight result; each round
+      takes the ``num_points - 1`` NEAREST remaining points by cosine
+      distance ``1 - ip / sqrt(|a||b|)`` (cosine_sim.cc:40-61, including
+      the zero-magnitude -> 0.0 quirk, which sorts such points nearest),
+      then the FARTHEST remaining point becomes the next center.
+    - Cluster ids are 1-based construction order, so cluster 1 always
+      contains the top result.
+
+    Divergence: std::sort on equal distances is unspecified in the
+    reference; here ties keep descending-weight order (deterministic).
+
+    Scale shape: like the reference, this runs over an MSet — a top-k
+    RESULT page, not the corpus — so the greedy O(size^2) loop happens
+    driver-side in NumPy on k-bounded collected rows (same pattern as
+    ops/diversify.py's GLS re-rank).  Corpus-scale clustering is kmeans()
+    above; LCD is a post-retrieval diversification step.
+
+    Returns (id_col, weight_col, cluster).
+    """
+    if k <= 0:
+        raise ValueError("k must be > 0 (lcd_clusterer.cc:52-55)")
+    rows = mset.select(
+        F.col(id_col).alias("id"),
+        F.col(weight_col).cast("double").alias("weight"),
+        F.col(vec_col).alias("vec"),
+    ).orderBy(F.desc("weight"), F.asc("id")).collect()
+    size = len(rows)
+    spark = mset.sparkSession
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(weight_col, T.DoubleType()),
+            T.StructField("cluster", T.IntegerType()),
+        ]
+    )
+    if size == 0:
+        return spark.createDataFrame([], out_schema)
+
+    ids = [r["id"] for r in rows]
+    weights = [r["weight"] for r in rows]
+    vecs = np.array([[float(x) for x in r["vec"]] for r in rows], np.float64)
+    mags = (vecs * vecs).sum(axis=1)  # Point::get_magnitude (squared norm)
+
+    k_ = min(k, size)
+    n_small = k_ - size % k_
+    x = size // k_ + 1
+
+    remaining = list(range(size))  # descending-weight order
+    center = remaining[0]
+    assign = {}
+    for cnum in range(1, k_ + 1):
+        num_points = (x - 1) if cnum <= n_small else x
+        others = [i for i in remaining if i != center]
+        if others:
+            ip = vecs[others] @ vecs[center]
+            denom = np.sqrt(mags[others] * mags[center])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                dist = np.where(denom > 0.0, 1.0 - ip / denom, 0.0)
+            # stable sort keeps descending-weight order on distance ties
+            order = np.argsort(dist, kind="stable")
+        else:
+            order = np.array([], np.int64)
+        take = [others[j] for j in order[: num_points - 1]]
+        for i in take:
+            assign[ids[i]] = cnum
+        assign[ids[center]] = cnum
+        if cnum == k_:
+            break
+        taken = set(take) | {center}
+        remaining = [i for i in remaining if i not in taken]
+        # farthest remaining point from the departing center
+        center = others[order[-1]]
+
+    return spark.createDataFrame(
+        [(ids[i], weights[i], assign[ids[i]]) for i in range(size)],
+        out_schema,
+    )
