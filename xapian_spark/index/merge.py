@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from xapian_spark.index.blocks import DEFAULT_BLOCK, pack_blocks_udf
-from xapian_spark.index.builder import InvertedIndex, invert_arrow
+from xapian_spark.index.builder import InvertedIndex, _right_size, invert_arrow
 from xapian_spark.ranking.weights import GlobalStats, TermStats
 
 
@@ -92,7 +92,11 @@ def build_warehouse(
             F.sha2(F.col(content_col).cast("binary"), 256),
         )
         tl = invert_arrow(
-            src.select("docid", "content_sha256", *pf_cols, content_col),
+            # same degenerate-layout guard as build_index: per-task Arrow
+            # round-trip overhead dominates many-tiny-partitions inputs
+            _right_size(
+                src.select("docid", "content_sha256", *pf_cols, content_col)
+            ),
             content_col,
             keep_cols=["docid", "content_sha256", *pf_cols],
             mode=mode,
