@@ -35,5 +35,8 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep stdout/stderr clean: stage progress bars pollute the merged
+        # output the bench driver tails for its one-line JSON result
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
