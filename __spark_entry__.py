@@ -625,7 +625,12 @@ def _q_multimodal_features(spark, sf_dir):
       (zlib + all five row filters), reduced to integer per-channel pixel
       sums the oracle recomputes from the gradient's closed form — a
       byte-exact check of decode_png.  decode="real" for WAV/Y4M, resize
-      and frame sampling are exercised by tests/test_ops.py."""
+      and frame sampling are exercised by tests/test_ops.py.
+    - REAL JPEG decode rows (media_id 2000+): flat-tile grayscale images
+      through the from-scratch baseline JPEG codec (ops/jpeg.py: Huffman
+      + IDCT per ITU-T T.81, restart markers on odd fixtures) with unit
+      quant tables, so the decode is byte-exact and the oracle recomputes
+      the pixel sums from the tile grid's closed form."""
     from xapian_spark.ops import multimodal
 
     media = multimodal.synth_media(spark, n=64)
@@ -648,7 +653,16 @@ def _q_multimodal_features(spark, sf_dir):
         F.col("sum_g").cast("double").alias("f1"),
         F.col("sum_b").cast("double").alias("f15"),
     )
-    return fake.unionByName(png_rows).orderBy("media_id")
+    jpg = multimodal.image_pixel_sums(multimodal.synth_jpeg_media(spark, n=8))
+    jpg_rows = jpg.select(
+        (F.col("media_id") + F.lit(2000)).alias("media_id"),
+        F.lit("jpeg").alias("kind"),
+        F.col("n_raw").alias("n_bytes"),
+        F.col("sum_r").cast("double").alias("f0"),
+        F.col("sum_g").cast("double").alias("f1"),
+        F.col("sum_b").cast("double").alias("f15"),
+    )
+    return fake.unionByName(png_rows).unionByName(jpg_rows).orderBy("media_id")
 
 
 # --------------------------------------------------------------------------
@@ -1118,6 +1132,19 @@ gsum AS (
   SELECT p.i, sum((t.y * 255) // (p.h - 1)) AS s
   FROM png p, LATERAL unnest(generate_series(0, p.h - 1)) AS t(y)
   GROUP BY p.i
+),
+jpg AS (
+  SELECT i, 2 + i % 3 AS txn, 1 + i % 4 AS tyn
+  FROM (SELECT unnest(generate_series(0, 7)) AS i)
+),
+jsum AS (
+  -- flat-tile grayscale JPEG: tile (ty, tx) = (42 + 13i + 29ty + 53tx) % 256,
+  -- 64 pixels per tile; grayscale expands to 3 equal channels
+  SELECT j.i, sum(64 * ((42 + 13 * j.i + 29 * t2.ty + 53 * t1.tx) % 256)) AS s
+  FROM jpg j,
+       LATERAL unnest(generate_series(0, j.txn - 1)) AS t1(tx),
+       LATERAL unnest(generate_series(0, j.tyn - 1)) AS t2(ty)
+  GROUP BY j.i
 )
 SELECT i AS media_id, kind, n_bytes::bigint AS n_bytes,
   round(('0x' || substr(h, 1, 2))::int / 255.0 * 2.0 - 1.0, 4) AS f0,
@@ -1131,6 +1158,11 @@ SELECT 1000 + p.i AS media_id, 'png' AS kind,
   (p.w * gsum.s)::double AS f1,
   (p.w * p.h * p.blue)::double AS f15
 FROM png p JOIN rsum ON rsum.i = p.i JOIN gsum ON gsum.i = p.i
+UNION ALL
+SELECT 2000 + j.i AS media_id, 'jpeg' AS kind,
+  (8 * j.txn * 8 * j.tyn * 3)::bigint AS n_bytes,
+  jsum.s::double AS f0, jsum.s::double AS f1, jsum.s::double AS f15
+FROM jpg j JOIN jsum ON jsum.i = j.i
 ORDER BY media_id
 """
     # exact total match count (get_matches_estimated)

