@@ -26,7 +26,14 @@ from pyspark.sql import functions as F
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="corpus parquet path")
+    ap.add_argument("--input", required=True,
+                    help="corpus source: a path (parquet/json/csv/text) or "
+                    "an Iceberg catalog table name (the production path)")
+    ap.add_argument("--format", default="auto",
+                    choices=["auto", "iceberg", "parquet", "json", "csv",
+                             "text"],
+                    help="corpus format; auto = iceberg for catalog names, "
+                    "else by file extension")
     ap.add_argument("--output", required=True, help="warehouse directory")
     ap.add_argument("--content-col", default="content")
     ap.add_argument("--id-col", default=None,
@@ -45,8 +52,11 @@ def main() -> None:
     spark = SparkSession.builder.appName("xapian-spark-build").getOrCreate()
     from xapian_spark.index import merge
     from xapian_spark.index.builder import assign_docids
+    from xapian_spark.io.sources import read_corpus
 
-    docs = spark.read.parquet(args.input)
+    docs = read_corpus(
+        spark, args.input, fmt=args.format, content_col=args.content_col
+    )
     if args.id_col:
         docs = docs.withColumn("docid", F.col(args.id_col).cast("long"))
     else:

@@ -78,6 +78,8 @@ def write_corpus(
     df: DataFrame, path: str, fmt: str = "parquet", partition_by: list[str] | None = None
 ) -> None:
     w = df.write.mode("overwrite")
+    if fmt == "csv":
+        w = w.option("header", "true")  # read_corpus reads with header
     if partition_by:
         w = w.partitionBy(*partition_by)
     getattr(w, fmt)(path)
