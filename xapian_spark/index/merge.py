@@ -73,11 +73,14 @@ def build_warehouse(
     n_ranges: int = 8,
     block_size: int = DEFAULT_BLOCK,
     stop_after_range: int | None = None,
+    concurrent_ranges: int = 4,
 ) -> None:
     """Build (or RESUME building) the on-disk index warehouse at `path`.
 
     stop_after_range: test hook — abort after committing that many stage-2
     ranges, simulating a mid-build failure for resumability tests.
+    concurrent_ranges: how many independent range-merge jobs to keep in
+    flight (see the stage-2 comment in _stages_1_to_3).
     """
     os.makedirs(path, exist_ok=True)
 
@@ -144,6 +147,7 @@ def build_warehouse(
     _stages_1_to_3(
         spark, path, mode=mode, n_ranges=n_ranges, block_size=block_size,
         stop_after_range=stop_after_range,
+        concurrent_ranges=concurrent_ranges,
     )
 
 
@@ -217,6 +221,7 @@ def _stages_1_to_3(
     n_ranges: int = 8,
     block_size: int = DEFAULT_BLOCK,
     stop_after_range: int | None = None,
+    concurrent_ranges: int = 4,
 ) -> None:
     """Stages 1-3 over an existing {path}/termlists table (used by the
     batch build and by streaming compaction, streaming/incremental.py)."""
@@ -282,25 +287,31 @@ def _stages_1_to_3(
             p = p & (F.col("term") < hi)
         return p
 
-    done_ranges = 0
-    for i in range(n_eff):
-        name = f"blocked_range_{i}"
-        if _done(path, name):
-            done_ranges += 1
-            continue
-        if stop_after_range is not None and done_ranges >= stop_after_range:
-            return
+    pending = [
+        i for i in range(n_eff) if not _done(path, f"blocked_range_{i}")
+    ]
+    # ranges are INDEPENDENT (disjoint term intervals, disjoint output
+    # dirs, one commit marker each), so pack several concurrently from a
+    # thread pool: Spark interleaves the jobs' task sets at task
+    # granularity, which (a) removes most of the n_ranges sequential job
+    # barriers that dominate small-corpus builds (measured: the barrier
+    # fixed cost was ~2/3 of a 1M-doc warehouse wall) and (b) on a big
+    # cluster keeps executors busy through each range's stats/commit tail
+    # instead of idling between jobs.  Resumability is unchanged — a
+    # killed build re-enters with the committed ranges skipped.
+    concurrency = max(1, min(concurrent_ranges, len(pending) or 1))
+    # per-range packing parallelism: concurrency x pack_parts ~ one full
+    # wave of the session's shuffle parallelism
+    pack_parts = max(
+        4,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32") or "32")
+        // concurrency,
+    )
+
+    def _pack_range(i: int) -> None:
         t0 = time.perf_counter()
         part = runs.where(range_pred(i)).select(
             "term", "docid", "wdf", "doclen"
-        )
-        # size the per-range packing parallelism from the session config
-        # (scaled down: n_ranges jobs run back to back) — a hard-coded
-        # 4-way split would serialize the heaviest stage on a big cluster
-        pack_parts = max(
-            4,
-            int(spark.conf.get("spark.sql.shuffle.partitions", "32") or "32")
-            // max(1, n_ranges // 2),
         )
         blocked = (
             part.repartitionByRange(pack_parts, "term", "docid")
@@ -318,7 +329,7 @@ def _stages_1_to_3(
             F.min("term").alias("min_term"),
             F.max("term").alias("max_term"),
         ).collect()[0]
-        _commit(path, name, {
+        _commit(path, f"blocked_range_{i}", {
             "stage": 2, "range": i,
             "bounds": [marks[i - 1] if i > 0 else None,
                        marks[i] if i < len(marks) else None],
@@ -327,7 +338,23 @@ def _stages_1_to_3(
             "max_term": stats_row["max_term"],
             "elapsed_sec": round(time.perf_counter() - t0, 3),
         })
-        done_ranges += 1
+
+    if stop_after_range is not None:
+        # kill/resume test hook: deterministic commit ORDER requires the
+        # sequential path ("abort after N commits" is ill-defined when
+        # several ranges are in flight)
+        done_ranges = n_eff - len(pending)
+        for i in pending:
+            if done_ranges >= stop_after_range:
+                return
+            _pack_range(i)
+            done_ranges += 1
+    elif pending:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=concurrency) as ex:
+            for f in [ex.submit(_pack_range, i) for i in pending]:
+                f.result()
 
     # -- stage 3: stats tables ----------------------------------------------
     if not _done(path, "stats"):
