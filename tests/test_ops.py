@@ -398,12 +398,125 @@ def test_png_codec_roundtrip():
 
     with pytest.raises(ValueError):
         decode_png(b"P6 not a png")
-    # unsupported corners raise the labeled NotImplementedError:
-    # forge a 16-bit-depth IHDR from a valid payload
+    # illegal depth/colour-type combination (spec table 11.1) raises:
+    # forge depth=3 (never legal) into a valid payload's IHDR
     payload = bytearray(encode_png(grey))
-    payload[8 + 8 + 8] = 16  # IHDR bit-depth byte
-    with pytest.raises(NotImplementedError):
+    payload[8 + 8 + 8] = 3  # IHDR bit-depth byte
+    with pytest.raises(ValueError):
         decode_png(bytes(payload))
+
+
+def test_png_full_baseline_decode():
+    """Extended baseline decode: 16-bit, sub-8-bit grey, palette (+tRNS),
+    grey+alpha, Adam7 interlace — streams hand-built per the PNG spec."""
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from xapian_spark.ops.multimodal import _ADAM7, _png_chunk, decode_png
+
+    def png(w, h, depth, ctype, raw, interlace=0, extra=b""):
+        ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                + bytes([depth, ctype, 0, 0, interlace]))
+        return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr) + extra
+                + _png_chunk(b"IDAT", zlib.compress(raw))
+                + _png_chunk(b"IEND", b""))
+
+    def pack_rows(img2d, depth):
+        """(h, w) sample values -> filter-0 scanlines, MSB-first packed."""
+        out = bytearray()
+        for row in img2d:
+            bits = []
+            for v in row:
+                bits += [int(b) for b in format(int(v), f"0{depth}b")]
+            while len(bits) % 8:
+                bits.append(0)
+            out += b"\x00" + np.packbits(
+                np.array(bits, np.uint8)
+            ).tobytes()
+        return bytes(out)
+
+    rng = np.random.default_rng(11)
+
+    # -- 16-bit grey, filter 0 then a bytewise Up(2)-filtered row --------
+    g16 = rng.integers(0, 1 << 16, (2, 4), dtype=np.uint16)
+    r0 = g16[0].byteswap().tobytes()  # big-endian
+    r1 = g16[1].byteswap().tobytes()
+    up = bytes((c - p) % 256 for c, p in zip(r1, r0))
+    assert (
+        decode_png(png(4, 2, 16, 0, b"\x00" + r0 + b"\x02" + up))
+        == (g16 >> 8).astype(np.uint8)
+    ).all()
+
+    # -- 16-bit RGB, Sub(1) filter with bpp=6 ----------------------------
+    rgb16 = rng.integers(0, 1 << 16, (1, 3, 3), dtype=np.uint16)
+    line = rgb16[0].byteswap().tobytes()
+    sub = bytearray(line)
+    for i in range(len(line) - 1, 5, -1):
+        sub[i] = (line[i] - line[i - 6]) % 256
+    assert (
+        decode_png(png(3, 1, 16, 2, b"\x01" + bytes(sub)))
+        == (rgb16 >> 8).astype(np.uint8)
+    ).all()
+
+    # -- sub-8-bit grey rescales to the spec's sample-max ----------------
+    for depth, w in ((1, 9), (2, 3), (4, 5)):
+        vals = rng.integers(0, 1 << depth, (3, w), dtype=np.uint8)
+        got = decode_png(png(w, 3, depth, 0, pack_rows(vals, depth)))
+        assert (got == vals.astype(np.uint16) * 255
+                // ((1 << depth) - 1)).all()
+
+    # -- 4-bit palette, with and without tRNS alpha ----------------------
+    pal = rng.integers(0, 256, (6, 3), dtype=np.uint8)
+    idx = rng.integers(0, 6, (2, 5), dtype=np.uint8)
+    plte = _png_chunk(b"PLTE", pal.tobytes())
+    got = decode_png(png(5, 2, 4, 3, pack_rows(idx, 4), extra=plte))
+    assert (got == pal[idx]).all()
+    trns = _png_chunk(b"tRNS", bytes([10, 20, 30]))
+    got = decode_png(
+        png(5, 2, 4, 3, pack_rows(idx, 4), extra=plte + trns)
+    )
+    alpha = np.array([10, 20, 30, 255, 255, 255], np.uint8)
+    assert got.shape == (2, 5, 4)
+    assert (got[:, :, :3] == pal[idx]).all()
+    assert (got[:, :, 3] == alpha[idx]).all()
+    # palette index beyond PLTE raises
+    with pytest.raises(ValueError):
+        decode_png(png(5, 2, 4, 3, pack_rows(idx + 10, 4), extra=plte))
+
+    # -- grey+alpha (colour type 4) --------------------------------------
+    ga = rng.integers(0, 256, (3, 4, 2), dtype=np.uint8)
+    raw = b"".join(b"\x00" + ga[r].tobytes() for r in range(3))
+    assert (decode_png(png(4, 3, 8, 4, raw)) == ga).all()
+
+    # -- Adam7: 3x3 grey with the pass stream written out BY HAND --------
+    raw = (b"\x00\x01" + b"\x00\x03" + b"\x00\x07\x09"
+           + b"\x00\x02" + b"\x00\x08" + b"\x00\x04\x05\x06")
+    expect = np.arange(1, 10, dtype=np.uint8).reshape(3, 3)
+    assert (decode_png(png(3, 3, 8, 0, raw, interlace=1)) == expect).all()
+
+    # -- Adam7: random RGB via a spec-grid interlacer --------------------
+    img = rng.integers(0, 256, (10, 11, 3), dtype=np.uint8)
+    out = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx, :]
+        if sub.shape[0] and sub.shape[1]:
+            for r in range(sub.shape[0]):
+                out += b"\x00" + sub[r].tobytes()
+    assert (
+        decode_png(png(11, 10, 8, 2, bytes(out), interlace=1)) == img
+    ).all()
+
+    # -- Adam7 x sub-byte: 1-bit 5x5 (per-pass bit-padding interaction) --
+    bits = rng.integers(0, 2, (5, 5), dtype=np.uint8)
+    out = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = bits[y0::dy, x0::dx]
+        if sub.shape[0] and sub.shape[1]:
+            out += pack_rows(sub, 1)
+    got = decode_png(png(5, 5, 1, 0, bytes(out), interlace=1))
+    assert (got == bits * 255).all()
 
 
 def test_multimodal_real_decode(spark):

@@ -9,15 +9,15 @@ Two decode paths:
   the driver-contract ``multimodal_features`` entry uses).
 - ``decode="real"`` actually decodes the payload and computes signal-level
   features — implemented from scratch for the public formats decodable
-  with stdlib alone: PPM P6 images (netpbm), baseline PNG (zlib inflate
-  + the five row filters, 8-bit grey/RGB/RGBA non-interlaced), baseline
+  with stdlib alone: PPM P6 images (netpbm), full baseline PNG (zlib
+  inflate + the five row filters, every legal depth 1/2/4/8/16 x colour
+  type grey/RGB/palette+tRNS/grey+alpha/RGBA, Adam7 interlace), baseline
   JPEG (ops/jpeg.py: Huffman + IDCT per ITU-T T.81, grayscale/4:4:4/
   4:2:0, restart markers), RIFF/WAV PCM audio (stdlib ``wave``), and
   YUV4MPEG2 video (the uncompressed interchange format used by
-  mjpegtools/ffmpeg).  Formats needing a real codec library (MP4,
-  progressive/arithmetic JPEG, and PNG's palette/16-bit/interlaced
-  corners) still raise NotImplementedError at the exact point PIL/ffmpeg
-  would plug in — this container ships none.
+  mjpegtools/ffmpeg).  Formats needing a real codec library (MP4 and
+  progressive/arithmetic JPEG) still raise NotImplementedError at the
+  exact point PIL/ffmpeg would plug in — this container ships none.
 
 ``synth_real_media`` generates genuine PPM/WAV/Y4M payloads so the real
 path is testable end-to-end; ``resize_images`` and ``sample_frames`` are
@@ -201,44 +201,24 @@ def encode_png(img: np.ndarray, filters: list[int] | None = None) -> bytes:
     )
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """Baseline PNG decoder, pure stdlib zlib: 8-bit depth, colour types
-    0 (grey), 2 (RGB), 6 (RGBA), non-interlaced; all five row filters
-    (the part a naive decoder gets wrong).  Returns (h, w) uint8 for
-    grey, else (h, w, channels).  Palette / 16-bit / interlaced PNGs
-    raise — this is the honestly-labeled in-container baseline; plug a
-    real codec (PIL) in for the full format."""
-    if payload[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG payload")
-    pos, ihdr, idat = 8, None, []
-    while pos < len(payload):
-        ln = int.from_bytes(payload[pos : pos + 4], "big")
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + ln]
-        pos += 12 + ln  # length + type + data + crc
-        if ctype == b"IHDR":
-            ihdr = data
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
-    if ihdr is None or not idat:
-        raise ValueError("missing IHDR/IDAT")
-    w = int.from_bytes(ihdr[0:4], "big")
-    h = int.from_bytes(ihdr[4:8], "big")
-    depth, color_type, _comp, _filt, interlace = ihdr[8:13]
-    if depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
-        raise NotImplementedError(
-            f"PNG depth={depth} color_type={color_type} "
-            f"interlace={interlace}: only 8-bit grey/RGB/RGBA "
-            "non-interlaced decode in-container — plug a codec in here"
-        )
-    ch = {0: 1, 2: 3, 6: 4}[color_type]
-    stride = w * ch
-    flat = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
-    if flat.size != h * (stride + 1):
-        raise ValueError("bad IDAT payload size")
-    rows = flat.reshape(h, stride + 1)
+# Adam7 interlace pass grid: (x_start, y_start, x_step, y_step) per the
+# PNG spec's 8x8 pattern, in transmission order.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+# Valid (colour type -> bit depths) combinations, PNG spec table 11.1.
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo the five PNG row filters over h scanlines of `stride` bytes
+    (each preceded by its filter-type byte).  Filters operate on BYTES
+    with the left neighbour `bpp` bytes back (one whole pixel, min 1) —
+    the same logic serves every depth/colour-type combination."""
+    rows = raw.reshape(h, stride + 1)
     out = np.zeros((h, stride), np.int32)
     for r in range(h):
         ft, row = int(rows[r, 0]), rows[r, 1:].astype(np.int32)
@@ -250,19 +230,115 @@ def decode_png(payload: bytes) -> np.ndarray:
         elif ft in (1, 3, 4):
             cur = out[r]
             for i in range(stride):
-                a = cur[i - ch] if i >= ch else 0
+                a = cur[i - bpp] if i >= bpp else 0
                 if ft == 1:
                     pred = a
                 elif ft == 3:
                     pred = (a + prev[i]) // 2
                 else:
                     pred = _paeth(a, int(prev[i]),
-                                  int(prev[i - ch]) if i >= ch else 0)
+                                  int(prev[i - bpp]) if i >= bpp else 0)
                 cur[i] = (row[i] + pred) % 256
         else:
             raise ValueError(f"bad PNG filter type {ft}")
-    img = out.astype(np.uint8)
-    return img.reshape(h, w) if ch == 1 else img.reshape(h, w, ch)
+    return out.astype(np.uint8)
+
+
+def _png_samples(rows: np.ndarray, w: int, ch: int, depth: int) -> np.ndarray:
+    """Unfiltered scanline bytes (h, stride) -> sample array (h, w*ch) of
+    raw sample values (uint16 for 16-bit, else 0..2^depth-1)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * ch].astype(np.uint16)
+    if depth == 16:
+        return ((rows[:, 0::2].astype(np.uint16) << 8)
+                | rows[:, 1::2])[:, : w * ch]
+    # 1/2/4-bit: packed MSB-first, ch == 1 (grey or palette indices)
+    bits = np.unpackbits(rows, axis=1).reshape(h, -1, depth)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    return (bits * weights).sum(axis=2)[:, :w].astype(np.uint16)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Baseline PNG decoder, pure stdlib zlib (PNG spec / RFC 2083):
+    every legal depth (1/2/4/8/16 bit) x colour type (grey, RGB,
+    palette incl. tRNS alpha, grey+alpha, RGBA) x interlace method
+    (none, Adam7), all five row filters.  Returns uint8 arrays: (h, w)
+    for grey, else (h, w, channels); sub-8-bit grey is rescaled to
+    0..255 per the spec's sample-max (2^depth - 1) and 16-bit samples
+    take their high byte, so downstream feature code sees one dtype."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, plte, trns = 8, None, [], None, None
+    while pos < len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    if depth not in _PNG_DEPTHS.get(color_type, ()) or interlace not in (0, 1):
+        raise ValueError(
+            f"illegal PNG depth={depth} color_type={color_type} "
+            f"interlace={interlace}"
+        )
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    bpp = max(1, (ch * depth + 7) // 8)
+    flat = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+
+    samples = np.zeros((h, w, ch), np.uint16)
+    passes = ((0, 0, 1, 1),) if interlace == 0 else _ADAM7
+    off = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * ch * depth + 7) // 8
+        n = ph * (stride + 1)
+        if off + n > flat.size:
+            raise ValueError("bad IDAT payload size")
+        rows = _png_unfilter(flat[off : off + n], ph, stride, bpp)
+        off += n
+        samples[y0::dy, x0::dx, :] = _png_samples(
+            rows, pw, ch, depth
+        ).reshape(ph, pw, ch)
+    if off != flat.size:
+        raise ValueError("bad IDAT payload size")
+
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = samples[:, :, 0]
+        if idx.max(initial=0) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        if trns is not None:
+            alpha = np.full(pal.shape[0], 255, np.uint8)
+            a = np.frombuffer(trns, np.uint8)
+            alpha[: a.size] = a
+            return np.dstack([pal[idx], alpha[idx][:, :, None]])
+        return pal[idx]
+    if depth == 16:
+        img = (samples >> 8).astype(np.uint8)
+    elif depth < 8:  # grey only (type 0): rescale to full 8-bit range
+        img = (samples * 255 // ((1 << depth) - 1)).astype(np.uint8)
+    else:
+        img = samples.astype(np.uint8)
+    return img.reshape(h, w) if ch == 1 else img
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
