@@ -647,7 +647,9 @@ def _decode_scan(data, pos, frame, scan, qtables, huff, restart_interval):
                             zz[k] = _extend(br.read_bits(s), s)
                             k += 1
                         coef = np.zeros(64, np.float64)
-                        coef[ZIGZAG] = zz * qt
+                        # zz is zigzag-ordered; the raster-order table
+                        # entry for zigzag position k is qt[ZIGZAG[k]]
+                        coef[ZIGZAG] = zz * qt[ZIGZAG]
                         block = idct2(coef.reshape(8, 8)) + 128.0
                         y0 = (my * vs + v) * 8
                         x0 = (mx * hs + hh) * 8
