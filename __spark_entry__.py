@@ -627,10 +627,11 @@ def _q_multimodal_features(spark, sf_dir):
       byte-exact check of decode_png.  decode="real" for WAV/Y4M, resize
       and frame sampling are exercised by tests/test_ops.py.
     - REAL JPEG decode rows (media_id 2000+): flat-tile grayscale images
-      through the from-scratch baseline JPEG codec (ops/jpeg.py: Huffman
-      + IDCT per ITU-T T.81, restart markers on odd fixtures) with unit
-      quant tables, so the decode is byte-exact and the oracle recomputes
-      the pixel sums from the tile grid's closed form."""
+      through the from-scratch JPEG codec (ops/jpeg.py: Huffman + IDCT
+      per ITU-T T.81; fixture rotation covers baseline, baseline with
+      restart markers, and progressive SOF2 streams) with unit quant
+      tables, so the decode is byte-exact and the oracle recomputes the
+      pixel sums from the tile grid's closed form."""
     from xapian_spark.ops import multimodal
 
     media = multimodal.synth_media(spark, n=64)

@@ -84,11 +84,14 @@ class TestHuffman:
 
 class TestByteExact:
     def test_flat_tiles_roundtrip_exactly(self):
-        # even i: no restart; odd i: restart_interval=2 (RST resync + DC
-        # predictor reset under the same exactness check)
+        # fixture rotation: i%4==2 progressive SOF2; odd i baseline with
+        # restart_interval=2 (RST resync + DC predictor reset); rest plain
+        # baseline — all under the same exactness check
         for i in range(8):
             img = jpeg.flat_tile_image(i)
-            dec = jpeg.decode_jpeg(jpeg.encode_flat_tile_jpeg(i))
+            payload = jpeg.encode_flat_tile_jpeg(i)
+            assert (b"\xff\xc2" in payload) == (i % 4 == 2), i
+            dec = jpeg.decode_jpeg(payload)
             assert dec.shape == img.shape
             assert np.array_equal(dec, img), f"fixture {i} not byte-exact"
 
@@ -171,10 +174,117 @@ class TestLossy:
         assert np.array_equal(plain, rst)
 
 
+class TestProgressive:
+    """SOF2 progressive (T.81 Annex G): the progressive encoder quantizes
+    identically to the baseline one, so both streams must decode to
+    IDENTICAL pixels — any entropy/successive-approximation bug breaks
+    the equality."""
+
+    def _match(self, img, quality):
+        b = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=quality))
+        p = jpeg.decode_jpeg(
+            jpeg.encode_progressive_jpeg(img, quality=quality)
+        )
+        assert b.shape == p.shape
+        assert (b == p).all()
+
+    def test_gray_matches_baseline(self):
+        rng = np.random.default_rng(5)
+        g = np.clip(rng.normal(128, 45, (24, 40)), 0, 255).astype(np.uint8)
+        self._match(g, 60)
+
+    def test_rgb_matches_baseline(self):
+        rng = np.random.default_rng(7)
+        img = np.clip(rng.normal(128, 50, (17, 30, 3)), 0, 255).astype(
+            np.uint8
+        )
+        self._match(img, 85)
+
+    def test_flat_image_long_eob_runs(self):
+        # every AC band empty -> the whole scan is one EOBn run
+        self._match(np.full((32, 48), 200, np.uint8), 70)
+
+    def test_sparse_high_frequency(self):
+        # sharp lines: long zero runs (ZRL), isolated ACs, refinement
+        yy, xx = np.indices((40, 64))
+        self._match(((xx % 16 == 0) * 255).astype(np.uint8), 70)
+
+    def test_odd_dimensions(self):
+        rng = np.random.default_rng(1)
+        g = np.clip(rng.normal(128, 40, (13, 21)), 0, 255).astype(np.uint8)
+        self._match(g, 70)
+
+    def test_eobn_runs_actually_exercised(self, monkeypatch):
+        """Guard against the encoder degenerating to EOB0-per-block,
+        which would leave the decoder's run>1 path untested."""
+        seen = {"eobn": 0}
+        orig = jpeg._flush_eobrun
+
+        def spy(bw, ac_codes, state):
+            if state["eobrun"] > 1:
+                seen["eobn"] += 1
+            orig(bw, ac_codes, state)
+
+        monkeypatch.setattr(jpeg, "_flush_eobrun", spy)
+        jpeg.encode_progressive_jpeg(np.full((32, 48), 200, np.uint8))
+        assert seen["eobn"] > 0
+
+    def test_stream_structure(self):
+        payload = jpeg.encode_progressive_jpeg(
+            np.full((16, 16), 99, np.uint8)
+        )
+        assert b"\xff\xc2" in payload  # SOF2
+        assert payload.count(b"\xff\xda") >= 6  # one SOS per scan
+
+    def test_hand_written_bitstream(self):
+        """Decoder pinned against a BY-HAND progressive stream (unit
+        quant table, one block, DC scan + AC first pass at Al=1 + AC
+        refinement at Al=0), independent of our own encoder.
+
+        Target zigzag coefficients: DC=0, k1=+3, k2=-2.  First AC pass
+        codes 3>>1=1 and |-2|>>1=1; the refinement pass transmits the
+        two correction bits (3&1=1, 2&1=0) riding behind an EOB0."""
+        unit = np.ones(64, np.int32)
+        # DC table: single symbol 0 (size category 0) at code length 1
+        dht_dc = jpeg._dht_segment(0, 0, ([1] + [0] * 15, [0]))
+        # AC pass-1 table: {EOB0=0x00, r0s1=0x01} at length 2
+        dht_ac1 = jpeg._dht_segment(1, 0, ([0, 2] + [0] * 14, [0x00, 0x01]))
+        # AC refine table: {EOB0} at length 1
+        dht_ac2 = jpeg._dht_segment(1, 0, ([1] + [0] * 15, [0x00]))
+        sof = bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0])
+        payload = (
+            b"\xff\xd8"
+            + jpeg._dqt_segment(0, unit)
+            + b"\xff\xc2" + (len(sof) + 2).to_bytes(2, "big") + sof
+            + dht_dc
+            # DC first scan: size-0 symbol "0", 1-padded -> 0x7F
+            + b"\xff\xda\x00\x08" + bytes([1, 1, 0x00, 0, 0, 0x00])
+            + b"\x7f"
+            # AC first, Ss=1 Se=63 Al=1: "01 1 01 0 00" -> 0x68
+            + dht_ac1
+            + b"\xff\xda\x00\x08" + bytes([1, 1, 0x10, 1, 63, 0x01])
+            + b"\x68"
+            # AC refine, Ah=1 Al=0: EOB0 "0" + bits 1,0 -> 0x5F
+            + dht_ac2
+            + b"\xff\xda\x00\x08" + bytes([1, 1, 0x10, 1, 63, 0x10])
+            + b"\x5f"
+            + b"\xff\xd9"
+        )
+        got = jpeg.decode_jpeg(payload)
+        coef = np.zeros((8, 8))
+        coef[0, 1] = 3.0   # zigzag k=1
+        coef[1, 0] = -2.0  # zigzag k=2
+        want = np.clip(
+            np.round(jpeg.idct2(coef) + 128.0), 0, 255
+        ).astype(np.uint8)
+        assert (got == want).all()
+
+
 class TestHonestScope:
-    def test_progressive_raises(self):
+    def test_arithmetic_coding_raises(self):
+        # SOF9 = extended sequential, arithmetic coding
         with pytest.raises(NotImplementedError):
-            jpeg.decode_jpeg(b"\xff\xd8\xff\xc2\x00\x0b" + bytes(9))
+            jpeg.decode_jpeg(b"\xff\xd8\xff\xc9\x00\x0b" + bytes(9))
 
     def test_non_jpeg_rejected(self):
         with pytest.raises(ValueError):

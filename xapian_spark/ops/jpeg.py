@@ -19,10 +19,12 @@ verified three independent ways in tests/test_jpeg.py:
   subsampled/restart-interval variants reproduce within the quantizer's
   error bound.
 
-Scope (honestly labeled, like decode_png): baseline DCT process only.
-Progressive (SOF2), arithmetic coding, 12-bit precision and hierarchical
-modes raise NotImplementedError at the exact point a full codec library
-would plug in.  Entropy decode is a per-block Python bit reader — fine
+Scope (honestly labeled, like decode_png): baseline (SOF0/1) and
+progressive (SOF2: spectral selection + successive approximation per
+Annex G, EOB runs, refinement correction bits) DCT processes.
+Arithmetic coding, 12-bit precision and hierarchical modes raise
+NotImplementedError at the exact point a full codec library would plug
+in.  Entropy decode is a per-block Python bit reader — fine
 for the fixture-scale images this sandbox processes; a production
 pipeline swaps in libjpeg-turbo behind the same mapInPandas boundary
 (the Spark-side plumbing in ops/multimodal.py is the deliverable).
@@ -370,18 +372,11 @@ def _dqt_segment(tq: int, table: np.ndarray) -> bytes:
     return b"\xff\xdb" + (len(body) + 2).to_bytes(2, "big") + body
 
 
-def encode_jpeg(
-    img: np.ndarray,
-    quality: int = 75,
-    subsample: str = "444",
-    restart_interval: int = 0,
-    qtables: tuple[np.ndarray, np.ndarray] | None = None,
-) -> bytes:
-    """Baseline JFIF encoder: (h, w) uint8 grayscale or (h, w, 3) uint8 RGB.
-
-    ``qtables=(luma, chroma)`` overrides the quality-scaled Annex K tables
-    (raster order, 64 ints each); unit tables make flat blocks lossless,
-    which is what the byte-exact decode fixtures use."""
+def _quantize_components(img, quality, subsample, qtables):
+    """Shared encoder front half: colour transform, subsampling, padding,
+    vectorized DCT, quantization, zigzag.  Returns (gray, h, w, samp,
+    mcus_x, mcus_y, comp_blocks, qt_l, qt_c) with comp_blocks[ci] of
+    shape (blocks_y, blocks_x, 64) in zigzag order."""
     assert img.dtype == np.uint8
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -444,6 +439,24 @@ def encode_jpeg(
         q_ac_clip[..., 0, 0] = np.clip(q[..., 0, 0], -1024, 1023)
         zz = q_ac_clip.reshape(by, bx, 64)[:, :, ZIGZAG]
         comp_blocks.append(zz)
+    return gray, h, w, samp, mcus_x, mcus_y, comp_blocks, qt_l, qt_c
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 75,
+    subsample: str = "444",
+    restart_interval: int = 0,
+    qtables: tuple[np.ndarray, np.ndarray] | None = None,
+) -> bytes:
+    """Baseline JFIF encoder: (h, w) uint8 grayscale or (h, w, 3) uint8 RGB.
+
+    ``qtables=(luma, chroma)`` overrides the quality-scaled Annex K tables
+    (raster order, 64 ints each); unit tables make flat blocks lossless,
+    which is what the byte-exact decode fixtures use."""
+    (gray, h, w, samp, mcus_x, mcus_y, comp_blocks, qt_l, qt_c) = (
+        _quantize_components(img, quality, subsample, qtables)
+    )
 
     dc_specs = [DC_LUMA_SPEC] + ([DC_CHROMA_SPEC] if not gray else [])
     ac_specs = [AC_LUMA_SPEC] + ([AC_CHROMA_SPEC] if not gray else [])
@@ -451,7 +464,7 @@ def encode_jpeg(
     ac_codes = [_canonical_codes(*s) for s in ac_specs]
 
     bw = _BitWriter()
-    preds = [0] * len(planes)
+    preds = [0] * len(samp)
     mcu_count = 0
     rst_idx = 0
     for my in range(mcus_y):
@@ -460,7 +473,7 @@ def encode_jpeg(
                 bw.byte_align()
                 bw.out += bytes([0xFF, 0xD0 + rst_idx])
                 rst_idx = (rst_idx + 1) % 8
-                preds = [0] * len(planes)
+                preds = [0] * len(samp)
             for ci, (hs, vs) in enumerate(samp):
                 ti = 0 if ci == 0 else 1
                 for v in range(vs):
@@ -508,6 +521,243 @@ def encode_jpeg(
 
 
 # ---------------------------------------------------------------------------
+# progressive encoder (T.81 Annex G.1): spectral selection + successive
+# approximation.  Same quantized coefficients as the baseline encoder, so
+# decode(progressive stream) must equal decode(baseline stream) EXACTLY —
+# which is how the tests pin both directions at once.
+# ---------------------------------------------------------------------------
+
+
+class _NullWriter:
+    """Dry-run sink for the symbol-collection pass."""
+
+    def write(self, value: int, nbits: int) -> None:
+        pass
+
+
+class _SymCollector:
+    """Stands in for a codes dict during the dry run; records symbols."""
+
+    def __init__(self):
+        self.seen = set()
+
+    def __getitem__(self, sym):
+        self.seen.add(sym)
+        return (0, 1)
+
+
+def _uniform_spec(symbols) -> tuple[list[int], list[int]]:
+    """Huffman spec giving every symbol the same code length L with
+    2^L > n, so codes 0..n-1 never include the reserved all-ones code
+    (Annex C).  Crude but valid — these fixtures optimize for
+    correctness, not compression."""
+    vals = sorted(symbols)
+    n = len(vals)
+    ln = max(1, n.bit_length())
+    bits = [0] * 16
+    bits[ln - 1] = n
+    return bits, vals
+
+
+def _flush_eobrun(bw, ac_codes, state) -> None:
+    """Emit the pending EOBn symbol (category + extension bits) followed
+    by the correction bits buffered across the run's blocks (G.1.2.3)."""
+    run = state["eobrun"]
+    if run > 0:
+        cat = run.bit_length() - 1
+        code, ln = ac_codes[cat << 4]
+        bw.write(code, ln)
+        if cat:
+            bw.write(run & ((1 << cat) - 1), cat)
+        state["eobrun"] = 0
+    for b in state["be"]:
+        bw.write(b, 1)
+    state["be"] = []
+
+
+def _enc_block_ac_first(bw, ac_codes, band, al, state) -> None:
+    """First AC pass at precision ``al`` for one block's band (G.1.2.2):
+    magnitudes shifted toward zero, zero runs + EOB-run accumulation."""
+    r = 0
+    for v in band:
+        t = int(abs(v)) >> al
+        if t == 0:
+            r += 1
+            continue
+        _flush_eobrun(bw, ac_codes, state)
+        while r > 15:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            r -= 16
+        s = t.bit_length()
+        code, ln = ac_codes[(r << 4) | s]
+        bw.write(code, ln)
+        mag = t if v > 0 else -t
+        bw.write(mag if mag >= 0 else mag + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(bw, ac_codes, state)
+
+
+def _enc_block_ac_refine(bw, ac_codes, band, al, state) -> None:
+    """AC refinement pass (G.1.2.3): newly-significant coefficients emit
+    run/1 symbols; already-nonzero ones buffer correction bits that ride
+    after the next emitted symbol (ZRL, run/1, or the EOBn flush)."""
+    absv = [int(abs(v)) >> al for v in band]
+    eob = -1
+    for i, a in enumerate(absv):
+        if a == 1:
+            eob = i
+    r = 0
+    br: list[int] = []
+    for i, (v, a) in enumerate(zip(band, absv)):
+        if a == 0:
+            r += 1
+            continue
+        # ZRLs are only needed en route to a future newly-significant
+        # coefficient; past the last one everything folds into the EOB run
+        while r > 15 and i <= eob:
+            _flush_eobrun(bw, ac_codes, state)
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            r -= 16
+            for b in br:
+                bw.write(b, 1)
+            br = []
+        if a > 1:  # history coefficient: one correction bit
+            br.append(a & 1)
+            continue
+        _flush_eobrun(bw, ac_codes, state)
+        code, ln = ac_codes[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if v > 0 else 0, 1)
+        for b in br:
+            bw.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        state["eobrun"] += 1
+        state["be"].extend(br)
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(bw, ac_codes, state)
+
+
+def encode_progressive_jpeg(
+    img: np.ndarray,
+    quality: int = 75,
+    qtables: tuple[np.ndarray, np.ndarray] | None = None,
+) -> bytes:
+    """Progressive JFIF encoder (SOF2), grayscale or RGB 4:4:4.
+
+    Scan script: DC first pass at Al=1 (interleaved), two spectral-
+    selection AC bands (1-5, 6-63) at Al=2 per component, two AC
+    refinement sweeps (Al=1 then 0), and the DC refinement bit — so a
+    decoder must exercise every Annex G.2 code path (EOB runs, ZRL in
+    refinement, correction bits, successive approximation on DC and AC).
+    AC scans carry per-scan optimized DHT segments because the Annex K
+    alphabet lacks the EOBn (n>1) symbols progressive coding emits.
+    Quantized coefficients are identical to ``encode_jpeg``'s, so both
+    streams decode to identical pixels."""
+    (gray, h, w, samp, mcus_x, mcus_y, comp_blocks, qt_l, qt_c) = (
+        _quantize_components(img, quality, "444", qtables)
+    )
+    ncomp = 1 if gray else 3
+    dc_codes = [_canonical_codes(*DC_LUMA_SPEC)] + [
+        _canonical_codes(*DC_CHROMA_SPEC)
+    ] * (ncomp - 1)
+
+    def dc_scan(bw, al, ah):
+        preds = [0] * ncomp
+        for y in range(mcus_y):
+            for x in range(mcus_x):
+                for ci in range(ncomp):
+                    dc = int(comp_blocks[ci][y, x, 0])
+                    if ah == 0:
+                        v = dc >> al  # floor shift, sign-preserving (G.1.2.1)
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        s = _size_of(diff)
+                        code, ln = dc_codes[ci][s]
+                        bw.write(code, ln)
+                        if s:
+                            bw.write(
+                                diff if diff >= 0 else diff + (1 << s) - 1, s
+                            )
+                    else:
+                        bw.write((dc >> al) & 1, 1)
+
+    def ac_scan(bw, ac_codes, ci, ss, se, al, ah):
+        state = {"eobrun": 0, "be": []}
+        blocks = comp_blocks[ci]
+        for y in range(blocks.shape[0]):
+            for x in range(blocks.shape[1]):
+                band = [int(t) for t in blocks[y, x, ss : se + 1]]
+                if ah == 0:
+                    _enc_block_ac_first(bw, ac_codes, band, al, state)
+                else:
+                    _enc_block_ac_refine(bw, ac_codes, band, al, state)
+        _flush_eobrun(bw, ac_codes, state)
+
+    # scan script (ss, se, ah, al); DC scans interleave all components
+    ac_stages = [(1, 5, 0, 2), (6, 63, 0, 2), (1, 63, 2, 1), (1, 63, 1, 0)]
+    scans = [("dc", None, 0, 0, 0, 1)]
+    for ss, se, ah, al in ac_stages:
+        for ci in range(ncomp):
+            scans.append(("ac", ci, ss, se, ah, al))
+    scans.append(("dc", None, 0, 0, 1, 0))
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += _dqt_segment(0, qt_l)
+    if not gray:
+        out += _dqt_segment(1, qt_c)
+    sof_comps = b"".join(
+        bytes([ci + 1, 0x11, 0 if ci == 0 else 1]) for ci in range(ncomp)
+    )
+    sof_body = (
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([ncomp]) + sof_comps
+    )
+    out += b"\xff\xc2" + (len(sof_body) + 2).to_bytes(2, "big") + sof_body
+    out += _dht_segment(0, 0, DC_LUMA_SPEC)
+    if not gray:
+        out += _dht_segment(0, 1, DC_CHROMA_SPEC)
+
+    for kind, ci, ss, se, ah, al in scans:
+        if kind == "dc":
+            comps_sel = [
+                bytes([c + 1, (0 if c == 0 else 1) << 4]) for c in range(ncomp)
+            ]
+            sos_body = (
+                bytes([ncomp]) + b"".join(comps_sel)
+                + bytes([ss, se, (ah << 4) | al])
+            )
+            bw = _BitWriter()
+            dc_scan(bw, al, ah)
+        else:
+            # dry run to collect this scan's AC symbols, then a real pass
+            # with a uniform-length table written as DHT (tc=1, th=0)
+            collector = _SymCollector()
+            ac_scan(_NullWriter(), collector, ci, ss, se, al, ah)
+            spec = _uniform_spec(collector.seen or {0x00})
+            out += _dht_segment(1, 0, spec)
+            ac_codes = _canonical_codes(*spec)
+            sos_body = (
+                bytes([1, ci + 1, 0x10])  # dc table unused in AC scans
+                + bytes([ss, se, (ah << 4) | al])
+            )
+            bw = _BitWriter()
+            ac_scan(bw, ac_codes, ci, ss, se, al, ah)
+        bw.byte_align()
+        out += b"\xff\xda" + (len(sos_body) + 2).to_bytes(2, "big") + sos_body
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 
@@ -515,11 +765,13 @@ def encode_jpeg(
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JFIF decoder -> (h, w) uint8 grayscale or (h, w, 3) RGB.
 
-    Supports SOF0 (baseline sequential DCT), 8-bit samples, 1 or 3
-    components, any integer sampling-factor ratios that divide the max
-    (4:4:4, 4:2:0, 4:2:2, ...), restart intervals, byte stuffing.
-    Progressive / arithmetic / 12-bit / hierarchical streams raise
-    NotImplementedError — plug a codec library in here for those."""
+    Supports SOF0/SOF1 (baseline sequential DCT) and SOF2 (progressive
+    DCT: spectral selection + successive approximation, T.81 Annex G.2),
+    8-bit samples, 1 or 3 components, any integer sampling-factor ratios
+    that divide the max (4:4:4, 4:2:0, 4:2:2, ...), restart intervals,
+    byte stuffing.  Arithmetic / 12-bit / lossless / hierarchical
+    streams raise NotImplementedError — plug a codec library in here
+    for those."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -527,6 +779,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     restart_interval = 0
     frame = None  # (h, w, [(comp_id, hs, vs, tq), ...])
+    progressive = False
+    coefs = None  # progressive: per-comp (blocks_y, blocks_x, 64) zigzag
 
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -559,7 +813,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[bp + 17 : bp + 17 + nv])
                 huff[(tc, th)] = _decode_map(bits, vals)
                 bp += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0 / SOF1 (both baseline Huffman)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
@@ -572,11 +826,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 hv = body[7 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0xF, body[8 + 3 * i]))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"SOF{marker - 0xC0}: only baseline sequential DCT decodes "
-                "in-container — plug a codec library in here"
+                f"SOF{marker - 0xC0}: only baseline and progressive DCT "
+                "decode in-container — plug a codec library in here"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
@@ -593,11 +848,31 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 )
                 scan.append((idx, tt >> 4, tt & 0xF))
             pos += ln
-            return _decode_scan(
-                payload, pos, frame, scan, qtables, huff, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    payload, pos, frame, scan, qtables, huff,
+                    restart_interval,
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
+            if coefs is None:
+                hmax = max(c[1] for c in frame[2])
+                vmax = max(c[2] for c in frame[2])
+                mx = -(-frame[1] // (8 * hmax))
+                my = -(-frame[0] // (8 * vmax))
+                coefs = [
+                    np.zeros((my * vs, mx * hs, 64), np.int64)
+                    for _cid, hs, vs, _tq in frame[2]
+                ]
+            pos = _decode_prog_scan(
+                payload, pos, frame, scan, coefs, huff,
+                restart_interval, ss, se, ah, al,
             )
+            continue
         # APPn, COM, anything else: skip
         pos += ln
+    if progressive and coefs is not None:
+        return _reconstruct(frame, coefs, qtables)
     raise ValueError("no SOS segment found")
 
 
@@ -656,7 +931,15 @@ def _decode_scan(data, pos, frame, scan, qtables, huff, restart_interval):
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
 
-    # upsample to full frame resolution and crop
+    return _assemble(frame, planes)
+
+
+def _assemble(frame, planes):
+    """Upsample component planes to frame resolution, crop, and convert
+    YCbCr -> RGB (shared by the baseline and progressive paths)."""
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     full = []
     for (cid, hs, vs, tq), plane in zip(comps, planes):
         ry, rx = vmax // vs, hmax // hs
@@ -672,6 +955,184 @@ def _decode_scan(data, pos, frame, scan, qtables, huff, restart_interval):
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _reconstruct(frame, coefs, qtables):
+    """Progressive epilogue: dequantize the accumulated zigzag
+    coefficients, batched inverse DCT per component, assemble."""
+    fh, fw, comps = frame
+    planes = []
+    for (cid, hs, vs, tq), zz in zip(comps, coefs):
+        qt = qtables[tq]  # raster order
+        by, bx = zz.shape[:2]
+        deq = np.zeros((by, bx, 64), np.float64)
+        # zigzag position k dequantizes by the raster entry ZIGZAG[k]
+        deq[:, :, ZIGZAG] = zz * qt[ZIGZAG]
+        blocks = deq.reshape(by, bx, 8, 8)
+        spatial = np.einsum("ux,rcuv,vy->rcxy", _C, blocks, _C) + 128.0
+        planes.append(
+            spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        )
+    return _assemble(frame, planes)
+
+
+def _decode_prog_scan(data, pos, frame, scan, coefs, huff,
+                      restart_interval, ss, se, ah, al):
+    """Decode ONE progressive scan (T.81 G.2) into the persistent
+    per-component zigzag coefficient arrays; returns the stream offset
+    of the marker following the scan's entropy data.
+
+    DC scans (ss == 0) may interleave components in MCU order; AC scans
+    carry exactly one component, blocks in that component's own raster
+    order.  Ah == 0 scans establish coefficient values at precision
+    ``al``; Ah > 0 scans refine one magnitude bit (al == ah - 1)."""
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    br = _BitReader(data, pos)
+    preds = [0] * len(comps)
+    eobrun = 0
+    p1 = 1 << al
+
+    def refine_ac(coef, k):
+        """One correction bit for an already-nonzero coefficient."""
+        if br.read_bit() and not (int(coef[k]) & p1):
+            coef[k] += p1 if coef[k] > 0 else -p1
+
+    def dc_block(ci, coef):
+        if ah == 0:
+            size = br.decode_symbol(huff[(0, scan_tabs[ci][0])])
+            preds[ci] += _extend(br.read_bits(size), size)
+            coef[0] = preds[ci] << al
+        elif br.read_bit():
+            coef[0] = int(coef[0]) | p1
+
+    def ac_block(coef):
+        nonlocal eobrun
+        ac_tab = huff[(1, scan[0][2])]
+        k = ss
+        if ah == 0:  # first pass at this precision
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            while k <= se:
+                rs = br.decode_symbol(ac_tab)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.read_bits(r)
+                    return
+                k += r
+                if k > se:
+                    raise ValueError("AC run past band end")
+                coef[k] = _extend(br.read_bits(s), s) << al
+                k += 1
+            return
+        # refinement pass (G.2.2): history coefficients take correction
+        # bits as the run walk passes them; runs count ZERO positions only
+        if eobrun == 0:
+            while k <= se:
+                rs = br.decode_symbol(ac_tab)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r < 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                    newval = 0  # ZRL: skip 16 zero-history positions
+                elif s == 1:
+                    newval = p1 if br.read_bit() else -p1
+                else:
+                    raise ValueError("bad AC refinement symbol")
+                while k <= se:
+                    if coef[k] != 0:
+                        refine_ac(coef, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    coef[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if coef[k] != 0:
+                    refine_ac(coef, k)
+                k += 1
+            eobrun -= 1
+
+    def at_restart():
+        nonlocal eobrun
+        br.restart()
+        preds[:] = [0] * len(comps)
+        eobrun = 0
+
+    scan_tabs = {ci: (dct, act) for ci, dct, act in scan}
+    if ss == 0:  # DC scan: MCU-interleaved (or a single comp's blocks)
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        if len(scan) > 1:
+            unit = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if (restart_interval and unit
+                            and unit % restart_interval == 0):
+                        at_restart()
+                    for ci, _dct, _act in scan:
+                        _cid, hs, vs, _tq = comps[ci]
+                        for v in range(vs):
+                            for hh in range(hs):
+                                dc_block(
+                                    ci,
+                                    coefs[ci][my * vs + v, mx * hs + hh],
+                                )
+                    unit += 1
+        else:
+            ci = scan[0][0]
+            _cid, hs, vs, _tq = comps[ci]
+            cw = -(-(fw * hs) // hmax)   # comp width in samples (A.1.1)
+            ch = -(-(fh * vs) // vmax)
+            cbw, cbh = -(-cw // 8), -(-ch // 8)
+            unit = 0
+            for byi in range(cbh):
+                for bxi in range(cbw):
+                    if (restart_interval and unit
+                            and unit % restart_interval == 0):
+                        at_restart()
+                    dc_block(ci, coefs[ci][byi, bxi])
+                    unit += 1
+    else:  # AC scan: single component, raster block order
+        if len(scan) != 1:
+            raise ValueError("interleaved AC scan is illegal (G.1.1.1.1)")
+        ci = scan[0][0]
+        _cid, hs, vs, _tq = comps[ci]
+        cw = -(-(fw * hs) // hmax)
+        ch = -(-(fh * vs) // vmax)
+        cbw, cbh = -(-cw // 8), -(-ch // 8)
+        unit = 0
+        for byi in range(cbh):
+            for bxi in range(cbw):
+                if (restart_interval and unit
+                        and unit % restart_interval == 0):
+                    at_restart()
+                ac_block(coefs[ci][byi, bxi])
+                unit += 1
+
+    # advance to the next true marker (skip stuffed FF 00 inside data)
+    p = br.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] not in (0x00,):
+            break
+        p += 1
+    return p
 
 
 # ---------------------------------------------------------------------------
@@ -698,10 +1159,15 @@ UNIT_QT = np.ones(64, np.int32)
 def encode_flat_tile_jpeg(i: int, seed: int = 42) -> bytes:
     """Byte-exact-decodable JPEG: flat tiles are DC-only blocks whose DC
     coefficient 8*(v-128) is an integer, so unit quant tables lose
-    nothing; a restart interval on every other fixture exercises the RST
-    resync + predictor-reset path under the same exactness check."""
+    nothing.  Fixture rotation puts every decoder mode under the same
+    exactness check: i % 4 == 2 emits a progressive (SOF2) stream; odd i
+    add a restart interval exercising RST resync + predictor reset;
+    the rest are plain baseline."""
+    img = flat_tile_image(i, seed)
+    if i % 4 == 2:
+        return encode_progressive_jpeg(img, qtables=(UNIT_QT, UNIT_QT))
     return encode_jpeg(
-        flat_tile_image(i, seed),
+        img,
         qtables=(UNIT_QT, UNIT_QT),
         restart_interval=2 if i % 2 else 0,
     )

@@ -13,11 +13,12 @@ Two decode paths:
   inflate + the five row filters, every legal depth 1/2/4/8/16 x colour
   type grey/RGB/palette+tRNS/grey+alpha/RGBA, Adam7 interlace), baseline
   JPEG (ops/jpeg.py: Huffman + IDCT per ITU-T T.81, grayscale/4:4:4/
-  4:2:0, restart markers), RIFF/WAV PCM audio (stdlib ``wave``), and
-  YUV4MPEG2 video (the uncompressed interchange format used by
-  mjpegtools/ffmpeg).  Formats needing a real codec library (MP4 and
-  progressive/arithmetic JPEG) still raise NotImplementedError at the
-  exact point PIL/ffmpeg would plug in — this container ships none.
+  4:2:0, restart markers, baseline AND progressive SOF2), RIFF/WAV PCM
+  audio (stdlib ``wave``), and YUV4MPEG2 video (the uncompressed
+  interchange format used by mjpegtools/ffmpeg).  Formats needing a
+  real codec library (MP4, arithmetic-coded/12-bit JPEG) still raise
+  NotImplementedError at the exact point PIL/ffmpeg would plug in —
+  this container ships none.
 
 ``synth_real_media`` generates genuine PPM/WAV/Y4M payloads so the real
 path is testable end-to-end; ``resize_images`` and ``sample_frames`` are
@@ -462,9 +463,11 @@ def synth_jpeg_media(spark, n: int = 8, seed: int = 42) -> DataFrame:
     """Deterministic REAL-JPEG media rows: flat-tile grayscale images
     encoded with unit quantization tables (ops/jpeg.py), which decode
     BYTE-EXACTLY — a flat 8x8 block is DC-only and its DC coefficient
-    8*(v-128) is an integer, so quantization by 1 loses nothing.  Every
-    other fixture adds a restart interval so the RSTn resync + DC
-    predictor reset path sits under the same exactness check.  The pixel
+    8*(v-128) is an integer, so quantization by 1 loses nothing.  The
+    fixture rotation covers every decoder mode under that exactness
+    check: i % 4 == 2 rows are progressive (SOF2, Annex G successive
+    approximation), odd rows add a restart interval (RSTn resync + DC
+    predictor reset), the rest are plain baseline.  The pixel
     sums have the closed form the driver oracle replays:
     tile (ty, tx) of image i = (seed + 13*i + 29*ty + 53*tx) % 256."""
     from xapian_spark.ops.jpeg import encode_flat_tile_jpeg, flat_tile_image
