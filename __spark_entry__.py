@@ -631,7 +631,14 @@ def _q_multimodal_features(spark, sf_dir):
       per ITU-T T.81; fixture rotation covers baseline, baseline with
       restart markers, and progressive SOF2 streams) with unit quant
       tables, so the decode is byte-exact and the oracle recomputes the
-      pixel sums from the tile grid's closed form."""
+      pixel sums from the tile grid's closed form.
+    - REAL MP4 rows (ops/mp4.py, ISO/IEC 14496-12 from scratch):
+      media_id 3000+ are uncompressed-``raw `` videos demuxed through
+      the full stsc/stco/stsz sample-table walk and decoded byte-exactly
+      to per-channel pixel sums; media_id 4000+ are codec-free CONTAINER
+      METADATA rows (duration/dimensions/frame count) over both ``raw ``
+      and ``avc1``-labeled files — the filter-route-shard operation a
+      100-TB video pipeline runs without any codec library."""
     from xapian_spark.ops import multimodal
 
     media = multimodal.synth_media(spark, n=64)
@@ -663,7 +670,27 @@ def _q_multimodal_features(spark, sf_dir):
         F.col("sum_g").cast("double").alias("f1"),
         F.col("sum_b").cast("double").alias("f15"),
     )
-    return fake.unionByName(png_rows).unionByName(jpg_rows).orderBy("media_id")
+    mp4_media = multimodal.synth_mp4_media(spark, n=8)
+    mp4_rows = multimodal.video_pixel_sums(mp4_media).select(
+        (F.col("media_id") + F.lit(3000)).alias("media_id"),
+        F.lit("mp4").alias("kind"),
+        F.col("n_raw").alias("n_bytes"),
+        F.col("sum_r").cast("double").alias("f0"),
+        F.col("sum_g").cast("double").alias("f1"),
+        F.col("sum_b").cast("double").alias("f15"),
+    )
+    meta_rows = multimodal.mp4_metadata(mp4_media).select(
+        (F.col("media_id") + F.lit(4000)).alias("media_id"),
+        F.lit("mp4meta").alias("kind"),
+        F.col("n_frames").alias("n_bytes"),
+        F.col("duration_ms").cast("double").alias("f0"),
+        F.col("width").cast("double").alias("f1"),
+        F.col("height").cast("double").alias("f15"),
+    )
+    return (
+        fake.unionByName(png_rows).unionByName(jpg_rows)
+        .unionByName(mp4_rows).unionByName(meta_rows).orderBy("media_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1146,6 +1173,25 @@ jsum AS (
        LATERAL unnest(generate_series(0, j.txn - 1)) AS t1(tx),
        LATERAL unnest(generate_series(0, j.tyn - 1)) AS t2(ty)
   GROUP BY j.i
+),
+mp4 AS (
+  SELECT i, 8 * (1 + i % 3) AS w, 4 * (1 + i % 2) AS h,
+         2 + i % 3 AS nf, 5 + i % 3 AS fps
+  FROM (SELECT unnest(generate_series(0, 7)) AS i)
+),
+msum AS (
+  -- raw-RGB MP4 fixture: pixel (f,y,x,c) = (42 + 17i + 7f + 29y + 53x
+  -- + 101c) % 256; odd i are avc1-labeled and carry no pixel-sum row
+  SELECT m.i,
+    sum((42 + 17 * m.i + 7 * t3.f + 29 * t2.y + 53 * t1.x) % 256) AS s_r,
+    sum((143 + 17 * m.i + 7 * t3.f + 29 * t2.y + 53 * t1.x) % 256) AS s_g,
+    sum((244 + 17 * m.i + 7 * t3.f + 29 * t2.y + 53 * t1.x) % 256) AS s_b
+  FROM mp4 m,
+       LATERAL unnest(generate_series(0, m.w - 1)) AS t1(x),
+       LATERAL unnest(generate_series(0, m.h - 1)) AS t2(y),
+       LATERAL unnest(generate_series(0, m.nf - 1)) AS t3(f)
+  WHERE m.i % 2 = 0
+  GROUP BY m.i
 )
 SELECT i AS media_id, kind, n_bytes::bigint AS n_bytes,
   round(('0x' || substr(h, 1, 2))::int / 255.0 * 2.0 - 1.0, 4) AS f0,
@@ -1164,6 +1210,17 @@ SELECT 2000 + j.i AS media_id, 'jpeg' AS kind,
   (8 * j.txn * 8 * j.tyn * 3)::bigint AS n_bytes,
   jsum.s::double AS f0, jsum.s::double AS f1, jsum.s::double AS f15
 FROM jpg j JOIN jsum ON jsum.i = j.i
+UNION ALL
+SELECT 3000 + m.i AS media_id, 'mp4' AS kind,
+  (m.nf * m.h * m.w * 3)::bigint AS n_bytes,
+  msum.s_r::double AS f0, msum.s_g::double AS f1, msum.s_b::double AS f15
+FROM mp4 m JOIN msum ON msum.i = m.i
+UNION ALL
+SELECT 4000 + m.i AS media_id, 'mp4meta' AS kind,
+  m.nf::bigint AS n_bytes,
+  ((m.nf * 1000) // m.fps)::double AS f0,
+  m.w::double AS f1, m.h::double AS f15
+FROM mp4 m
 ORDER BY media_id
 """
     # exact total match count (get_matches_estimated)

@@ -14,11 +14,14 @@ Two decode paths:
   type grey/RGB/palette+tRNS/grey+alpha/RGBA, Adam7 interlace), baseline
   JPEG (ops/jpeg.py: Huffman + IDCT per ITU-T T.81, grayscale/4:4:4/
   4:2:0, restart markers, baseline AND progressive SOF2), RIFF/WAV PCM
-  audio (stdlib ``wave``), and YUV4MPEG2 video (the uncompressed
-  interchange format used by mjpegtools/ffmpeg).  Formats needing a
-  real codec library (MP4, arithmetic-coded/12-bit JPEG) still raise
-  NotImplementedError at the exact point PIL/ffmpeg would plug in —
-  this container ships none.
+  audio (stdlib ``wave``), YUV4MPEG2 video (the uncompressed
+  interchange format used by mjpegtools/ffmpeg), and MP4/ISO-BMFF
+  (ops/mp4.py: container metadata + codec-free demux for ANY codec,
+  full frame/sample decode for the uncompressed ``raw ``/``twos``/
+  ``sowt`` sample entries).  Payloads needing a real codec library
+  (H.264/AAC sample data inside MP4, arithmetic-coded/12-bit JPEG)
+  still raise NotImplementedError at the exact point PIL/ffmpeg would
+  plug in — this container ships none.
 
 ``synth_real_media`` generates genuine PPM/WAV/Y4M payloads so the real
 path is testable end-to-end; ``resize_images`` and ``sample_frames`` are
@@ -483,6 +486,44 @@ def synth_jpeg_media(spark, n: int = 8, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def mp4_fixture_frames(i: int, seed: int = 42) -> tuple[np.ndarray, int]:
+    """Deterministic RGB video with the closed form the driver oracle
+    replays: pixel (f, y, x, c) of video i =
+    (seed + 17*i + 7*f + 29*y + 53*x + 101*c) % 256.
+    w = 8*(1 + i%3), h = 4*(1 + i%2), nf = 2 + i%3, fps = 5 + i%3."""
+    w, h, nf = 8 * (1 + i % 3), 4 * (1 + i % 2), 2 + i % 3
+    f = np.arange(nf, dtype=np.int64)[:, None, None, None]
+    y = np.arange(h, dtype=np.int64)[None, :, None, None]
+    x = np.arange(w, dtype=np.int64)[None, None, :, None]
+    c = np.arange(3, dtype=np.int64)[None, None, None, :]
+    frames = (seed + 17 * i + 7 * f + 29 * y + 53 * x + 101 * c) % 256
+    return frames.astype(np.uint8), 5 + i % 3
+
+
+def synth_mp4_media(spark, n: int = 8, seed: int = 42) -> DataFrame:
+    """Deterministic REAL-MP4 media rows (ops/mp4.py muxer): uncompressed
+    24-bit RGB frames in a conformant ISO-BMFF container with a full
+    sample table, multi-chunk so the stsc/stco walk is exercised.  Even
+    rows carry the decodable ``raw `` sample entry; odd rows hold the
+    same bytes under an ``avc1`` fourcc — container metadata and demux
+    must still work for them (frame decode correctly raises), mirroring
+    what a 100-TB pipeline does with compressed video: filter and route
+    on metadata without any codec."""
+    from xapian_spark.ops.mp4 import encode_mp4_raw_video
+
+    rows = []
+    for i in range(n):
+        frames, fps = mp4_fixture_frames(i, seed)
+        nf, h, w = frames.shape[:3]
+        rows.append(
+            (i, "video", "video/mp4", w, h, nf * 1000 // fps,
+             encode_mp4_raw_video(
+                 frames, fps=fps, codec="raw " if i % 2 == 0 else "avc1"
+             ))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def _fit(vec: list[float], dim: int) -> list[float]:
     v = [float(x) for x in vec[:dim]]
     return v + [0.0] * (dim - len(v))
@@ -531,7 +572,15 @@ def _real_feature(kind: str, payload: bytes, dim: int) -> list[float]:
             x.size / rate / 10.0,
         ] + [b / tot for b in bands]
     elif kind == "video":
-        frames, fps = decode_y4m(payload)
+        if payload[4:8] == b"ftyp":
+            from xapian_spark.ops.mp4 import decode_mp4_video
+
+            rgb, fps = decode_mp4_video(payload)  # (n, h, w, 3)
+            frames = (
+                rgb @ np.array([0.299, 0.587, 0.114], np.float32)
+            ).astype(np.uint8)
+        else:
+            frames, fps = decode_y4m(payload)
         fl = frames.astype(np.float32) / 255.0
         means = fl.mean(axis=(1, 2))
         hist = np.histogram(fl[0], bins=8, range=(0.0, 1.0))[0]
@@ -572,11 +621,12 @@ def extract_features(
                         or p[:2] == b"\xff\xd8"
                         or p[:4] == b"RIFF"
                         or p[:9] == b"YUV4MPEG2"
+                        or p[4:8] == b"ftyp"
                     ):
                         raise NotImplementedError(
-                            "real decode of MP4 requires ffmpeg; only "
-                            "PPM/PNG/JPEG/WAV/Y4M decode in-container — "
-                            "plug a codec in here"
+                            "unrecognized container; only PPM/PNG/JPEG/"
+                            "WAV/Y4M/MP4 decode in-container — plug a "
+                            "codec library in here"
                         )
                     feats.append(_real_feature(kind, p, dim))
             else:
@@ -640,6 +690,86 @@ def image_pixel_sums(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(_sums, PIXEL_SUM_SCHEMA)
+
+
+def video_pixel_sums(media: DataFrame) -> DataFrame:
+    """Byte-exact MP4 decode check: per-channel pixel sums over ALL
+    frames of uncompressed-codec video rows (compressed-codec rows are
+    dropped — their decode is a codec library's job, not ours).  Same
+    integer-exactness contract as image_pixel_sums: the driver oracle
+    recomputes the sums from the fixture's closed form, so a wrong
+    chunk offset, sample size, or channel order flips the hash."""
+    from xapian_spark.ops.mp4 import (
+        UNCOMPRESSED_VIDEO, decode_mp4_video, parse_mp4,
+    )
+
+    def _sums(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {
+                k: [] for k in ("media_id", "n_raw", "sum_r", "sum_g", "sum_b")
+            }
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(p)
+                if p[4:8] != b"ftyp":
+                    continue
+                tr = parse_mp4(p).track("vide")
+                if tr is None or tr.codec not in UNCOMPRESSED_VIDEO:
+                    continue
+                frames, _fps = decode_mp4_video(p)
+                s = frames.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                rows["media_id"].append(mid)
+                rows["n_raw"].append(int(frames.size))
+                rows["sum_r"].append(int(s[0]))
+                rows["sum_g"].append(int(s[1]))
+                rows["sum_b"].append(int(s[2]))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_sums, PIXEL_SUM_SCHEMA)
+
+
+MP4_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("brand", T.StringType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("decodable", T.BooleanType()),
+    ]
+)
+
+
+def mp4_metadata(media: DataFrame) -> DataFrame:
+    """Codec-free MP4 container metadata per row (ops/mp4.py parse): the
+    operation a training-data pipeline runs FIRST over petabytes of
+    crawled video — filter by duration/resolution, route by codec,
+    shard by size — none of which needs a codec library.  Works for
+    compressed-codec files too; ``decodable`` says whether this
+    container could also decode the frames itself."""
+    from xapian_spark.ops.mp4 import UNCOMPRESSED_VIDEO, parse_mp4
+
+    def _meta(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {f.name: [] for f in MP4_META_SCHEMA.fields}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(p)
+                if p[4:8] != b"ftyp":
+                    continue
+                info = parse_mp4(p)
+                tr = info.track("vide") or info.tracks[0]
+                rows["media_id"].append(mid)
+                rows["brand"].append(info.major_brand)
+                rows["codec"].append(tr.codec)
+                rows["width"].append(tr.width)
+                rows["height"].append(tr.height)
+                rows["n_frames"].append(tr.n_samples)
+                rows["duration_ms"].append(info.duration_ms)
+                rows["decodable"].append(tr.codec in UNCOMPRESSED_VIDEO)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_meta, MP4_META_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(
