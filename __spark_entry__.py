@@ -638,7 +638,11 @@ def _q_multimodal_features(spark, sf_dir):
       to per-channel pixel sums; media_id 4000+ are codec-free CONTAINER
       METADATA rows (duration/dimensions/frame count) over both ``raw ``
       and ``avc1``-labeled files — the filter-route-shard operation a
-      100-TB video pipeline runs without any codec library."""
+      100-TB video pipeline runs without any codec library.
+    - REAL GIF rows (ops/gif.py, from-scratch LZW + GIF89a): media_id
+      5000+ are 16-color palette images (odd rows interlaced) decoded
+      byte-exactly to pixel sums; the oracle replays the palette and
+      index closed forms."""
     from xapian_spark.ops import multimodal
 
     media = multimodal.synth_media(spark, n=64)
@@ -687,9 +691,20 @@ def _q_multimodal_features(spark, sf_dir):
         F.col("width").cast("double").alias("f1"),
         F.col("height").cast("double").alias("f15"),
     )
+    gif_rows = multimodal.image_pixel_sums(
+        multimodal.synth_gif_media(spark, n=8)
+    ).select(
+        (F.col("media_id") + F.lit(5000)).alias("media_id"),
+        F.lit("gif").alias("kind"),
+        F.col("n_raw").alias("n_bytes"),
+        F.col("sum_r").cast("double").alias("f0"),
+        F.col("sum_g").cast("double").alias("f1"),
+        F.col("sum_b").cast("double").alias("f15"),
+    )
     return (
         fake.unionByName(png_rows).unionByName(jpg_rows)
-        .unionByName(mp4_rows).unionByName(meta_rows).orderBy("media_id")
+        .unionByName(mp4_rows).unionByName(meta_rows)
+        .unionByName(gif_rows).orderBy("media_id")
     )
 
 
@@ -1192,6 +1207,22 @@ msum AS (
        LATERAL unnest(generate_series(0, m.nf - 1)) AS t3(f)
   WHERE m.i % 2 = 0
   GROUP BY m.i
+),
+gif AS (
+  SELECT i, 6 + 2 * (i % 5) AS w, 4 + 2 * (i % 3) AS h
+  FROM (SELECT unnest(generate_series(0, 7)) AS i)
+),
+gsum2 AS (
+  -- 16-color GIF fixture: palette[j] = (7j+1, 11j+3, 13j+5), all < 256;
+  -- index(y, x) = (5i + 3y + 2x) % 16
+  SELECT g.i,
+    sum(7 * ((5 * g.i + 3 * t2.y + 2 * t1.x) % 16) + 1) AS s_r,
+    sum(11 * ((5 * g.i + 3 * t2.y + 2 * t1.x) % 16) + 3) AS s_g,
+    sum(13 * ((5 * g.i + 3 * t2.y + 2 * t1.x) % 16) + 5) AS s_b
+  FROM gif g,
+       LATERAL unnest(generate_series(0, g.w - 1)) AS t1(x),
+       LATERAL unnest(generate_series(0, g.h - 1)) AS t2(y)
+  GROUP BY g.i
 )
 SELECT i AS media_id, kind, n_bytes::bigint AS n_bytes,
   round(('0x' || substr(h, 1, 2))::int / 255.0 * 2.0 - 1.0, 4) AS f0,
@@ -1221,6 +1252,11 @@ SELECT 4000 + m.i AS media_id, 'mp4meta' AS kind,
   ((m.nf * 1000) // m.fps)::double AS f0,
   m.w::double AS f1, m.h::double AS f15
 FROM mp4 m
+UNION ALL
+SELECT 5000 + g.i AS media_id, 'gif' AS kind,
+  (g.w * g.h * 3)::bigint AS n_bytes,
+  gsum2.s_r::double AS f0, gsum2.s_g::double AS f1, gsum2.s_b::double AS f15
+FROM gif g JOIN gsum2 ON gsum2.i = g.i
 ORDER BY media_id
 """
     # exact total match count (get_matches_estimated)

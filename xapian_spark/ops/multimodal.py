@@ -486,6 +486,39 @@ def synth_jpeg_media(spark, n: int = 8, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def gif_fixture(i: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic indexed image + 16-color palette with the closed
+    form the driver oracle replays: palette[j] = (7j+1, 11j+3, 13j+5)
+    (all < 256 for j < 16, so no wrap), index(y, x) = (5i + 3y + 2x)
+    % 16, w = 6 + 2*(i%5), h = 4 + 2*(i%3)."""
+    w, h = 6 + 2 * (i % 5), 4 + 2 * (i % 3)
+    j = np.arange(16, dtype=np.int64)
+    palette = np.stack([7 * j + 1, 11 * j + 3, 13 * j + 5], axis=1)
+    idx = (
+        5 * i
+        + 3 * np.arange(h, dtype=np.int64)[:, None]
+        + 2 * np.arange(w, dtype=np.int64)[None, :]
+    ) % 16
+    return idx.astype(np.uint8), palette.astype(np.uint8)
+
+
+def synth_gif_media(spark, n: int = 8) -> DataFrame:
+    """Deterministic REAL-GIF media rows (ops/gif.py): 16-color palette
+    images, odd rows interlaced so the four-pass row order sits under
+    the driver's byte-exact pixel-sum check alongside the LZW decode."""
+    from xapian_spark.ops.gif import encode_gif
+
+    rows = []
+    for i in range(n):
+        idx, palette = gif_fixture(i)
+        h, w = idx.shape
+        rows.append(
+            (i, "image", "image/gif", w, h, None,
+             encode_gif([idx], palette, interlace=bool(i % 2)))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def mp4_fixture_frames(i: int, seed: int = 42) -> tuple[np.ndarray, int]:
     """Deterministic RGB video with the closed form the driver oracle
     replays: pixel (f, y, x, c) of video i =
@@ -545,6 +578,10 @@ def _real_feature(kind: str, payload: bytes, dim: int) -> list[float]:
             from xapian_spark.ops.jpeg import decode_jpeg
 
             raw = decode_jpeg(payload)
+        elif payload[:4] == b"GIF8":
+            from xapian_spark.ops.gif import decode_gif_image
+
+            raw = decode_gif_image(payload)
         else:
             raw = decode_ppm(payload)
         if raw.ndim == 2:  # grey -> 3-channel
@@ -622,11 +659,12 @@ def extract_features(
                         or p[:4] == b"RIFF"
                         or p[:9] == b"YUV4MPEG2"
                         or p[4:8] == b"ftyp"
+                        or p[:4] == b"GIF8"
                     ):
                         raise NotImplementedError(
                             "unrecognized container; only PPM/PNG/JPEG/"
-                            "WAV/Y4M/MP4 decode in-container — plug a "
-                            "codec library in here"
+                            "GIF/WAV/Y4M/MP4 decode in-container — plug "
+                            "a codec library in here"
                         )
                     feats.append(_real_feature(kind, p, dim))
             else:
@@ -674,6 +712,10 @@ def image_pixel_sums(media: DataFrame) -> DataFrame:
                     from xapian_spark.ops.jpeg import decode_jpeg
 
                     img = decode_jpeg(p)
+                elif p[:4] == b"GIF8":
+                    from xapian_spark.ops.gif import decode_gif_image
+
+                    img = decode_gif_image(p)
                 elif p[:2] == b"P6":
                     img = decode_ppm(p)
                 else:
@@ -799,6 +841,10 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame
                     from xapian_spark.ops.jpeg import decode_jpeg
 
                     img = decode_jpeg(p)
+                elif p[:4] == b"GIF8":
+                    from xapian_spark.ops.gif import decode_gif_image
+
+                    img = decode_gif_image(p)
                 elif p[:2] == b"P6":
                     img = decode_ppm(p)
                 else:
