@@ -192,3 +192,20 @@ class TestSparkOps:
         assert feats[0]["feature"][0] == pytest.approx(
             frames.shape[0] / 100.0
         )
+
+    def test_extract_features_real_mp4_audio(self, spark):
+        # an MP4-contained PCM track goes through the same audio feature
+        # math as WAV: identical samples => identical feature vectors
+        t = np.arange(4000)
+        x = (3000 * np.sin(t / 7.0)).astype(np.int16)
+        p_mp4 = mp4.encode_mp4_pcm_audio(x, rate=8000)
+        p_wav = multimodal.encode_wav(x, sample_rate=8000)
+        rows = [(0, "audio", "audio/mp4", None, None, 500, p_mp4),
+                (1, "audio", "audio/wav", None, None, 500, p_wav)]
+        media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        feats = {
+            r["media_id"]: r["feature"]
+            for r in multimodal.extract_features(media, decode="real")
+            .collect()
+        }
+        assert feats[0] == pytest.approx(feats[1])

@@ -595,7 +595,13 @@ def _real_feature(kind: str, payload: bytes, dim: int) -> list[float]:
             + [float(np.abs(np.diff(luma, axis=1)).mean())]
         )
     elif kind == "audio":
-        x, rate = decode_wav(payload)
+        if payload[4:8] == b"ftyp":
+            from xapian_spark.ops.mp4 import decode_mp4_audio
+
+            pcm, rate = decode_mp4_audio(payload)  # (n, ch) int16
+            x = pcm[:, 0].astype(np.float32) / 32768.0
+        else:
+            x, rate = decode_wav(payload)
         spec = np.abs(np.fft.rfft(x))
         bands = [
             float(chunk.mean()) if chunk.size else 0.0
