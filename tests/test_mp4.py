@@ -209,3 +209,17 @@ class TestSparkOps:
             .collect()
         }
         assert feats[0] == pytest.approx(feats[1])
+
+    def test_sample_frames_mp4(self, spark):
+        # raw-codec rows emit real luma frames; avc1-labeled rows are
+        # skipped (metadata-only), not errored
+        media = multimodal.synth_mp4_media(spark, n=2)
+        got = multimodal.sample_frames(media, every_ms=200).collect()
+        assert got and all(r["media_id"] == 0 for r in got)
+        frames, _ = multimodal.mp4_fixture_frames(0)
+        luma = (
+            frames @ np.array([0.299, 0.587, 0.114], np.float32)
+        ).astype(np.uint8)
+        first = got[0]
+        assert first["payload"].startswith(b"P5\n")
+        assert first["payload"].endswith(luma[0].tobytes())

@@ -903,9 +903,22 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )}
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 p = bytes(p)
-                if p[:9] != b"YUV4MPEG2":
+                if p[:9] == b"YUV4MPEG2":
+                    frames, fps = decode_y4m(p)
+                elif p[4:8] == b"ftyp":
+                    from xapian_spark.ops.mp4 import (
+                        UNCOMPRESSED_VIDEO, decode_mp4_video, parse_mp4,
+                    )
+
+                    tr = parse_mp4(p).track("vide")
+                    if tr is None or tr.codec not in UNCOMPRESSED_VIDEO:
+                        continue  # compressed codec: metadata-only row
+                    rgb, fps = decode_mp4_video(p)
+                    frames = (
+                        rgb @ np.array([0.299, 0.587, 0.114], np.float32)
+                    ).astype(np.uint8)
+                else:
                     continue
-                frames, fps = decode_y4m(p)
                 nf, h, w = frames.shape
                 dur_ms = nf * 1000 // fps
                 for ts in range(0, max(dur_ms, 1), every_ms):
