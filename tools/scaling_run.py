@@ -38,8 +38,12 @@ N_QUERIES = int(os.environ.get("SPARK_GRAFT_NQ", "500"))
 def amplified_docs(spark, cores: int):
     base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n = base.count()
+    # spread the base rows BEFORE the explode: documents.parquet is a
+    # single split, and Generate preserves partitioning — without this the
+    # whole amplified corpus is produced (and first consumed) by ONE task
     return (
-        base.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(AMPLIFY - 1))))
+        base.repartition(max(cores * 8, 64))
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(AMPLIFY - 1))))
         .withColumn("docid", (F.col("doc_id") + 1 + F.col("rep") * n).cast("long"))
         # vary content deterministically so replicas aren't byte-identical:
         # prepend a replica marker token

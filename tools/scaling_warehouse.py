@@ -33,16 +33,51 @@ N_RANGES = int(os.environ.get("SPARK_GRAFT_NRANGES", "16"))
 SCRATCH = os.environ.get("SPARK_GRAFT_WH_DIR", "/tmp/xs_whscale")
 
 
+def corpus_path() -> str:
+    from tools.scaling_run import AMPLIFY
+
+    return os.path.join(SCRATCH, f"corpus_x{AMPLIFY}")
+
+
+def prepare_corpus() -> str:
+    """Materialize the amplified corpus ONCE (unpinned, full machine) to a
+    healthy multi-file parquet layout, so each pinned level READS its input
+    the way a real warehouse build reads a real table.  The old in-process
+    explode inherited documents.parquet's single split, which capped the
+    stage-0 tokenize at ONE task regardless of core count — the 8-vs-32-core
+    warehouse pair was measuring a serial build twice."""
+    path = corpus_path()
+    marker = os.path.join(path, "_PREPARED")
+    if os.path.exists(marker):
+        return path
+    from xapian_spark.session import get_spark
+    from tools.scaling_run import amplified_docs
+
+    spark = get_spark(
+        "whscale-prep", master="local[32]", shuffle_partitions=64
+    )
+    docs = amplified_docs(spark, 32).withColumnRenamed("text", "content")
+    shutil.rmtree(path, ignore_errors=True)
+    docs.write.mode("overwrite").parquet(path)
+    spark.stop()
+    open(marker, "w").close()
+    return path
+
+
 def one_level(cores: int) -> dict:
     from xapian_spark.index import merge
     from xapian_spark.session import get_spark
-    from tools.scaling_run import AMPLIFY, SF_DIR, amplified_docs
 
+    prepare_corpus()  # no-op when main() already wrote the marker
     spark = get_spark(
         f"whscale-{cores}", master=f"local[{cores}]",
         shuffle_partitions=max(cores * 2, 8),
+        # the materialized corpus files are small (~4-16 MB); default
+        # 128 MB bin-packing would fold them back into ~a dozen read
+        # partitions and re-cap the narrow level's parallelism
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(16 << 20)},
     )
-    docs = amplified_docs(spark, cores).withColumnRenamed("text", "content")
+    docs = spark.read.parquet(corpus_path())
     n_docs = docs.count()  # warm the input listing; corpus itself NOT cached
 
     secs = []
@@ -75,6 +110,7 @@ def main() -> None:
 
     import subprocess
 
+    prepare_corpus()
     here = os.path.abspath(__file__)
     levels = []
     for cores in (8, 32):

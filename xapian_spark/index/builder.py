@@ -602,23 +602,46 @@ def assign_docids(
 
 
 def _right_size(df: DataFrame, target_bytes: int = 64 << 20) -> DataFrame:
-    """Coalesce a many-tiny-partitions input before the Arrow pass.
+    """Right-size a degenerate input layout before the Arrow pass.
 
-    Each mapInArrow task pays a fixed JVM<->Python round-trip cost
-    (worker handshake, Arrow stream setup/flush) that measured ~8 ms/task
-    regardless of task size — an input split into 4 MB partitions spends
-    more wall time on IPC setup than on tokenizing (a 1M-doc build's noop
-    round-trip: 2.4 s at 256 partitions vs 0.8 s at 64, same bytes).  At
-    cluster scale healthy inputs already carry 128-256 MB per split
+    TOO MANY tiny partitions: each mapInArrow task pays a fixed
+    JVM<->Python round-trip cost (worker handshake, Arrow stream
+    setup/flush) that measured ~8 ms/task regardless of task size — an
+    input split into 4 MB partitions spends more wall time on IPC setup
+    than on tokenizing (a 1M-doc build's noop round-trip: 2.4 s at 256
+    partitions vs 0.8 s at 64, same bytes).  At cluster scale healthy
+    inputs already carry 128-256 MB per split
     (spark.sql.files.maxPartitionBytes), so this only rewrites degenerate
     layouts: if the optimizer's size estimate says partitions average well
     under ``target_bytes``, coalesce (no shuffle) down to the byte-derived
     count, floored at 2x defaultParallelism to keep every core busy with
     scheduling headroom.  Unknown/absurd size estimates leave the input
-    untouched."""
+    untouched.
+
+    TOO FEW partitions (fewer than cores): the tokenize pass — the bulk
+    of build CPU — is capped at n tasks no matter how many cores exist
+    (a 1-partition generated corpus tokenizes single-threaded on a
+    32-core node; measured: an 8M-doc exploded corpus built no faster at
+    32 cores than 8).  Catalyst's size estimate CANNOT gate this case:
+    explode/Generate multiplicity is invisible to plan stats (that same
+    8M-doc corpus reads 0.6 MB), so the only safe small-input exemption
+    is an accurate-small estimate on a Generate-free plan.  The shuffle
+    this inserts costs one pass over the raw content — noise next to the
+    tokenize work it unblocks — and on healthy cluster layouts
+    (splits >= cores) it never fires."""
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     n = df.rdd.getNumPartitions()
+    if n < par:
+        try:
+            plan = df._jdf.queryExecution().optimizedPlan()
+            size = int(plan.stats().sizeInBytes())
+            trustworthy = "Generate" not in plan.toString()
+        except Exception:
+            size, trustworthy = -1, False
+        if trustworthy and 0 <= size < target_bytes // 8:
+            return df  # provably tiny: parallelism is irrelevant
+        return df.repartition(2 * par)
     if n <= 2 * par:
         return df
     try:
