@@ -264,3 +264,34 @@ def test_null_prefix_field_value(spark, tmp_path):
     assert db.get_unique_terms(2) == 2  # no NULL boolean term
     rep = db.check()
     assert all(v == 0 for v in rep.values()), rep
+
+
+def test_right_size_upsizes_narrow_generated_input(spark):
+    """A generated/exploded corpus inherits its base's (often single)
+    split, capping the Arrow tokenize pass at one task no matter how many
+    cores exist — measured: an 8M-doc exploded corpus built no faster at
+    32 cores than at 8.  _right_size must repartition such inputs UP.
+    Catalyst stats cannot gate this case (Generate multiplicity is
+    invisible to sizeInBytes), so only provably-tiny Generate-free inputs
+    are exempt from the upsize."""
+    from xapian_spark.index.builder import _right_size
+
+    par = spark.sparkContext.defaultParallelism
+
+    base = spark.createDataFrame(
+        [(1, "hello world")], "docid long, content string"
+    ).coalesce(1)
+    amp = base.withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(999)))
+    )
+    assert amp.rdd.getNumPartitions() == 1
+    assert _right_size(amp).rdd.getNumPartitions() == 2 * par
+
+    # provably-tiny Generate-free input (accurate parquet stats) stays
+    # untouched — no pointless shuffle on a small single-split table.
+    # (Arrow createDataFrame inputs arrive as LogicalRDD with UNKNOWN
+    # stats and are upsized conservatively; that costs a trivial 8-task
+    # shuffle and is correct for large driver-side corpora.)
+    tiny = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert tiny.rdd.getNumPartitions() == 1
+    assert _right_size(tiny).rdd.getNumPartitions() == 1

@@ -81,6 +81,7 @@ def one_level(cores: int) -> dict:
     n_docs = docs.count()  # warm the input listing; corpus itself NOT cached
 
     secs = []
+    stage_secs = []
     for t in range(TRIALS):
         out = os.path.join(SCRATCH, f"wh_{cores}_{t}")
         shutil.rmtree(out, ignore_errors=True)
@@ -90,6 +91,16 @@ def one_level(cores: int) -> dict:
             n_ranges=N_RANGES,
         )
         secs.append(round(time.perf_counter() - t0, 2))
+        # per-stage decomposition from the commit markers (which stage
+        # is the one NOT scaling with cores?) before the dir goes away
+        stages = {}
+        meta_dir = os.path.join(out, "_meta")
+        for f in sorted(os.listdir(meta_dir)):
+            with open(os.path.join(meta_dir, f)) as fh:
+                m = json.load(fh)
+            if "elapsed_sec" in m:
+                stages[f.removesuffix(".json")] = m["elapsed_sec"]
+        stage_secs.append(stages)
         shutil.rmtree(out, ignore_errors=True)
     spark.stop()
     best = min(secs)
@@ -100,6 +111,7 @@ def one_level(cores: int) -> dict:
         "build_wh_sec": best,
         "build_wh_secs_all": secs,
         "docs_per_sec": round(n_docs / best, 1),
+        "stage_secs_all": stage_secs,
     }
 
 

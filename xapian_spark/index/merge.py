@@ -9,22 +9,33 @@ finished work:
 
   stage 0  termlists: tokenize + map-side invert (builder.inverter_udf),
            content sha256 invariant column, written once.
-  stage 1  runs: term-major postings repartitionByRange(term, docid),
-           sorted within partitions -> the "sorted runs" on disk.
-           This shuffle IS the merge: identical term ranges from every
-           input partition land in one range (what the reference's pq
-           merge achieves file-at-a-time).
-  stage 2  blocked: per term-RANGE, pack runs into delta+VByte blocks
-           (blocks.pack_blocks_udf).  One job per range bucket, committed
-           with a _meta/range_<i>.json recording lineage (term bounds,
-           counts, wall time); a rerun skips every committed range.
+  stage 1a ranges: term-mass boundaries computed from the termlists
+           (distributed two-phase prefix sum) BEFORE any posting shuffle,
+           so the one shuffle below can be range-aligned.
+  stage 1b runs: term-major postings repartitionByRange(term, docid),
+           sorted within partitions, written partitionBy(range_id) ->
+           the "sorted runs" on disk, laid out one directory per term
+           range.  This ONE shuffle IS the merge: identical term ranges
+           from every input partition land in one range (what the
+           reference's pq merge achieves file-at-a-time).
+  stage 2  blocked: per term-RANGE, pack that range's run files into
+           delta+VByte blocks (blocks.pack_blocks_udf) with NO second
+           shuffle — the files are already range-partitioned and sorted;
+           packing is a partition-local sort + narrow Arrow pass.  (The
+           previous design re-shuffled the full posting table a second
+           time here; at 10^12-file scale that doubles the dominant I/O.)
+           One job per range bucket, committed with a
+           _meta/range_<i>.json recording lineage (term bounds, counts,
+           wall time); a rerun skips every committed range.
   stage 3  stats: doclens, term_stats, global stats manifest.
 
 Skew note: ranges are computed from the term distribution (approx
 quantiles over the postings), so stopword-class hot terms get ranges to
 themselves while long-tail terms pack densely — explicit range placement
 instead of hash-and-pray.  Within a range, hot terms additionally split
-across docid subranges (pack_blocks' repartitionByRange(term, docid)).
+across docid subranges (stage 1b's repartitionByRange(term, docid) cuts
+can land mid-term, so a stopword's postings spread over several files,
+each a contiguous docid span).
 """
 
 from __future__ import annotations
@@ -214,6 +225,21 @@ def _mass_boundaries(runs: DataFrame, n_ranges: int) -> list[str]:
     return marks[: n_ranges - 1]
 
 
+def _range_id_col(marks: list[str]):
+    """range_id = number of boundary terms <= term (marks are the sorted
+    bucket-opening terms, so this is exactly the bucket index).  Built as
+    a vectorized fold over a literal array rather than a chained CASE so
+    a large n_ranges doesn't produce a codegen-hostile expression tree."""
+    if not marks:
+        return F.lit(0)
+    return F.aggregate(
+        F.array(*[F.lit(m) for m in marks]),
+        F.lit(0),
+        lambda acc, m: acc
+        + F.when(F.col("term") >= m, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
 def _stages_1_to_3(
     spark: SparkSession,
     path: str,
@@ -226,34 +252,17 @@ def _stages_1_to_3(
     """Stages 1-3 over an existing {path}/termlists table (used by the
     batch build and by streaming compaction, streaming/incremental.py)."""
     termlists = spark.read.parquet(os.path.join(path, "termlists"))
+    postings = termlists.select(
+        "docid", "doclen", F.explode("plist").alias("e")
+    ).select(
+        F.col("e.term").alias("term"),
+        "docid",
+        F.col("e.wdf").alias("wdf"),
+        "doclen",
+        F.col("e.positions").alias("positions"),
+    )
 
-    # -- stage 1: sorted term-major runs ------------------------------------
-    if not _done(path, "runs"):
-        t0 = time.perf_counter()
-        postings = termlists.select(
-            "docid", "doclen", F.explode("plist").alias("e")
-        ).select(
-            F.col("e.term").alias("term"),
-            "docid",
-            F.col("e.wdf").alias("wdf"),
-            "doclen",
-            F.col("e.positions").alias("positions"),
-        )
-        (
-            postings.repartitionByRange(n_ranges * 4, "term", "docid")
-            .sortWithinPartitions("term", "docid")
-            .write.mode("overwrite")
-            .parquet(os.path.join(path, "runs"))
-        )
-        n = spark.read.parquet(os.path.join(path, "runs")).count()
-        _commit(path, "runs", {
-            "stage": 1, "rows": n, "partitions": n_ranges * 4,
-            "elapsed_sec": round(time.perf_counter() - t0, 3),
-        })
-
-    runs = spark.read.parquet(os.path.join(path, "runs"))
-
-    # -- stage 2: range plan + blocked packing ------------------------------
+    # -- stage 1a: range plan (BEFORE the posting shuffle) -------------------
     if not _done(path, "ranges"):
         # Term-distribution-aware range boundaries (skew-aware placement):
         # split the dictionary at equal cumulative POSTING mass, not equal
@@ -269,24 +278,44 @@ def _stages_1_to_3(
         #   3. narrow Arrow pass walks each sorted partition with its
         #      starting offset and emits ONLY the <= n_ranges boundary
         #      terms where floor(cum * n / total) steps up.
-        marks = _mass_boundaries(runs, n_ranges)
+        marks = _mass_boundaries(postings.select("term"), n_ranges)
         _commit(path, "ranges", {
-            "stage": 2, "boundaries": marks, "n_ranges": len(marks) + 1,
+            "stage": 1, "boundaries": marks, "n_ranges": len(marks) + 1,
         })
 
     marks = _read_meta(path, "ranges")["boundaries"]
     n_eff = len(marks) + 1
 
-    def range_pred(i: int):
-        lo = marks[i - 1] if i > 0 else None
-        hi = marks[i] if i < len(marks) else None
-        p = F.lit(True)
-        if lo is not None:
-            p = p & (F.col("term") >= lo)
-        if hi is not None:
-            p = p & (F.col("term") < hi)
-        return p
+    # -- stage 1b: sorted term-major runs, range-aligned layout --------------
+    # The ONLY shuffle of the full posting table.  partitionBy(range_id)
+    # writes each task's (term, docid) interval into its range directory
+    # (at most two directories per task, since repartitionByRange intervals
+    # are contiguous and range_id is monotone in term), so stage 2 can pack
+    # each range from its own files with no second shuffle.
+    if not _done(path, "runs"):
+        t0 = time.perf_counter()
+        parts = max(
+            n_ranges * 4,
+            2 * int(spark.conf.get("spark.sql.shuffle.partitions", "32")
+                    or "32"),
+        )
+        (
+            postings.withColumn("range_id", _range_id_col(marks))
+            .repartitionByRange(parts, "term", "docid")
+            .sortWithinPartitions("term", "docid")
+            .write.mode("overwrite")
+            .partitionBy("range_id")
+            .parquet(os.path.join(path, "runs"))
+        )
+        n = spark.read.parquet(os.path.join(path, "runs")).count()
+        _commit(path, "runs", {
+            "stage": 1, "rows": n, "partitions": parts,
+            "elapsed_sec": round(time.perf_counter() - t0, 3),
+        })
 
+    runs = spark.read.parquet(os.path.join(path, "runs"))
+
+    # -- stage 2: per-range blocked packing (shuffle-free) -------------------
     pending = [
         i for i in range(n_eff) if not _done(path, f"blocked_range_{i}")
     ]
@@ -300,22 +329,19 @@ def _stages_1_to_3(
     # instead of idling between jobs.  Resumability is unchanged — a
     # killed build re-enters with the committed ranges skipped.
     concurrency = max(1, min(concurrent_ranges, len(pending) or 1))
-    # per-range packing parallelism: concurrency x pack_parts ~ one full
-    # wave of the session's shuffle parallelism
-    pack_parts = max(
-        4,
-        int(spark.conf.get("spark.sql.shuffle.partitions", "32") or "32")
-        // concurrency,
-    )
 
     def _pack_range(i: int) -> None:
         t0 = time.perf_counter()
-        part = runs.where(range_pred(i)).select(
+        # partition pruning on range_id reads ONLY this range's files;
+        # they are already (term, docid)-sorted from stage 1b.  The
+        # sortWithinPartitions is a partition-LOCAL sort (no exchange) —
+        # insurance against Spark's size-ordered file bin-packing
+        # concatenating two sorted files out of term order.
+        part = runs.where(F.col("range_id") == i).select(
             "term", "docid", "wdf", "doclen"
         )
         blocked = (
-            part.repartitionByRange(pack_parts, "term", "docid")
-            .sortWithinPartitions("term", "docid")
+            part.sortWithinPartitions("term", "docid")
             .mapInPandas(pack_blocks_udf(block_size), (
                 "term string, first_docid long, last_docid long, n int, "
                 "wdf_max int, payload binary"
@@ -580,7 +606,11 @@ def read_warehouse(spark: SparkSession, path: str) -> InvertedIndex:
         postings until compact() rebuilds blocks.
     """
     m = _read_meta(path, "stats")
-    postings = spark.read.parquet(os.path.join(path, "runs"))
+    # project away the range_id partition column: serving joins and the
+    # delta-overlay unionByName expect the canonical postings schema
+    postings = spark.read.parquet(os.path.join(path, "runs")).select(
+        "term", "docid", "wdf", "doclen", "positions"
+    )
     doclens = spark.read.parquet(os.path.join(path, "doclens"))
     term_stats = spark.read.parquet(os.path.join(path, "term_stats"))
     docs = (

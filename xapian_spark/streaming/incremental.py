@@ -181,7 +181,9 @@ def query_with_delta(spark: SparkSession, path: str) -> DataFrame:
     """Postings view spanning base runs + uncompacted deltas (multi-shard
     search analogue).  Delta rows override base rows for the same docid;
     tombstoned docids are excluded."""
-    runs = spark.read.parquet(os.path.join(path, "runs"))
+    runs = spark.read.parquet(os.path.join(path, "runs")).select(
+        "term", "docid", "wdf", "doclen", "positions"
+    )
     tomb_dir = os.path.join(path, "tombstones")
     if os.path.exists(tomb_dir):
         runs = runs.join(
