@@ -17,7 +17,17 @@ two different ways:
   accruing ONLY during the JVM runs.  The sched ratio plus the steal
   delta it reports is the honest gate for build-phase measurements.
 
-Usage: python tools/noise_probe.py [--sched]   -> one JSON line
+- **bw mode** (``--bw``): the HARDWARE CEILING for shuffle/sort-heavy
+  stages.  A streaming workload with a 64 MB working set (far past LLC)
+  measures aggregate achievable memory bandwidth at 1-way, 8-way and
+  32-way pinning.  ``ceiling_8_to_32`` = aggregate_32 / aggregate_8 is
+  the MOST a perfectly-parallel bandwidth-bound stage can speed up going
+  8 -> 32 cores on this box (ideal 4.0; a single-socket VM sharing DRAM
+  channels with neighbors reads well under that).  Divide a measured
+  T8/T32 ratio by this ceiling to separate engine scaling from host
+  memory-bus saturation.
+
+Usage: python tools/noise_probe.py [--sched|--bw]   -> one JSON line
 """
 import json
 import os
@@ -48,6 +58,20 @@ print(n)
 """
 
 
+# streaming add over a 64 MB working set: every iteration reads one 64 MB
+# array and writes another — DRAM-bound, cache-useless, the shape of
+# shuffle serialization / sort runs / parquet encoding buffers
+BW_WORK = """
+import time, numpy as np
+a = np.zeros(8_000_000, dtype=np.float64)
+b = np.ones(8_000_000, dtype=np.float64)
+t0 = time.perf_counter(); n = 0
+while time.perf_counter() - t0 < 6.0:
+    np.add(b, 1.0, out=a); np.add(a, 1.0, out=b); n += 1
+print(n)
+"""
+
+
 def run_pinned(core: int, work: str):
     env = dict(os.environ, OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
                MKL_NUM_THREADS="1")
@@ -62,7 +86,32 @@ def _steal_jiffies() -> int:
         return int(f.readline().split()[8])
 
 
+def _bw_ceiling():
+    out = {"mode": "bw"}
+    totals = {}
+    for ways in (1, 8, 32):
+        s0 = _steal_jiffies()
+        t0 = time.perf_counter()
+        procs = [run_pinned(c, BW_WORK) for c in range(ways)]
+        total = sum(int(p.communicate()[0].strip()) for p in procs)
+        wall = time.perf_counter() - t0
+        totals[ways] = total
+        out[f"aggregate_{ways}way_iters_6s"] = total
+        out[f"steal_pct_{ways}way"] = round(
+            100.0 * (_steal_jiffies() - s0) / 100.0 / (ways * wall), 2
+        )
+    out["speedup_8way"] = round(totals[8] / totals[1], 2)
+    out["speedup_32way"] = round(totals[32] / totals[1], 2)
+    # the most any perfectly-parallel bandwidth-bound stage can gain
+    # going 8 -> 32 cores on this host right now (ideal 4.0)
+    out["ceiling_8_to_32"] = round(totals[32] / totals[8], 3)
+    print(json.dumps(out))
+
+
 def main():
+    if "--bw" in sys.argv:
+        _bw_ceiling()
+        return
     sched = "--sched" in sys.argv
     work = SCHED_WORK if sched else WORK
     solo = run_pinned(0, work)

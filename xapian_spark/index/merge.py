@@ -225,19 +225,21 @@ def _mass_boundaries(runs: DataFrame, n_ranges: int) -> list[str]:
     return marks[: n_ranges - 1]
 
 
-def _range_id_col(marks: list[str]):
+def _range_id_col(marks: list[str], lo: int = 0, hi: int | None = None):
     """range_id = number of boundary terms <= term (marks are the sorted
     bucket-opening terms, so this is exactly the bucket index).  Built as
-    a vectorized fold over a literal array rather than a chained CASE so
-    a large n_ranges doesn't produce a codegen-hostile expression tree."""
-    if not marks:
-        return F.lit(0)
-    return F.aggregate(
-        F.array(*[F.lit(m) for m in marks]),
-        F.lit(0),
-        lambda acc, m: acc
-        + F.when(F.col("term") >= m, F.lit(1)).otherwise(F.lit(0)),
-    )
+    a balanced WHEN tree — a binary search evaluating log2(n) string
+    compares per posting row (this runs once per posting in the stage-1b
+    shuffle, so a linear scan over the boundaries would cost n compares
+    times the full posting count)."""
+    if hi is None:
+        hi = len(marks)
+    if lo == hi:
+        return F.lit(lo)
+    mid = (lo + hi) // 2
+    return F.when(
+        F.col("term") < F.lit(marks[mid]), _range_id_col(marks, lo, mid)
+    ).otherwise(_range_id_col(marks, mid + 1, hi))
 
 
 def _stages_1_to_3(
@@ -302,7 +304,12 @@ def _stages_1_to_3(
         (
             postings.withColumn("range_id", _range_id_col(marks))
             .repartitionByRange(parts, "term", "docid")
-            .sortWithinPartitions("term", "docid")
+            # range_id leads the sort so the partitioned-file writer's
+            # required ordering (by partition columns) is ALREADY satisfied
+            # — otherwise FileFormatWriter inserts a second external sort of
+            # the full posting table.  range_id is monotone in term, so
+            # (range_id, term, docid) order IS (term, docid) order.
+            .sortWithinPartitions("range_id", "term", "docid")
             .write.mode("overwrite")
             .partitionBy("range_id")
             .parquet(os.path.join(path, "runs"))
