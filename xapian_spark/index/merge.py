@@ -84,14 +84,18 @@ def build_warehouse(
     n_ranges: int = 8,
     block_size: int = DEFAULT_BLOCK,
     stop_after_range: int | None = None,
-    concurrent_ranges: int = 4,
+    concurrent_ranges: int | None = None,
 ) -> None:
     """Build (or RESUME building) the on-disk index warehouse at `path`.
 
     stop_after_range: test hook — abort after committing that many stage-2
     ranges, simulating a mid-build failure for resumability tests.
     concurrent_ranges: how many independent range-merge jobs to keep in
-    flight (see the stage-2 comment in _stages_1_to_3).
+    flight (see the stage-2 comment in _stages_1_to_3).  None (default)
+    scales with the cluster — cores/4, floored at 4 — because a fixed
+    depth under-fills a wider cluster: each range job has only a handful
+    of tasks, so the in-flight set must grow with the executor count for
+    the task pool to stay saturated through each range's write/commit tail.
     """
     os.makedirs(path, exist_ok=True)
 
@@ -249,10 +253,12 @@ def _stages_1_to_3(
     n_ranges: int = 8,
     block_size: int = DEFAULT_BLOCK,
     stop_after_range: int | None = None,
-    concurrent_ranges: int = 4,
+    concurrent_ranges: int | None = None,
 ) -> None:
     """Stages 1-3 over an existing {path}/termlists table (used by the
     batch build and by streaming compaction, streaming/incremental.py)."""
+    if concurrent_ranges is None:
+        concurrent_ranges = max(4, spark.sparkContext.defaultParallelism // 4)
     termlists = spark.read.parquet(os.path.join(path, "termlists"))
     postings = termlists.select(
         "docid", "doclen", F.explode("plist").alias("e")
@@ -338,6 +344,8 @@ def _stages_1_to_3(
     concurrency = max(1, min(concurrent_ranges, len(pending) or 1))
 
     def _pack_range(i: int) -> None:
+        from pyspark.sql import Observation
+
         t0 = time.perf_counter()
         # partition pruning on range_id reads ONLY this range's files;
         # they are already (term, docid)-sorted from stage 1b.  The
@@ -347,21 +355,28 @@ def _stages_1_to_3(
         part = runs.where(F.col("range_id") == i).select(
             "term", "docid", "wdf", "doclen"
         )
+        # range stats ride the WRITE job as an Observation instead of a
+        # second full read of the blocked output — per range that halves
+        # the blocked-parquet I/O and removes a whole job barrier (the
+        # commit-tail latency the concurrency pool exists to hide)
+        obs = Observation(f"range_{i}_stats")
         blocked = (
             part.sortWithinPartitions("term", "docid")
             .mapInPandas(pack_blocks_udf(block_size), (
                 "term string, first_docid long, last_docid long, n int, "
                 "wdf_max int, payload binary"
             ))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("blocks"),
+                F.sum("n").alias("postings"),
+                F.min("term").alias("min_term"),
+                F.max("term").alias("max_term"),
+            )
         )
         out_dir = os.path.join(path, "blocked", f"range={i}")
         blocked.write.mode("overwrite").parquet(out_dir)
-        stats_row = spark.read.parquet(out_dir).agg(
-            F.count(F.lit(1)).alias("blocks"),
-            F.sum("n").alias("postings"),
-            F.min("term").alias("min_term"),
-            F.max("term").alias("max_term"),
-        ).collect()[0]
+        stats_row = obs.get
         _commit(path, f"blocked_range_{i}", {
             "stage": 2, "range": i,
             "bounds": [marks[i - 1] if i > 0 else None,
