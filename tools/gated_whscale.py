@@ -40,9 +40,9 @@ def log(rec: dict) -> None:
         f.write(json.dumps(rec) + "\n")
 
 
-def probe() -> dict:
+def probe(mode: str = "--sched") -> dict:
     r = subprocess.run(
-        [sys.executable, os.path.join(HERE, "noise_probe.py"), "--sched"],
+        [sys.executable, os.path.join(HERE, "noise_probe.py"), mode],
         capture_output=True, text=True,
     )
     try:
@@ -85,12 +85,18 @@ def main() -> None:
             time.sleep(PROBE_RETRY_SEC)
             continue
         attempt += 1
-        log({"attempt": attempt, "event": "launch", "probe_pre": p_pre})
+        # in-window memory-bandwidth ceiling: the MOST a perfectly-parallel
+        # DRAM-bound stage can gain 8 -> 32 cores on this host right now
+        # (ideal 4.0) — recorded alongside the reading so the measured
+        # efficiency can be judged against the hardware, not the ideal
+        p_bw = probe("--bw")
+        log({"attempt": attempt, "event": "launch", "probe_pre": p_pre,
+             "probe_bw": p_bw})
         result = run_pair()
         p_post = probe()
         rec = {
             "attempt": attempt, "event": "result", "result": result,
-            "probe_pre": p_pre, "probe_post": p_post,
+            "probe_pre": p_pre, "probe_bw": p_bw, "probe_post": p_post,
             "window_held": window_clean(p_post),
         }
         log(rec)
