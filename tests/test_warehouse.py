@@ -289,3 +289,38 @@ def test_batch_wand_matches_row_path(spark, wh):
     assert [(r["query"], r["docid"]) for r in direct] == [
         (r["query"], r["docid"]) for r in got
     ]
+
+
+def test_range_id_binary_tree_matches_linear_count(spark):
+    # _range_id_col is a balanced WHEN tree (binary search over the sorted
+    # boundary terms); pin it against the definition it replaced — range_id
+    # = number of boundary terms <= term — across boundary-exact, between,
+    # below-all and above-all inputs, for 1..9 boundaries (odd/even splits).
+    import string
+
+    for n_marks in (1, 2, 3, 4, 7, 9):
+        marks = [string.ascii_lowercase[2 * i + 1] for i in range(n_marks)]
+        probes = list(string.ascii_lowercase[: 2 * n_marks + 2]) + ["", "zz"]
+        df = spark.createDataFrame([(t,) for t in probes], "term string")
+        got = {
+            r["term"]: r["rid"]
+            for r in df.withColumn(
+                "rid", merge._range_id_col(marks)
+            ).collect()
+        }
+        want = {t: sum(1 for m in marks if t >= m) for t in probes}
+        assert got == want, f"marks={marks}"
+
+
+def test_runs_layout_orders_align(spark, wh):
+    # the stage-1b write sorts by (range_id, term, docid) so the
+    # partitioned writer's required ordering is pre-satisfied; that is only
+    # equivalent to (term, docid) order if range_id is monotone in term.
+    # Verify on the built warehouse: global (term, docid) order == global
+    # (range_id, term, docid) order.
+    runs = spark.read.parquet(os.path.join(wh, "runs"))
+    a = [(r["term"], r["docid"])
+         for r in runs.orderBy("term", "docid").collect()]
+    b = [(r["term"], r["docid"])
+         for r in runs.orderBy("range_id", "term", "docid").collect()]
+    assert a == b
