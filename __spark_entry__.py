@@ -17,14 +17,17 @@ regexp_extract_all(lower(text), '[a-z0-9_]+') produce identical term/pos
 streams; tokenizer-fidelity edge cases (acronyms, infix, +/# suffixes) are
 covered by the pytest golden suite instead (tests/test_tokenizer.py).
 
-Oracle coverage: 49 of the 50 entries carry a value-hash oracle.  The
+Oracle coverage: all 50 window entries carry a value-hash oracle.  The
 "approximate" dedup/ANN operators (minhash_lsh, simhash_pairs,
 lsh_cosine_topk, embedding_near_dup) are approximate only w.r.t. the
 exact answer — their pipelines are fully deterministic (md5/sha256
 hashing, seeded hyperplanes), so the oracle SQL replays the algorithm
-itself, candidate generation included.  Only stemmed_search is rows-only
-(Porter2 is not expressible in SQL; byte-parity is pinned in pytest on
-the full public Snowball vocabulary instead).
+itself, candidate generation included.  stemmed_search uses a
+dictionary-replay oracle: Porter2 the algorithm is not SQL-expressible,
+but the query only needs the closure of its two stems over the corpus
+vocabulary, embedded as static IN lists and pinned complete by
+tests/test_stemmer.py::test_stemmed_search_oracle_closure (the stemmer
+itself is byte-parity-pinned on the full public Snowball vocabulary).
 
 Entry-count policy: the driver checks the FIRST 50 queries() entries, so
 the dict is capped at exactly 50 with every training-data-pipeline / ANN
@@ -406,7 +409,9 @@ _STEM_IDX_CACHE: dict[str, object] = {}
 def _q_stemmed_search(spark, sf_dir):
     """STEM_SOME index + stemmed query (Z-terms): morphological variants
     unify under one posting list (termgenerator_internal.cc:318-362).
-    Rows-only check: Porter2 is not expressible in ANSI SQL."""
+    Value-hash checked via a dictionary-replay oracle (the Porter2 closure
+    of the two query stems over the corpus vocabulary, pinned complete in
+    tests/test_stemmer.py)."""
     from xapian_spark.query.parser import QueryParser
     from xapian_spark.text.stem import Stemmer
 
@@ -784,7 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "elite_set": _q_elite_set,
         "fuzzy_edit_distance": _q_fuzzy,
         "spelling_suggest": _q_spelling,
-        "stemmed_search": _q_stemmed_search,  # rows-only: Porter2 not in SQL
+        "stemmed_search": _q_stemmed_search,  # dictionary-replay oracle
         "bo1_eset": _q_bo1_eset,
         "percent_scores": _q_percent,
         "batch_or_serving": _q_batch_or,
@@ -993,6 +998,61 @@ SELECT docid, score FROM (
         "WHERE term IN (SELECT term FROM tstat WHERE term LIKE 's%') "
         "GROUP BY docid"
     )
+    # Stemmed search (STEM_SOME): dictionary-replay oracle.  Porter2 as an
+    # algorithm is not SQL-expressible, but the query "merges scanning" only
+    # needs the CLOSURE of its two stems over English morphology: the Z-term
+    # posting for Zmerg/Zscan is exactly "tokens whose surface form is in the
+    # merge/scan inflection family".  The families below are public-knowledge
+    # English morphology; tests/test_stemmer.py::test_stemmed_search_oracle_closure
+    # pins (a) every listed form stems to the right stem under the byte-parity
+    # Porter2, and (b) no other token in the sf0.01/sf0.1 corpus vocabulary
+    # stems into either family — so the dictionary IS the stemmer's behavior
+    # on this corpus, same replay pattern as the minhash/simhash oracles.
+    # Index-side STEM_SOME doubles doclen (unstemmed positional term + Z-stem
+    # per token, termgenerator_internal.cc:318-362), hence doclen = 2*n.
+    _merg = "'merge','merges','merged','merging'"
+    _scan = "'scan','scans','scanned','scanning'"
+    q["stemmed_search"] = f"""
+WITH toks AS (
+  SELECT doc_id + 1 AS docid,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+dl AS (
+  SELECT d.doc_id + 1 AS docid, 2 * coalesce(t.n, 0) AS doclen
+  FROM documents d
+  LEFT JOIN (SELECT docid, count(*) AS n FROM toks GROUP BY docid) t
+    ON t.docid = d.doc_id + 1
+),
+g AS (SELECT count(*) AS n, CAST(sum(doclen) AS DOUBLE) AS total FROM dl),
+zpost AS (
+  SELECT docid, 'Zmerg' AS zterm, count(*) AS wdf FROM toks
+  WHERE term IN ({_merg}) GROUP BY docid
+  UNION ALL
+  SELECT docid, 'Zscan' AS zterm, count(*) AS wdf FROM toks
+  WHERE term IN ({_scan}) GROUP BY docid
+),
+tstat AS (SELECT zterm, count(*) AS tf FROM zpost GROUP BY zterm),
+bm AS (
+  SELECT t.zterm,
+         (ln(CASE WHEN (g.n - t.tf + 0.5) / (t.tf + 0.5) < 2
+                  THEN (g.n - t.tf + 0.5) / (t.tf + 0.5) * 0.5 + 1
+                  ELSE (g.n - t.tf + 0.5) / (t.tf + 0.5) END) * 2.0)
+           AS termweight
+  FROM tstat t, g
+),
+sp2 AS (
+  SELECT p.docid,
+         b.termweight * (p.wdf / (1.0 * (greatest(l.doclen * (1.0 / (g.total / g.n)), 0.5) * 0.5 + 0.5) + p.wdf)) AS sumpart
+  FROM zpost p
+  JOIN dl l ON l.docid = p.docid
+  JOIN bm b ON b.zterm = p.zterm
+  CROSS JOIN g
+)
+SELECT docid, score FROM (
+  SELECT docid, round(sum(sumpart), 6) AS score FROM sp2 GROUP BY docid
+) ORDER BY score DESC, docid LIMIT 10
+"""
     # VALUE_RANGE as boolean filter (valuerangepostlist.cc; never weighted)
     q["value_range"] = _topk_sql(
         "SELECT docid, round(sum(sumpart), 6) AS score FROM sp "

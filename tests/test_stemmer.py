@@ -233,3 +233,42 @@ def test_stemmed_search_end_to_end(spark):
     assert isinstance(q, ast.Term) and q.term == "Zrun"
     hits = Planner(idx).search(q, k=10).collect()
     assert {r["docid"] for r in hits} == {1, 2, 3}
+
+
+def test_stemmed_search_oracle_closure():
+    """Pin the dictionary-replay oracle for the stemmed_search driver entry
+    (__spark_entry__.oracle_sql): (a) every surface form embedded in the
+    oracle's IN lists stems to the intended stem, and (b) the lists are the
+    COMPLETE closure of those stems over the sf0.01 and sf0.1 corpus
+    vocabularies — so the SQL dictionary reproduces index-time Porter2
+    behavior on the driver's data exactly."""
+    import os
+
+    import duckdb
+
+    st = Stemmer("en")
+    # agent nouns (merger/scanner) are their own Porter2 stems — excluded
+    merg = ["merge", "merges", "merged", "merging"]
+    scan = ["scan", "scans", "scanned", "scanning"]
+    for w in merg:
+        assert st(w) == "merg", w
+    for w in scan:
+        assert st(w) == "scan", w
+    # query side: parse-time stems match the oracle's Z-terms
+    assert st("merges") == "merg" and st("scanning") == "scan"
+    con = duckdb.connect()
+    for sf in ("sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        vocab = [
+            r[0]
+            for r in con.execute(
+                "SELECT DISTINCT unnest(regexp_extract_all(lower(text),"
+                f" '[a-z0-9_]+')) FROM '{path}'"
+            ).fetchall()
+        ]
+        closure_merg = {v for v in vocab if st(v) == "merg"}
+        closure_scan = {v for v in vocab if st(v) == "scan"}
+        assert closure_merg == set(merg) & set(vocab), sf
+        assert closure_scan == set(scan) & set(vocab), sf
