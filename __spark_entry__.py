@@ -1140,11 +1140,12 @@ WITH words AS (
   FROM documents
 ),
 segs AS (
-  SELECT docid,
-         unnest(list_filter(
-           string_split(regexp_replace(w, '([n-z])', '|\\1|', 'g'), '|'),
-           x -> x <> '')) AS seg
-  FROM words
+  SELECT docid, seg FROM (
+    SELECT docid,
+           unnest(string_split(regexp_replace(w, '([n-z])', '|\\1|', 'g'), '|'))
+             AS seg
+    FROM words
+  ) WHERE seg <> ''
 ),
 wtoks AS (
   SELECT docid,
@@ -1683,45 +1684,70 @@ SELECT doc_id AS id,
        len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS n_unique_tokens
 FROM documents
 """
+    # Portable form only (no lambdas / `->`, which newer DuckDB builds parse
+    # as the JSON arrow operator): sum-of-token-lengths via array_to_string
+    # concat, stopword count via unnest + GROUP BY + LEFT JOIN.
     q["quality_scores"] = """
 WITH t AS (
   SELECT doc_id AS id, text,
          regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
   FROM documents
+),
+tok AS (SELECT id, unnest(toks) AS tok FROM t),
+agg AS (
+  SELECT id,
+         sum(CASE WHEN tok IN ('the','and','of','to','is','in','that','it','for','was')
+             THEN 1 ELSE 0 END) AS n_stop
+  FROM tok GROUP BY id
 )
-SELECT id,
-  length(text) AS n_chars,
-  len(toks) AS n_tokens,
-  round(CASE WHEN len(toks) > 0
-    THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+SELECT t.id,
+  length(t.text) AS n_chars,
+  len(t.toks) AS n_tokens,
+  round(CASE WHEN len(t.toks) > 0
+    THEN CAST(length(array_to_string(t.toks, '')) AS DOUBLE) / len(t.toks)
     ELSE 0.0 END, 6) AS mean_token_len,
-  round(CASE WHEN length(text) > 0
-    THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
+  round(CASE WHEN length(t.text) > 0
+    THEN CAST(length(regexp_replace(lower(t.text), '[^a-z]', '', 'g')) AS DOUBLE) / length(t.text)
     ELSE 0.0 END, 6) AS alpha_ratio,
-  round(CASE WHEN len(toks) > 0
-    THEN CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','it','for','was'], x))) AS DOUBLE) / len(toks)
+  round(CASE WHEN len(t.toks) > 0
+    THEN CAST(coalesce(a.n_stop, 0) AS DOUBLE) / len(t.toks)
     ELSE 0.0 END, 6) AS stopword_ratio,
-  round(CASE WHEN len(toks) > 0
-    THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+  round(CASE WHEN len(t.toks) > 0
+    THEN 1.0 - CAST(len(list_distinct(t.toks)) AS DOUBLE) / len(t.toks)
     ELSE 0.0 END, 6) AS repetition_ratio
-FROM t
+FROM t LEFT JOIN agg a ON a.id = t.id
 """
     profiles = textstats.LANG_PROFILES
-    prof_rows = ", ".join(
-        "('{}', [{}])".format(lang, ", ".join(f"'{w}'" for w in words))
+    # Flat (lang, word) pairs — deduped per lang so the occurrence join below
+    # matches list_contains semantics (each token occurrence counted once).
+    pair_rows = ", ".join(
+        f"('{lang}', '{w}')"
         for lang, words in profiles.items()
+        for w in dict.fromkeys(words)
     )
+    # Portable form only (no lambdas / `->`): per-occurrence match counts via
+    # unnest + equi-join + GROUP BY, zero-score langs restored by the
+    # langs cross join + LEFT JOIN.
     q["language_id"] = f"""
 WITH t AS (
   SELECT doc_id AS id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
   FROM documents
 ),
+tok AS (SELECT id, unnest(toks) AS tok FROM t),
+lw AS (SELECT * FROM (VALUES {pair_rows}) AS v(lang, word)),
+m AS (
+  SELECT tok.id, lw.lang, count(*) AS hits
+  FROM tok JOIN lw ON tok.tok = lw.word
+  GROUP BY tok.id, lw.lang
+),
+langs AS (SELECT DISTINCT lang FROM lw),
 s AS (
-  SELECT t.id, l.lang,
+  SELECT t.id, langs.lang,
     CASE WHEN len(t.toks) > 0
-      THEN CAST(len(list_filter(t.toks, x -> list_contains(l.words, x))) AS DOUBLE) / len(t.toks)
+      THEN CAST(coalesce(m.hits, 0) AS DOUBLE) / len(t.toks)
       ELSE 0.0 END AS score
-  FROM t CROSS JOIN (VALUES {prof_rows}) AS l(lang, words)
+  FROM t CROSS JOIN langs
+  LEFT JOIN m ON m.id = t.id AND m.lang = langs.lang
 ),
 best AS (
   SELECT id, lang, score,
