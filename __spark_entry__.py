@@ -30,8 +30,10 @@ tests/test_stemmer.py::test_stemmed_search_oracle_closure (the stemmer
 itself is byte-parity-pinned on the full public Snowball vocabulary).
 
 Entry-count policy: the driver checks the FIRST 50 queries() entries, so
-the dict is capped at exactly 50 with every training-data-pipeline / ANN
-operator inside the window.  The 16 weight schemes keep 3 driver rows
+every training-data-pipeline / ANN operator sits inside that window;
+positions 51-54 (dedup_components, dedup_spans, pl2_weight,
+matches_estimated) are oracle-checked by tools/check_entry.py on every
+local run even though the driver stops at 50.  The 16 weight schemes keep 3 driver rows
 (BM25 via term_bm25, TfIdf, PL2); the other 13 are pinned to the literal
 api_weight.cc doubles in tests/test_reference_golden.py.  Entries removed
 from the window in round 3 (all hash-green in earlier rounds, still

@@ -111,3 +111,29 @@ def test_cli_delve(cli_warehouse):
     )
     assert out2.returncode == 0, out2.stderr[-2000:]
     assert "Record #1:" in out2.stdout and "Term List:" in out2.stdout
+
+
+def test_make_pyfiles_deterministic_and_importable(tmp_path):
+    """scripts/make_pyfiles.py — the --py-files artifact: identical bytes
+    across rebuilds (reproducible distribution to executors) and the
+    package must import from the zip alone, which is exactly how
+    spark-submit --py-files exposes it on executor sys.path."""
+    z1 = str(tmp_path / "a.zip")
+    z2 = str(tmp_path / "b.zip")
+    r1 = _run(["scripts/make_pyfiles.py", "--out", z1])
+    r2 = _run(["scripts/make_pyfiles.py", "--out", z2])
+    assert r1["files"] == r2["files"] > 20
+    assert r1["sha256"] == r2["sha256"]
+    assert open(z1, "rb").read() == open(z2, "rb").read()
+    # import from the zip with the repo itself OFF sys.path
+    probe = (
+        "import sys; sys.path.insert(0, %r); "
+        "from xapian_spark.text.stem import stem_en; "
+        "print(stem_en('connections'))" % z1
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", probe], cwd=str(tmp_path),
+        capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.strip() == "connect"
