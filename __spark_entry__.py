@@ -1142,12 +1142,9 @@ WITH words AS (
   FROM documents
 ),
 segs AS (
-  SELECT docid, seg FROM (
-    SELECT docid,
-           unnest(string_split(regexp_replace(w, '([n-z])', '|\\1|', 'g'), '|'))
-             AS seg
-    FROM words
-  ) WHERE seg <> ''
+  SELECT docid,
+         unnest(regexp_extract_all(w, '[a-m]+|[n-z]')) AS seg
+  FROM words
 ),
 wtoks AS (
   SELECT docid,
