@@ -245,6 +245,70 @@ def test_pack_group_duplicate_docids():
     assert list(wdfs) == [2, 7, 1]  # collapsed wdf sum
 
 
+def test_pack_stream_matches_scalar_reference():
+    """The vectorized packer (_pack_stream/_pack_region, what the build
+    runs via mapInArrow) must emit byte-identical blocks to the scalar
+    per-term reference (_pack_group) — including the duplicate-docid
+    collapse path and terms spanning batch boundaries."""
+    import numpy as np
+    import pandas as pd
+
+    from xapian_spark.index.blocks import _pack_group, _pack_stream
+
+    rng = np.random.default_rng(42)
+    rows = []
+    docid_base = 1
+    for t in range(400):
+        term = f"t{rng.integers(0, 10**6):06d}"
+        n = int(rng.choice([1, 2, 3, 7, 40, 600, 1300]))
+        docids = np.sort(rng.choice(50_000, size=n, replace=False)) + docid_base
+        for d in docids:
+            rows.append((term, int(d), int(rng.integers(1, 9)),
+                         int(rng.integers(20, 99))))
+            if rng.random() < 0.02:  # inject duplicate (term, docid)
+                rows.append((term, int(d), int(rng.integers(1, 9)),
+                             int(rng.integers(20, 99))))
+    rows.sort(key=lambda r: (r[0], r[1]))
+    df = pd.DataFrame(rows, columns=["term", "docid", "wdf", "doclen"])
+
+    # scalar reference: per-term _pack_group over the full posting list
+    ref = []
+    for term, g in df.groupby("term", sort=True):
+        ref += _pack_group(
+            term,
+            g["docid"].to_numpy(np.int64),
+            g["wdf"].to_numpy(np.int64),
+            g["doclen"].to_numpy(np.int64),
+            block_size=64,
+        )
+
+    # vectorized path over awkward batch cuts (terms split across batches)
+    cuts = [0, 113, 114, 1000, 2531, len(df)]
+    batches = [
+        (
+            df["term"].to_numpy()[a:b],
+            df["docid"].to_numpy(np.int64)[a:b],
+            df["wdf"].to_numpy(np.int64)[a:b],
+            df["doclen"].to_numpy(np.int64)[a:b],
+        )
+        for a, b in zip(cuts[:-1], cuts[1:])
+    ]
+    got = []
+    for tpb, first, last, nb, wmax, stream, offs in _pack_stream(
+        iter(batches), block_size=64
+    ):
+        for i in range(len(tpb)):
+            got.append((
+                tpb[i], int(first[i]), int(last[i]), int(nb[i]),
+                int(wmax[i]), bytes(stream[offs[i]:offs[i + 1]].tobytes()),
+            ))
+
+    assert len(ref) == len(got)
+    for r, g in zip(ref, got):
+        assert r[0] == g[0] and r[1:5] == g[1:5]
+        assert bytes(r[5]) == g[5]
+
+
 def test_null_prefix_field_value(spark, tmp_path):
     """A NULL prefix-field value must not emit a NULL boolean term
     (NULL terms fall out of every stage-2 term range and fail the

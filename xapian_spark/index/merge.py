@@ -19,7 +19,7 @@ finished work:
            from every input partition land in one range (what the
            reference's pq merge achieves file-at-a-time).
   stage 2  blocked: per term-RANGE, pack that range's run files into
-           delta+VByte blocks (blocks.pack_blocks_udf) with NO second
+           delta+VByte blocks (blocks.pack_blocks_arrow) with NO second
            shuffle — the files are already range-partitioned and sorted;
            packing is a partition-local sort + narrow Arrow pass.  (The
            previous design re-shuffled the full posting table a second
@@ -47,7 +47,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from xapian_spark.index.blocks import DEFAULT_BLOCK, pack_blocks_udf
+from xapian_spark.index.blocks import DEFAULT_BLOCK, pack_blocks_arrow
 from xapian_spark.index.builder import InvertedIndex, _right_size, invert_arrow
 from xapian_spark.ranking.weights import GlobalStats, TermStats
 
@@ -362,7 +362,7 @@ def _stages_1_to_3(
         obs = Observation(f"range_{i}_stats")
         blocked = (
             part.sortWithinPartitions("term", "docid")
-            .mapInPandas(pack_blocks_udf(block_size), (
+            .mapInArrow(pack_blocks_arrow(block_size), (
                 "term string, first_docid long, last_docid long, n int, "
                 "wdf_max int, payload binary"
             ))
