@@ -245,6 +245,46 @@ def test_pack_group_duplicate_docids():
     assert list(wdfs) == [2, 7, 1]  # collapsed wdf sum
 
 
+def test_pack_stream_hot_term_flush_byte_identical():
+    """A stopword-class hot term whose carry exceeds the flush threshold is
+    packed in block-aligned pieces — the emitted blocks must be
+    byte-identical to packing the COMPLETE posting list (blocks restart at
+    every block_size boundary with a raw docid, so the cut is invisible)."""
+    import numpy as np
+
+    from xapian_spark.index.blocks import _pack_group, _pack_stream
+
+    rng = np.random.default_rng(3)
+    n = 10_000  # hot term: many multiples of the tiny flush threshold
+    docids = np.cumsum(rng.integers(1, 20, size=n)).astype(np.int64)
+    wdfs = rng.integers(1, 9, size=n).astype(np.int64)
+    doclens = rng.integers(20, 99, size=n).astype(np.int64)
+    terms = np.array(["zhot"] * n, dtype=object)
+
+    ref = _pack_group("zhot", docids, wdfs, doclens, block_size=64)
+
+    # stream it in 17 batches with a flush threshold far below n
+    cuts = np.linspace(0, n, 18).astype(int)
+    batches = [
+        (terms[a:b], docids[a:b], wdfs[a:b], doclens[a:b])
+        for a, b in zip(cuts[:-1], cuts[1:])
+    ]
+    got = []
+    for tpb, first, last, nb, wmax, stream, offs in _pack_stream(
+        iter(batches), block_size=64, flush_postings=1000
+    ):
+        for i in range(len(tpb)):
+            got.append((
+                tpb[i], int(first[i]), int(last[i]), int(nb[i]),
+                int(wmax[i]), stream[offs[i]:offs[i + 1]].tobytes(),
+            ))
+
+    assert len(got) == len(ref) > 100  # the flush actually fired repeatedly
+    for r, g in zip(ref, got):
+        assert r[0] == g[0] and r[1:5] == g[1:5]
+        assert bytes(r[5]) == g[5]
+
+
 def test_pack_stream_matches_scalar_reference():
     """The vectorized packer (_pack_stream/_pack_region, what the build
     runs via mapInArrow) must emit byte-identical blocks to the scalar

@@ -227,14 +227,31 @@ def _pack_region(
     return terms[bs], first, last, nb, wdf_max, stream, offsets
 
 
+# Flush a hot term's pending postings once the carry reaches this many rows.
+# Cut at a block_size multiple: blocks restart (raw docid, fresh wdf_max)
+# at every block boundary, so packing a term's prefix separately from its
+# tail emits byte-identical blocks — the carry therefore never needs the
+# COMPLETE posting list, only a block-aligned suffix.  2^23 postings ≈
+# 200 MB of int64 arrays, far below executor memory yet large enough that
+# the flush never fires for ordinary terms.
+CARRY_FLUSH_POSTINGS = 1 << 23
+
+
 def _pack_stream(
     batches: Iterator[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]],
     block_size: int,
+    flush_postings: int = CARRY_FLUSH_POSTINGS,
 ) -> Iterator[tuple]:
     """Drive _pack_region over a stream of (term, docid, wdf, doclen) numpy
     batches, holding back the final (possibly continuing) term of each batch
-    so a term's blocks are cut from its COMPLETE posting list.  Memory stays
-    bounded by one term's postings even for stopword-class hot terms
+    so a term's blocks are cut from its COMPLETE posting list — except that
+    a stopword-class hot term's carry is flushed at block_size-aligned cuts
+    (see CARRY_FLUSH_POSTINGS), which bounds memory by flush_postings
+    REGARDLESS of term frequency while keeping the emitted bytes identical.
+    (Byte-identity assumes no duplicate (term, docid) postings — the
+    inverter's invariant; with dups inside a flushed prefix the collapse
+    shifts later block cuts, still yielding VALID blocks since readers use
+    each block's explicit n.)  Term splitting is already normal here
     (partition boundaries may split a term; each side emits its own blocks,
     exactly like the multiple sorted runs merged by xapian-compact,
     glass_compact.cc:80-340)."""
@@ -252,12 +269,26 @@ def _pack_stream(
         changes = np.nonzero(terms[1:] != terms[:-1])[0]
         if len(changes) == 0:
             carry = (terms, docids, wdfs, doclens)
-            continue
-        cut = int(changes[-1]) + 1
-        carry = (terms[cut:], docids[cut:], wdfs[cut:], doclens[cut:])
-        yield _pack_region(
-            terms[:cut], docids[:cut], wdfs[:cut], doclens[:cut], block_size
-        )
+        else:
+            cut = int(changes[-1]) + 1
+            carry = (terms[cut:], docids[cut:], wdfs[cut:], doclens[cut:])
+            yield _pack_region(
+                terms[:cut], docids[:cut], wdfs[:cut], doclens[:cut],
+                block_size,
+            )
+        if carry is not None and len(carry[1]) >= flush_postings:
+            t, d, w, l = carry
+            # largest block-aligned cut that leaves a non-empty carry; back
+            # off while a duplicate (term, docid) pair would straddle the
+            # cut, so the defensive collapse in _pack_region still sees it
+            cut = ((len(d) - 1) // block_size) * block_size
+            while cut > 0 and d[cut] == d[cut - 1]:
+                cut -= block_size
+            if cut > 0:
+                yield _pack_region(
+                    t[:cut], d[:cut], w[:cut], l[:cut], block_size
+                )
+                carry = (t[cut:], d[cut:], w[cut:], l[cut:])
     if carry is not None:
         yield _pack_region(*carry, block_size)
 
