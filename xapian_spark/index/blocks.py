@@ -35,6 +35,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -157,8 +158,25 @@ def _pack_group(
     return rows
 
 
+def _term_changes(terms) -> np.ndarray:
+    """Boolean array of len(terms)-1: terms[i+1] != terms[i].
+
+    For an Arrow string array the comparison runs in Arrow C++ over the
+    raw buffers; a numpy object array falls back to per-element compare
+    (only test/teaching paths feed numpy — the build feeds Arrow)."""
+    import pyarrow.compute as pc
+
+    if isinstance(terms, pa.Array):
+        n = len(terms)
+        if n <= 1:
+            return np.empty(0, dtype=bool)
+        ne = pc.not_equal(terms.slice(1), terms.slice(0, n - 1))
+        return ne.to_numpy(zero_copy_only=False).astype(bool, copy=False)
+    return terms[1:] != terms[:-1]
+
+
 def _pack_region(
-    terms: np.ndarray,
+    terms,
     docids: np.ndarray,
     wdfs: np.ndarray,
     doclens: np.ndarray,
@@ -170,15 +188,18 @@ def _pack_region(
     numpy array ops and ONE varint-encode call — no per-term or per-block
     Python (the round-3 packer paid ~0.6 ms of pandas slicing per distinct
     term, which is the build's death on a real long-tail dictionary).
+    `terms` may be a pyarrow string Array (the build path — term bytes
+    never become per-posting Python objects) or a numpy object array.
 
-    Returns (term_per_block, first_docid, last_docid, n, wdf_max,
-    payload byte stream, payload offsets int64[nblocks+1]); the payload of
-    block b is stream[offsets[b]:offsets[b+1]].
+    Returns (term_per_block as numpy object array, first_docid,
+    last_docid, n, wdf_max, payload byte stream, payload offsets
+    int64[nblocks+1]); the payload of block b is
+    stream[offsets[b]:offsets[b+1]].
     """
     n_rows = len(docids)
     run_start = np.empty(n_rows, dtype=bool)
     run_start[0] = True
-    run_start[1:] = terms[1:] != terms[:-1]
+    run_start[1:] = _term_changes(terms)
     # defensive collapse of duplicate (term, docid) postings — they would
     # underflow the delta-1 coding (uint64 wrap -> corrupt docids for the
     # rest of the block).  The inverter emits unique terms per doc, so the
@@ -191,7 +212,11 @@ def _pack_region(
         wdf_sum = np.zeros(int(keep.sum()), dtype=np.int64)
         np.add.at(wdf_sum, grp, wdfs.astype(np.int64))
         # dup rows are never run starts, so masking preserves run starts
-        terms, docids, doclens = terms[keep], docids[keep], doclens[keep]
+        if isinstance(terms, pa.Array):
+            terms = terms.filter(pa.array(keep))
+        else:
+            terms = terms[keep]
+        docids, doclens = docids[keep], doclens[keep]
         wdfs, run_start = wdf_sum, run_start[keep]
         n_rows = len(docids)
     run_id = np.cumsum(run_start) - 1
@@ -224,73 +249,122 @@ def _pack_region(
     stream, nbytes = _vbyte_encode_with_lengths(ints)
     blk_bytes = np.add.reduceat(nbytes, out_base)
     offsets = np.concatenate(([0], np.cumsum(blk_bytes)))
-    return terms[bs], first, last, nb, wdf_max, stream, offsets
+    if isinstance(terms, pa.Array):
+        tpb = terms.take(pa.array(bs)).to_numpy(zero_copy_only=False)
+    else:
+        tpb = terms[bs]
+    return tpb, first, last, nb, wdf_max, stream, offsets
 
 
-# Flush a hot term's pending postings once the carry reaches this many rows.
+# Flush a hot term's pending postings once they reach this many rows.
 # Cut at a block_size multiple: blocks restart (raw docid, fresh wdf_max)
 # at every block boundary, so packing a term's prefix separately from its
-# tail emits byte-identical blocks — the carry therefore never needs the
-# COMPLETE posting list, only a block-aligned suffix.  2^23 postings ≈
-# 200 MB of int64 arrays, far below executor memory yet large enough that
-# the flush never fires for ordinary terms.
-CARRY_FLUSH_POSTINGS = 1 << 23
+# tail emits byte-identical blocks — the pending run therefore never needs
+# the COMPLETE posting list, only a block-aligned suffix.  2^21 postings ≈
+# 50 MB of int64 arrays (plus term bytes), far below executor memory yet
+# thousands of blocks per flush, so the vectorized pack stays amortized.
+CARRY_FLUSH_POSTINGS = 1 << 21
+
+
+def _slice4(frag: tuple, a: int, b: int | None = None) -> tuple:
+    t, d, w, l = frag
+    stop = len(d) if b is None else b
+    ts = t.slice(a, stop - a) if isinstance(t, pa.Array) else t[a:stop]
+    return ts, d[a:stop], w[a:stop], l[a:stop]
+
+
+def _concat4(frags: list[tuple]) -> tuple:
+    if len(frags) == 1:
+        return frags[0]
+    ts = [f[0] for f in frags]
+    if isinstance(ts[0], pa.Array):
+        t = pa.concat_arrays([x.cast(ts[0].type) for x in ts])
+    else:
+        t = np.concatenate(ts)
+    return (
+        t,
+        np.concatenate([f[1] for f in frags]),
+        np.concatenate([f[2] for f in frags]),
+        np.concatenate([f[3] for f in frags]),
+    )
+
+
+def _first_term(frag: tuple):
+    t = frag[0]
+    return t[0].as_py() if isinstance(t, pa.Array) else t[0]
 
 
 def _pack_stream(
-    batches: Iterator[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]],
+    batches: Iterator[tuple],
     block_size: int,
     flush_postings: int = CARRY_FLUSH_POSTINGS,
 ) -> Iterator[tuple]:
-    """Drive _pack_region over a stream of (term, docid, wdf, doclen) numpy
-    batches, holding back the final (possibly continuing) term of each batch
-    so a term's blocks are cut from its COMPLETE posting list — except that
-    a stopword-class hot term's carry is flushed at block_size-aligned cuts
-    (see CARRY_FLUSH_POSTINGS), which bounds memory by flush_postings
-    REGARDLESS of term frequency while keeping the emitted bytes identical.
-    (Byte-identity assumes no duplicate (term, docid) postings — the
-    inverter's invariant; with dups inside a flushed prefix the collapse
-    shifts later block cuts, still yielding VALID blocks since readers use
-    each block's explicit n.)  Term splitting is already normal here
-    (partition boundaries may split a term; each side emits its own blocks,
-    exactly like the multiple sorted runs merged by xapian-compact,
-    glass_compact.cc:80-340)."""
-    carry: tuple | None = None
-    for terms, docids, wdfs, doclens in batches:
-        if len(docids) == 0:
+    """Drive _pack_region over a stream of (term, docid, wdf, doclen)
+    batches (term column: pyarrow string Array or numpy object array),
+    holding back each batch's final (possibly continuing) run so a term's
+    blocks are cut from its COMPLETE posting list.
+
+    The pending run accumulates as a LIST of batch fragments and is
+    concatenated ONCE when the term completes — concatenating per batch
+    would copy a stopword-class term's growing prefix once per 10k-row
+    Arrow batch, i.e. O(postings^2/batch) bytes moved (measured: 3-6x
+    whole-stage slowdown at 8M docs).  A run that reaches flush_postings
+    is packed up to a block_size-aligned cut, bounding memory REGARDLESS
+    of term frequency while keeping emitted bytes identical — blocks
+    restart (raw docid, fresh wdf_max) at every block boundary, so the cut
+    is invisible.  (Byte-identity assumes no duplicate (term, docid)
+    postings — the inverter's invariant; with dups inside a flushed prefix
+    the collapse shifts later block cuts, still yielding VALID blocks
+    since readers use each block's explicit n.)  Term splitting is already
+    normal here (partition boundaries may split a term; each side emits
+    its own blocks, exactly like the multiple sorted runs merged by
+    xapian-compact, glass_compact.cc:80-340)."""
+    pend: list[tuple] = []  # fragments of ONE pending (trailing) run
+    pend_rows = 0
+    pend_term = None
+
+    def flush_aligned(run: tuple) -> Iterator[tuple]:
+        """Pack a hot run's prefix at the largest block-aligned cut that
+        leaves a non-empty remainder; the remainder becomes the new pend."""
+        nonlocal pend, pend_rows
+        d = run[1]
+        cut = ((len(d) - 1) // block_size) * block_size
+        # back off while a duplicate (term, docid) pair straddles the cut,
+        # so the defensive collapse in _pack_region still sees the pair
+        while cut > 0 and d[cut] == d[cut - 1]:
+            cut -= block_size
+        if cut > 0:
+            yield _pack_region(*_slice4(run, 0, cut), block_size)
+            run = _slice4(run, cut)
+        pend, pend_rows = [run], len(run[1])
+
+    for batch in batches:
+        terms = batch[0]
+        n = len(batch[1])
+        if n == 0:
             continue
-        if carry is not None:
-            terms = np.concatenate((carry[0], terms))
-            docids = np.concatenate((carry[1], docids))
-            wdfs = np.concatenate((carry[2], wdfs))
-            doclens = np.concatenate((carry[3], doclens))
-            carry = None
-        # hold back the trailing run (it may continue into the next batch)
-        changes = np.nonzero(terms[1:] != terms[:-1])[0]
+        if pend and _first_term(batch) != pend_term:
+            # the pending run is complete — pack it on its own
+            yield _pack_region(*_concat4(pend), block_size)
+            pend, pend_rows = [], 0
+        changes = np.nonzero(_term_changes(terms))[0]
         if len(changes) == 0:
-            carry = (terms, docids, wdfs, doclens)
+            pend.append(batch)
+            pend_rows += n
+            if len(pend) == 1:
+                pend_term = _first_term(batch)
         else:
             cut = int(changes[-1]) + 1
-            carry = (terms[cut:], docids[cut:], wdfs[cut:], doclens[cut:])
             yield _pack_region(
-                terms[:cut], docids[:cut], wdfs[:cut], doclens[:cut],
-                block_size,
+                *_concat4(pend + [_slice4(batch, 0, cut)]), block_size
             )
-        if carry is not None and len(carry[1]) >= flush_postings:
-            t, d, w, l = carry
-            # largest block-aligned cut that leaves a non-empty carry; back
-            # off while a duplicate (term, docid) pair would straddle the
-            # cut, so the defensive collapse in _pack_region still sees it
-            cut = ((len(d) - 1) // block_size) * block_size
-            while cut > 0 and d[cut] == d[cut - 1]:
-                cut -= block_size
-            if cut > 0:
-                yield _pack_region(
-                    t[:cut], d[:cut], w[:cut], l[:cut], block_size
-                )
-                carry = (t[cut:], d[cut:], w[cut:], l[cut:])
-    if carry is not None:
-        yield _pack_region(*carry, block_size)
+            tail = _slice4(batch, cut)
+            pend, pend_rows = [tail], n - cut
+            pend_term = _first_term(tail)
+        if pend_rows >= flush_postings:
+            yield from flush_aligned(_concat4(pend))
+    if pend:
+        yield _pack_region(*_concat4(pend), block_size)
 
 
 def _np_int(col: np.ndarray | pd.Series) -> np.ndarray:
@@ -322,7 +396,7 @@ def pack_blocks_arrow(block_size: int = DEFAULT_BLOCK):
                 cols = {name: rb.column(i) for i, name in
                         enumerate(rb.schema.names)}
                 yield (
-                    np.asarray(cols["term"].to_numpy(zero_copy_only=False)),
+                    cols["term"],  # stays Arrow: no per-posting PyObjects
                     _np_int(cols["docid"].to_numpy(zero_copy_only=False)),
                     _np_int(cols["wdf"].to_numpy(zero_copy_only=False)),
                     _np_int(cols["doclen"].to_numpy(zero_copy_only=False)),
@@ -356,12 +430,10 @@ def pack_blocks_udf(block_size: int = DEFAULT_BLOCK):
     for callers that feed pandas batches directly."""
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import pyarrow as pa
-
         def np_batches():
             for batch in batches:
                 yield (
-                    batch["term"].to_numpy(),
+                    pa.array(batch["term"], type=pa.string()),
                     _np_int(batch["docid"]),
                     _np_int(batch["wdf"]),
                     _np_int(batch["doclen"]),
