@@ -413,6 +413,14 @@ def main():
             p8m = s.get("round4_8m_point", {})
             if p8m.get("docs_per_sec_32c"):
                 summary["build_8M_docs_per_sec_32c"] = p8m["docs_per_sec_32c"]
+            wh = s.get("round4_8m_warehouse_vectorized_pack", {})
+            a1 = wh.get("attempt_1", {})
+            if a1:
+                summary["warehouse_8M"] = {
+                    "docs_per_sec_8": a1["level8"]["docs_per_sec"],
+                    "docs_per_sec_32": a1["level32"]["docs_per_sec"],
+                    "efficiency_n_to_4n": a1["direct_efficiency"],
+                }
             ceil = s.get("hardware_ceiling_probe", {}).get("query", {})
             if ceil.get("per_instance_ceiling") is not None:
                 summary["hw_ceiling_4x8core_query"] = ceil["per_instance_ceiling"]
