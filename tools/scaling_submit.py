@@ -1,0 +1,211 @@
+"""N vs 4N warehouse-build scaling through the REAL launch path:
+
+    spark-submit --master local[N] --py-files xapian_spark.zip \
+        scripts/build_index.py --input <corpus> --output <wh> ...
+
+This is the north rule's literal posture ("launched via spark-submit
+--py-files on N and 4N executors").  scaling_warehouse.py measures the
+same pipeline in-process; this tool proves the DEPLOYED artifact does it:
+
+- the package is the deterministic ``xapian_spark.zip``
+  (scripts/make_pyfiles.py) — the repo tree is NOT importable from the
+  submitted job (the job script is staged into the scratch dir, cwd is
+  scratch, PYTHONPATH is scrubbed), so every import resolves from the
+  zip exactly as it would on a 1000-executor cluster;
+- the corpus is the input_hint's Iceberg table shape
+  (repo, path, commit, lang, content) materialized deterministically
+  from the sf documents table (seeded arithmetic, no external data),
+  plus the content_sha256 row invariant column;
+- each level is taskset-pinned to its core count (local[N] alone caps
+  only JVM task slots; Python workers/GC/IO threads would still use
+  every core) — the sandbox stand-in for an N-executor cluster.
+
+Run:  SPARK_GRAFT_AMPLIFY=200 python tools/scaling_submit.py
+Env:  SPARK_GRAFT_SUBMIT_TRIALS (default 2),
+      SPARK_GRAFT_NRANGES (default 16),
+      SPARK_GRAFT_SUBMIT_DIR (scratch root, default /tmp/xs_submit),
+      SPARK_GRAFT_SUBMIT_LEVELS (default "8,32").
+Prints one JSON line with per-level throughput + N->4N efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TRIALS = int(os.environ.get("SPARK_GRAFT_SUBMIT_TRIALS", "2"))
+N_RANGES = int(os.environ.get("SPARK_GRAFT_NRANGES", "16"))
+SCRATCH = os.environ.get("SPARK_GRAFT_SUBMIT_DIR", "/tmp/xs_submit")
+LEVELS = tuple(
+    int(c) for c in os.environ.get("SPARK_GRAFT_SUBMIT_LEVELS", "8,32").split(",")
+)
+
+
+def prepare_corpus() -> tuple[str, int]:
+    """Materialize the input_hint-shaped corpus table once, full machine.
+
+    Columns (repo, path, commit, lang, content) + content_sha256 + docid,
+    all derived deterministically from the sf documents table (same seeded
+    amplification as tools/scaling_run.py; no external data).  Multi-file
+    parquet layout so a pinned narrow level still reads in parallel.
+    """
+    from pyspark.sql import functions as F
+
+    from tools.scaling_run import AMPLIFY, amplified_docs
+    from xapian_spark.io.sources import with_content_hash
+    from xapian_spark.session import get_spark
+
+    path = os.path.join(SCRATCH, f"corpus_hint_x{AMPLIFY}")
+    marker = os.path.join(path, "_PREPARED")
+    if not os.path.exists(marker):
+        spark = get_spark(
+            "submit-prep", master="local[32]", shuffle_partitions=64
+        )
+        docs = amplified_docs(spark, 32)
+        langs = ("c", "cc", "py", "rs", "go", "java", "js", "sql")
+        corpus = (
+            docs.withColumnRenamed("text", "content")
+            .withColumn(
+                "repo",
+                F.concat(F.lit("org/repo-"), (F.col("docid") % 97).cast("string")),
+            )
+            .withColumn(
+                "lang",
+                F.element_at(
+                    F.array(*[F.lit(l) for l in langs]),
+                    (F.col("docid") % len(langs) + 1).cast("int"),
+                ),
+            )
+            .withColumn(
+                "path",
+                F.concat(
+                    F.lit("src/"), (F.col("docid") % 1000).cast("string"),
+                    F.lit("/file_"), F.col("docid").cast("string"),
+                    F.lit("."), F.col("lang"),
+                ),
+            )
+            .withColumn("commit", F.sha2(F.col("docid").cast("string"), 256))
+        )
+        corpus = with_content_hash(corpus)
+        shutil.rmtree(path, ignore_errors=True)
+        corpus.write.mode("overwrite").parquet(path)
+        spark.stop()
+        open(marker, "w").close()
+    # count rows without a session: parquet footers via pyarrow
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetDataset(path).read(columns=[]).num_rows
+    return path, n
+
+
+def stage_artifacts() -> tuple[str, str, dict]:
+    """Build the zip and stage the job script OUTSIDE the repo tree."""
+    from scripts.make_pyfiles import build_zip
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    zip_path = os.path.join(SCRATCH, "xapian_spark.zip")
+    zip_info = build_zip(zip_path)
+    staged = os.path.join(SCRATCH, "build_index.py")
+    shutil.copyfile(os.path.join(REPO, "scripts", "build_index.py"), staged)
+    return zip_path, staged, zip_info
+
+
+def submit_cmd(cores: int, zip_path: str, staged: str, corpus: str,
+               out_dir: str) -> list[str]:
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit"
+    )
+    mem = os.environ.get("SPARK_DRIVER_MEM", f"{max(12, int(cores * 1.5))}g")
+    return [
+        "taskset", "-c", f"0-{cores - 1}",
+        spark_submit,
+        "--master", f"local[{cores}]",
+        "--driver-memory", mem,
+        "--conf", f"spark.sql.shuffle.partitions={max(cores * 2, 8)}",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        # the materialized corpus files are small; default 128 MB
+        # bin-packing would cap the narrow level's read parallelism
+        "--conf", f"spark.sql.files.maxPartitionBytes={16 << 20}",
+        "--py-files", zip_path,
+        staged,
+        "--input", corpus,
+        "--output", out_dir,
+        "--content-col", "content",
+        "--id-col", "docid",
+        "--n-ranges", str(N_RANGES),
+    ]
+
+
+def one_level(cores: int, zip_path: str, staged: str, corpus: str) -> dict:
+    # scrub PYTHONPATH so the repo tree cannot leak into the job; imports
+    # must resolve from the zip alone (the --py-files condition)
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    reports, wall = [], []
+    for t in range(TRIALS):
+        out_dir = os.path.join(SCRATCH, f"wh_submit_{cores}_{t}")
+        shutil.rmtree(out_dir, ignore_errors=True)
+        cmd = submit_cmd(cores, zip_path, staged, corpus, out_dir)
+        t0 = time.perf_counter()
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, env=env, cwd=SCRATCH
+        )
+        wall.append(round(time.perf_counter() - t0, 2))
+        if proc.returncode != 0:
+            sys.stderr.write(
+                f"level {cores} trial {t} failed (exit {proc.returncode}); "
+                f"stderr tail:\n{proc.stderr[-4000:]}\n"
+            )
+            sys.exit(1)
+        report = None
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                report = json.loads(line)
+                break
+            except json.JSONDecodeError:
+                continue
+        assert report and report.get("complete"), (
+            f"no complete-build report in stdout: {proc.stdout[-2000:]}"
+        )
+        reports.append(report)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    best = min(r["elapsed_sec"] for r in reports)
+    return {
+        "cores": cores,
+        "n_docs": reports[0]["docs"],
+        "build_sec": best,
+        "build_secs_all": [r["elapsed_sec"] for r in reports],
+        "submit_wall_secs_all": wall,  # includes JVM start + zip distribution
+        "docs_per_sec": round(reports[0]["docs"] / best, 1),
+    }
+
+
+def main() -> None:
+    corpus, n_docs = prepare_corpus()
+    zip_path, staged, zip_info = stage_artifacts()
+    levels = [one_level(c, zip_path, staged, corpus) for c in LEVELS]
+    lo, hi = levels[0], levels[-1]
+    scale = hi["cores"] / lo["cores"]
+    print(json.dumps({
+        "workload": (
+            f"spark-submit --py-files xapian_spark.zip scripts/build_index.py "
+            f"over the (repo,path,commit,lang,content) corpus, {n_docs} docs, "
+            f"n_ranges={N_RANGES}; taskset-pinned "
+            + " vs ".join(f"local[{c}]" for c in LEVELS)
+        ),
+        "zip": zip_info,
+        "levels": levels,
+        "build_scaling_efficiency": round(
+            (lo["build_sec"] / hi["build_sec"]) / scale, 3
+        ),
+    }))
+
+
+if __name__ == "__main__":
+    main()
