@@ -285,3 +285,25 @@ def test_max_possible_covers_wildcards(wdb):
     m = enq.get_mset(0, 10)
     assert len(m) > 0
     assert m.get_max_possible() >= m.get_max_attained() > 0
+
+
+def test_multiple_add_batches_one_commit(spark, tmp_path):
+    """Several add_documents calls fold into ONE build at commit() — the
+    reference buffers add_document rows until flush the same way
+    (glass_database.cc flush thresholds).  Batches with different
+    content/docid column names and different value-slot columns union."""
+    path = str(tmp_path / "multibatch")
+    db = WritableDatabase(spark, path, n_ranges=2)
+    b1 = spark.createDataFrame(
+        [(1, "alpha bravo", "x")], "docid long, content string, tag string"
+    )
+    b2 = spark.createDataFrame(
+        [(2, "bravo charlie")], "doc_id long, body string"
+    )
+    db.add_documents(b1, content_col="content", docid_col="docid")
+    db.add_documents(b2, content_col="body", docid_col="doc_id")
+    db.commit()
+    assert db.get_doccount() == 2
+    assert _docids(db, "bravo") == {1, 2}
+    assert _docids(db, "alpha") == {1}
+    assert _docids(db, "charlie") == {2}

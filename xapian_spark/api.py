@@ -984,11 +984,18 @@ class WritableDatabase(Database):
             )
         mutated = False
         if self._pending:
-            if len(self._pending) > 1:
-                raise NotImplementedError(
-                    "multiple add_documents batches per commit: union them"
-                )
-            docs, content_col, docid_col = self._pending.pop()
+            # several add_documents calls per commit fold into ONE build
+            # (the reference buffers add_document rows the same way,
+            # glass_database.cc flush thresholds); batches may differ in
+            # column sets (value slots) and in content/docid column names
+            docs, content_col, docid_col = self._pending[0]
+            for extra, cc, dc in self._pending[1:]:
+                if cc != content_col:
+                    extra = extra.withColumnRenamed(cc, content_col)
+                if dc != docid_col:
+                    extra = extra.withColumnRenamed(dc, docid_col)
+                docs = docs.unionByName(extra, allowMissingColumns=True)
+            self._pending.clear()
             merge.build_warehouse(
                 self.spark, docs, self.path,
                 content_col=content_col, docid_col=docid_col, mode=self.mode,
