@@ -575,6 +575,35 @@ def _q_fingerprint(spark, sf_dir):
     )
 
 
+def _q_snippet(spark, sf_dir):
+    """MSet::snippet batched over the corpus (mset.h SNIPPET_*): best
+    byte-budget window with query terms highlighted.  Background model off
+    so the window choice is a pure query-weight maximization the oracle
+    can replay (the sf corpus is single-space lowercase tokens, pinned by
+    tests/test_search.py::test_snippet_corpus_shape_assumption)."""
+    from xapian_spark.query.snippet import snippet_df
+
+    return snippet_df(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        {"customer": 3.0, "table": 1.0},
+        text_col="text", id_col="doc_id", length=120, flags=0,
+    ).withColumnRenamed("doc_id", "id")
+
+
+def _q_cluster_kmeans(spark, sf_dir):
+    """Deterministic Lloyd's k-means (cluster/kmeans.cc re-expression) at
+    max_iter=1 so the oracle can replay it exactly: init centroids = the k
+    lowest vec_ids, one assign -> mean-update -> final assignment.  The
+    full iterative path is pytest-covered (tests/test_cluster.py); this
+    entry puts the assignment/update kernels under the driver's value-hash
+    check."""
+    from xapian_spark.ops.cluster import kmeans
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = kmeans(emb, k=8, max_iter=1)
+    return out.select("id", "cluster", F.round("dist", 6).alias("dist"))
+
+
 def _q_cosine_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
@@ -820,6 +849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # word_breaks_search); exactness pinned by
         # tests/test_api.py::test_matches_estimated_exact
         "matches_estimated": _q_matches_estimated,
+        "snippet_highlight": _q_snippet,
+        "cluster_kmeans": _q_cluster_kmeans,
     }
 
 
@@ -1823,6 +1854,134 @@ FROM r WHERE nn_rank <= 5
     q["simhash_pairs"] = _simhash_oracle_sql()
     q["lsh_cosine_topk"] = _lsh_topk_oracle_sql()
     q["embedding_near_dup"] = _near_dup_oracle_sql()
+    # snippet_highlight: exact replay of the snippet window algorithm over
+    # the single-space-token sf corpus (shape pinned by pytest).  Token k's
+    # char span is pure offset arithmetic; the engine's two-pointer picks,
+    # for each window end `hi`, the smallest `lo` whose span fits the
+    # 120-byte budget, then the first (smallest-hi) window of max weight —
+    # replayed as min-fitting-lo per hi + ORDER BY score DESC, hi ASC.
+    # Docs with no query-term match take the lead-of-text branch.  Portable
+    # form only (equi-joins + GROUP BY + window sums; no lambdas).
+    q["snippet_highlight"] = """
+WITH tk AS (
+  SELECT doc_id AS id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+o2 AS (
+  SELECT id, tok, pos,
+         CASE WHEN tok = 'customer' THEN 3 WHEN tok = 'table' THEN 1
+              ELSE 0 END AS w,
+         coalesce(sum(length(tok) + 1) OVER (
+             PARTITION BY id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tstart,
+         coalesce(sum(length(tok) + 1) OVER (
+             PARTITION BY id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + length(tok) AS tend,
+         sum(CASE WHEN tok = 'customer' THEN 3 WHEN tok = 'table' THEN 1
+                  ELSE 0 END) OVER (PARTITION BY id ORDER BY pos) AS wcum
+  FROM tk
+),
+doc AS (SELECT doc_id AS id, text, length(text) AS total FROM documents),
+fit AS (
+  SELECT h.id, h.pos AS hi, min(l.pos) AS lo
+  FROM o2 h JOIN o2 l
+    ON l.id = h.id AND l.pos <= h.pos AND l.tstart >= h.tend - 120
+  GROUP BY h.id, h.pos
+),
+acc AS (
+  SELECT f.id, f.hi, f.lo, h.wcum - coalesce(lp.wcum, 0) AS score
+  FROM fit f
+  JOIN o2 h ON h.id = f.id AND h.pos = f.hi
+  LEFT JOIN o2 lp ON lp.id = f.id AND lp.pos = f.lo - 1
+),
+best AS (
+  SELECT id, hi, lo,
+         row_number() OVER (PARTITION BY id ORDER BY score DESC, hi ASC) AS rn
+  FROM acc WHERE score > 0
+),
+wtext AS (
+  SELECT b.id,
+         string_agg(CASE WHEN o2.w > 0 THEN '<b>' || o2.tok || '</b>'
+                         ELSE o2.tok END, ' ' ORDER BY o2.pos) AS body,
+         min(o2.tstart) AS wstart, max(o2.tend) AS wend
+  FROM best b JOIN o2 ON o2.id = b.id AND o2.pos BETWEEN b.lo AND b.hi
+  WHERE b.rn = 1
+  GROUP BY b.id
+),
+lead_end AS (
+  SELECT id, max(CASE WHEN tend <= 120 THEN tend ELSE 0 END) AS kend,
+         max(w) AS mw
+  FROM o2 GROUP BY id
+)
+SELECT d.id,
+       CASE
+         WHEN le.mw > 0 THEN
+           CASE WHEN wt.wstart > 0 THEN '...' ELSE '' END || wt.body ||
+           CASE WHEN wt.wend < d.total THEN '...' ELSE '' END
+         WHEN d.total <= 120 THEN d.text
+         ELSE substring(d.text, 1, CAST(le.kend AS INTEGER)) || '...'
+       END AS snippet
+FROM doc d
+JOIN lead_end le ON le.id = d.id
+LEFT JOIN wtext wt ON wt.id = d.id
+"""
+    # cluster_kmeans: exact replay of one Lloyd iteration.  Init centroids
+    # are the k lowest vec_ids (cluster = rank-1), assignment is argmin of
+    # squared euclidean distance with ties to the lowest cluster id
+    # (np.argmin first-minimum), update is the per-dimension mean over the
+    # first assignment (empty clusters keep the init centroid), and the
+    # output is the assignment under the updated centroids — the same
+    # sequence kmeans(max_iter=1) runs.  Portable form only.
+    q["cluster_kmeans"] = """
+WITH v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+tall AS (
+  SELECT id, unnest(e) AS val, generate_subscripts(e, 1) AS dim FROM v
+),
+init AS (
+  SELECT id, row_number() OVER (ORDER BY id) - 1 AS cluster
+  FROM v ORDER BY id LIMIT 8
+),
+c0 AS (
+  SELECT i.cluster, t.dim, t.val AS c FROM init i JOIN tall t ON t.id = i.id
+),
+d1 AS (
+  SELECT t.id, c0.cluster, sum((t.val - c0.c) * (t.val - c0.c)) AS dist
+  FROM tall t JOIN c0 ON c0.dim = t.dim
+  GROUP BY t.id, c0.cluster
+),
+a1 AS (
+  SELECT id, cluster,
+         row_number() OVER (PARTITION BY id ORDER BY dist ASC, cluster ASC) AS rn
+  FROM d1
+),
+means AS (
+  SELECT a1.cluster, t.dim, avg(t.val) AS c
+  FROM a1 JOIN tall t ON t.id = a1.id
+  WHERE a1.rn = 1
+  GROUP BY a1.cluster, t.dim
+),
+c1 AS (
+  SELECT c0.cluster, c0.dim, coalesce(m.c, c0.c) AS c
+  FROM c0 LEFT JOIN means m ON m.cluster = c0.cluster AND m.dim = c0.dim
+),
+d2 AS (
+  SELECT t.id, c1.cluster, sum((t.val - c1.c) * (t.val - c1.c)) AS dist
+  FROM tall t JOIN c1 ON c1.dim = t.dim
+  GROUP BY t.id, c1.cluster
+),
+a2 AS (
+  SELECT id, cluster, dist,
+         row_number() OVER (PARTITION BY id ORDER BY dist ASC, cluster ASC) AS rn
+  FROM d2
+)
+SELECT id, cluster, round(greatest(dist, 0.0), 6) AS dist
+FROM a2 WHERE rn = 1
+"""
     return q
 
 

@@ -467,3 +467,37 @@ def test_positional_with_empty_expansion(spark, simple_index):
         (ast.Term("paragraph"), ast.Wildcard("zzzqq", combiner="or")), 5
     )
     assert p.plan(q).count() == 0
+
+
+def test_snippet_corpus_shape_assumption(spark):
+    """The snippet_highlight driver oracle replays token char-spans with
+    pure offset arithmetic, which is exact ONLY while the sf documents are
+    single-space-separated lowercase-alnum tokens.  Pin that shape at every
+    sf the driver/bench touch so a testdata change fails loudly here
+    instead of as an opaque oracle hash-mismatch."""
+    import os
+    import re
+
+    pat = re.compile(r"^[a-z0-9]+( [a-z0-9]+)*$")
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        p = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(p):
+            continue
+        texts = [r["text"] for r in spark.read.parquet(p).collect()]
+        assert texts and all(pat.match(t) for t in texts), sf
+
+
+def test_snippet_df_matches_scalar(spark):
+    """snippet_df (mapInPandas batch highlighting) must equal the scalar
+    snippet() on every row — same contract the driver entry relies on."""
+    from xapian_spark.query.snippet import snippet, snippet_df
+
+    rows = [(i, t) for i, t in enumerate(SIMPLE_PARAGRAPHS)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tw = {"example": 2.0, "search": 1.0}
+    got = {
+        r["doc_id"]: r["snippet"]
+        for r in snippet_df(df, tw, length=60, flags=0).collect()
+    }
+    for i, t in rows:
+        assert got[i] == snippet(t, tw, length=60, flags=0)

@@ -214,3 +214,38 @@ def snippet(
     if end < len(text):
         parts.append(omit)
     return "".join(parts)
+
+
+def snippet_df(
+    df,
+    term_weights: dict[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    length: int = 500,
+    flags: int = SNIPPET_BACKGROUND_MODEL,
+    hi_start: str = "<b>",
+    hi_end: str = "</b>",
+    omit: str = "...",
+):
+    """Batch highlighting over a DataFrame column: MSet::snippet applied to
+    every row via mapInPandas (Arrow-batched; the snippet algorithm itself
+    is a per-string scan, the same work the reference does per result in
+    MSet::snippet — here it runs distributed over the corpus instead of
+    driver-side per hit).  Returns (id_col, snippet)."""
+    tw = dict(term_weights)
+
+    def gen(batches):
+        for pdf in batches:
+            out = pdf[[id_col]].copy()
+            out["snippet"] = [
+                snippet(
+                    t, tw, length=length, flags=flags,
+                    hi_start=hi_start, hi_end=hi_end, omit=omit,
+                )
+                for t in pdf[text_col]
+            ]
+            yield out
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema=f"{id_col} long, snippet string"
+    )
