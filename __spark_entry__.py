@@ -604,6 +604,35 @@ def _q_cluster_kmeans(spark, sf_dir):
     return out.select("id", "cluster", F.round("dist", 6).alias("dist"))
 
 
+def _q_stream_window_stats(spark, sf_dir):
+    """Structured Streaming under the value-hash gate: tumbling-window
+    event stats computed BY THE STREAMING ENGINE (readStream -> window agg
+    -> availableNow -> memory sink) over the bounded events table; the
+    final complete-mode state must equal the plain GROUP BY the oracle
+    runs.  Watermarked/append variants are pytest-covered
+    (tests/test_ingest_stats.py) — append emission timing is a streaming
+    property no batch SQL can replay."""
+    from xapian_spark.streaming.ingest_stats import (
+        run_bounded_to_table,
+        windowed_event_stats,
+    )
+
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the file-stream source wants a DIRECTORY; the sf table is a single
+    # parquet file, so stream the dir with a glob pinned to that file
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    run_bounded_to_table(
+        windowed_event_stats(stream), "stream_window_stats_sink"
+    )
+    return spark.table("stream_window_stats_sink").select(
+        "window_id", "key", "n_events", F.round("sum_value", 6).alias("sum_value")
+    )
+
+
 def _q_cosine_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
@@ -851,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matches_estimated": _q_matches_estimated,
         "snippet_highlight": _q_snippet,
         "cluster_kmeans": _q_cluster_kmeans,
+        "stream_window_stats": _q_stream_window_stats,
     }
 
 
@@ -1981,6 +2011,18 @@ a2 AS (
 )
 SELECT id, cluster, round(greatest(dist, 0.0), 6) AS dist
 FROM a2 WHERE rn = 1
+"""
+    # stream_window_stats: the streaming engine's complete-mode final state
+    # over a bounded source equals this batch GROUP BY.  Tumbling windows
+    # align to the epoch; TimestampType micros are timezone-free, so
+    # floor(epoch/21600) is the window ordinal on both sides.
+    q["stream_window_stats"] = """
+SELECT CAST(floor(epoch(ts) / 21600) AS BIGINT) AS window_id,
+       event_type AS key,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2
 """
     return q
 

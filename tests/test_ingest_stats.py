@@ -64,3 +64,42 @@ def test_watermarked_windows(spark, tmp_path):
     # still open (watermark 12:55 has not passed its 13:00 end)
     assert got2[(30, "s2")] == 1 and got2[(40, "s2")] == 1
     assert (50, "s2") not in got2
+
+
+def test_bounded_stream_equals_batch_groupby(spark):
+    """The complete-mode final state of a bounded availableNow run must
+    equal the batch GROUP BY over the same data — the exact contract the
+    stream_window_stats driver entry's SQL oracle relies on."""
+    from pyspark.sql import functions as F
+
+    from xapian_spark.streaming.ingest_stats import (
+        run_bounded_to_table,
+        windowed_event_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    static = spark.read.parquet(f"{sf}/events.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    run_bounded_to_table(windowed_event_stats(stream), "bounded_eq_sink")
+    got = {
+        (r["window_id"], r["key"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in spark.table("bounded_eq_sink").collect()
+    }
+    want = {
+        (r["window_id"], r["key"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in (
+            static.groupBy(
+                (F.unix_timestamp("ts") / 21600).cast("long").alias("window_id"),
+                F.col("event_type").alias("key"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("double")).alias("sum_value"),
+            )
+        ).collect()
+    }
+    assert got == want and len(got) > 50
