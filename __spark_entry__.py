@@ -633,6 +633,55 @@ def _q_stream_window_stats(spark, sf_dir):
     )
 
 
+def _q_warehouse_integrity(spark, sf_dir):
+    """The whole write path under the driver gate: build a warehouse from
+    the corpus (scripts/build_index.py's exact call), run the
+    xapian-check-style invariants (bin/xapian-check.cc re-expression,
+    merge.verify_invariants — content sha256 vs source, tf/cf vs runs,
+    doclen, blocked==runs), and report them alongside corpus-level index
+    stats the oracle RECOMPUTES independently from the documents table
+    (n_docs / n_terms / n_postings / total_wdf via the SQL tokenizer
+    replay).  A non-zero mismatch or a stats drift hash-fails the row."""
+    import shutil
+    import tempfile
+
+    from xapian_spark.index import merge
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("docid", (F.col("doc_id") + 1).cast("long"))
+    )
+    tmp = tempfile.mkdtemp(prefix="wh_integrity_")
+    path = f"{tmp}/idx"
+    try:
+        merge.build_warehouse(
+            spark, docs, path, content_col="text", docid_col="docid",
+            n_ranges=4,
+        )
+        inv = merge.verify_invariants(
+            spark, path, docs, content_col="text", docid_col="docid"
+        )
+        runs = spark.read.parquet(f"{path}/runs")
+        stats = runs.agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.count(F.lit(1)).alias("n_postings"),
+            F.sum("wdf").alias("total_wdf"),
+        ).collect()[0]
+        row = {
+            "n_docs": docs.count(),
+            "n_terms": stats["n_terms"],
+            "n_postings": stats["n_postings"],
+            "total_wdf": int(stats["total_wdf"]),
+            **{k: int(v) for k, v in inv.items()},
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    cols = sorted(row)
+    return spark.createDataFrame(
+        [tuple(row[c] for c in cols)], ", ".join(f"{c} long" for c in cols)
+    )
+
+
 def _q_cosine_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
@@ -881,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippet_highlight": _q_snippet,
         "cluster_kmeans": _q_cluster_kmeans,
         "stream_window_stats": _q_stream_window_stats,
+        "warehouse_integrity": _q_warehouse_integrity,
     }
 
 
@@ -2023,6 +2073,28 @@ SELECT CAST(floor(epoch(ts) / 21600) AS BIGINT) AS window_id,
        round(sum(value), 6) AS sum_value
 FROM events
 GROUP BY 1, 2
+"""
+    # warehouse_integrity: the oracle recomputes the index-level stats from
+    # the raw corpus with the SQL tokenizer replay and pins every
+    # xapian-check invariant counter at zero — the engine row only hashes
+    # equal if the warehouse it just built is internally consistent AND
+    # matches the independent inversion.
+    q["warehouse_integrity"] = """
+WITH toks AS (
+  SELECT doc_id + 1 AS docid,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+post AS (SELECT term, docid, count(*) AS wdf FROM toks GROUP BY term, docid)
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       (SELECT count(DISTINCT term) FROM post) AS n_terms,
+       (SELECT count(*) FROM post) AS n_postings,
+       (SELECT sum(wdf) FROM post) AS total_wdf,
+       0 AS sha256_mismatches,
+       0 AS term_stats_mismatches,
+       0 AS doclen_mismatches,
+       0 AS blocked_vs_runs_posting_diff,
+       0 AS blocked_vs_runs_wdf_diff
 """
     return q
 

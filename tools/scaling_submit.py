@@ -173,6 +173,17 @@ def one_level(cores: int, zip_path: str, staged: str, corpus: str) -> dict:
         assert report and report.get("complete"), (
             f"no complete-build report in stdout: {proc.stdout[-2000:]}"
         )
+        # per-stage decomposition from the warehouse commit markers (same
+        # attribution scaling_warehouse.py records) before the dir goes away
+        stages = {}
+        meta_dir = os.path.join(out_dir, "_meta")
+        if os.path.isdir(meta_dir):
+            for f in sorted(os.listdir(meta_dir)):
+                with open(os.path.join(meta_dir, f)) as fh:
+                    m = json.load(fh)
+                if "elapsed_sec" in m:
+                    stages[f.removesuffix(".json")] = m["elapsed_sec"]
+        report["stage_secs"] = stages
         reports.append(report)
         shutil.rmtree(out_dir, ignore_errors=True)
     best = min(r["elapsed_sec"] for r in reports)
@@ -183,6 +194,7 @@ def one_level(cores: int, zip_path: str, staged: str, corpus: str) -> dict:
         "build_secs_all": [r["elapsed_sec"] for r in reports],
         "submit_wall_secs_all": wall,  # includes JVM start + zip distribution
         "docs_per_sec": round(reports[0]["docs"] / best, 1),
+        "stage_secs_all": [r["stage_secs"] for r in reports],
     }
 
 
