@@ -45,6 +45,13 @@ def main() -> None:
                     help="comma list col:PREFIX for boolean field terms")
     ap.add_argument("--n-ranges", type=int, default=8)
     ap.add_argument("--block-size", type=int, default=512)
+    ap.add_argument("--docdata", default="copy",
+                    choices=["copy", "reference"],
+                    help="copy: rewrite source rows into the warehouse "
+                    "(self-contained, the glass docdata shape); reference: "
+                    "record the source path instead — at 10^12 files the "
+                    "lake already holds the bytes (requires --id-col so "
+                    "docids are derivable from the source alone)")
     ap.add_argument("--verify", action="store_true",
                     help="run xapian-check-style invariants after build")
     args = ap.parse_args()
@@ -67,12 +74,18 @@ def main() -> None:
         prefix_fields = dict(
             kv.split(":") for kv in args.prefix_fields.split(",")
         )
+    if args.docdata == "reference" and not args.id_col:
+        ap.error("--docdata reference requires --id-col (docids must be "
+                 "derivable from the source table alone)")
     t0 = time.perf_counter()
     merge.build_warehouse(
         spark, docs, args.output,
         content_col=args.content_col, docid_col="docid", mode=args.mode,
         prefix_fields=prefix_fields, n_ranges=args.n_ranges,
         block_size=args.block_size,
+        docdata=args.docdata,
+        docdata_source=args.input if args.docdata == "reference" else None,
+        docdata_source_docid_col=args.id_col,
     )
     elapsed = time.perf_counter() - t0
     n = docs.count()

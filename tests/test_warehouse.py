@@ -324,3 +324,53 @@ def test_runs_layout_orders_align(spark, wh):
     b = [(r["term"], r["docid"])
          for r in runs.orderBy("range_id", "term", "docid").collect()]
     assert a == b
+
+
+def test_reference_docdata(spark, tmp_path):
+    """docdata="reference": no `docs/` rewrite — the commit marker records
+    the source path + its stable id column, and readers resolve document
+    data lazily from the lake.  At 10^12 files copying the corpus into the
+    index doubles storage and build IO; the index must be able to just
+    point at the immutable source.  Contract: the recorded source id
+    column must EQUAL the build docid (the CLI passes --id-col for
+    exactly this reason); everything else — termlists, postings, blocks,
+    invariants — is identical to copy mode."""
+    corpus = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn("docid", (F.col("doc_id") + 1).cast("long"))
+    )
+    # the "lake" table: a stable parquet with the id column included
+    src = str(tmp_path / "lake_src")
+    corpus.write.parquet(src)
+    path = str(tmp_path / "refidx")
+    merge.build_warehouse(
+        spark, spark.read.parquet(src), path,
+        content_col="text", docid_col="docid",
+        n_ranges=2, docdata="reference", docdata_source=src,
+        docdata_source_docid_col="docid",
+    )
+    assert merge.warehouse_complete(path)
+    assert not os.path.exists(os.path.join(path, "docs"))
+
+    # read side resolves the full source row set, lazily, with ALIGNED ids
+    idx = merge.read_warehouse(spark, path)
+    assert idx.docs.count() == corpus.count()
+    assert "text" in idx.docs.columns
+    tl = spark.read.parquet(os.path.join(path, "termlists"))
+    joined = tl.select("docid").join(idx.docs, "docid").count()
+    assert joined == corpus.count()  # every indexed docid resolves a row
+    live = merge.live_docs(spark, path)
+    assert live is not None and live.count() == corpus.count()
+
+    # invariants hold exactly as in copy mode
+    inv = merge.verify_invariants(
+        spark, path, corpus, content_col="text", docid_col="docid"
+    )
+    assert all(v == 0 for v in inv.values()), inv
+
+    # and the index serves normally
+    from xapian_spark.query.planner import Planner
+    from xapian_spark.query import ast
+
+    hits = Planner(idx).search(ast.Term("dup"), k=5).collect()
+    assert len(hits) == 5

@@ -85,8 +85,21 @@ def build_warehouse(
     block_size: int = DEFAULT_BLOCK,
     stop_after_range: int | None = None,
     concurrent_ranges: int | None = None,
+    docdata: str = "copy",
+    docdata_source: str | None = None,
+    docdata_source_docid_col: str | None = None,
 ) -> None:
     """Build (or RESUME building) the on-disk index warehouse at `path`.
+
+    docdata: "copy" (default) rewrites the source rows into `{path}/docs`
+    — the glass docdata table mirrored in-db.  "reference" skips the
+    rewrite and records `docdata_source` (a parquet path) + the docid
+    derivation in the commit marker instead; readers resolve document
+    data lazily from the source.  At the 10^12-file posture the corpus
+    already sits immutable in the lake — copying 100 TB of it into the
+    index doubles storage and build IO for nothing, so "reference" is
+    the cluster-scale setting ("copy" keeps the self-contained single
+    -artifact behavior the reference's glass databases have).
 
     stop_after_range: test hook — abort after committing that many stage-2
     ranges, simulating a mid-build failure for resumability tests.
@@ -152,12 +165,29 @@ def build_warehouse(
     # typed columns — glass `docdata` table + value slots, SURVEY §1.2) ----
     if not _done(path, "docdata"):
         t0 = time.perf_counter()
-        dd = docs.withColumn("docid", F.col(docid_col).cast("long"))
-        dd.write.mode("overwrite").parquet(os.path.join(path, "docs"))
-        _commit(path, "docdata", {
-            "stage": 0, "columns": dd.columns,
-            "elapsed_sec": round(time.perf_counter() - t0, 3),
-        })
+        if docdata == "reference":
+            if docdata_source is not None and not os.path.exists(
+                docdata_source
+            ):
+                raise ValueError(
+                    f"docdata_source does not exist: {docdata_source}"
+                )
+            _commit(path, "docdata", {
+                "stage": 0, "mode": "reference",
+                "source": docdata_source,
+                # the SOURCE table's id column (may differ from the
+                # build-side docid_col when the caller renamed it)
+                "docid_col": docdata_source_docid_col or docid_col,
+                "columns": docs.columns,
+                "elapsed_sec": round(time.perf_counter() - t0, 3),
+            })
+        else:
+            dd = docs.withColumn("docid", F.col(docid_col).cast("long"))
+            dd.write.mode("overwrite").parquet(os.path.join(path, "docs"))
+            _commit(path, "docdata", {
+                "stage": 0, "mode": "copy", "columns": dd.columns,
+                "elapsed_sec": round(time.perf_counter() - t0, 3),
+            })
 
     _stages_1_to_3(
         spark, path, mode=mode, n_ranges=n_ranges, block_size=block_size,
@@ -554,14 +584,32 @@ def live_termlists(spark: SparkSession, path: str) -> DataFrame:
     return tl
 
 
+def _base_docs(spark: SparkSession, path: str) -> DataFrame | None:
+    """The warehouse's base docdata: the in-db `docs` table ("copy" mode),
+    or the recorded source table resolved lazily ("reference" mode — the
+    lake, not the index, owns the bytes).  None when neither exists."""
+    docs_dir = os.path.join(path, "docs")
+    if os.path.exists(docs_dir):
+        return spark.read.parquet(docs_dir)
+    if _done(path, "docdata"):
+        m = _read_meta(path, "docdata")
+        src = m.get("source")
+        if m.get("mode") == "reference" and src and os.path.exists(src):
+            dc = m.get("docid_col") or "docid"
+            return spark.read.parquet(src).withColumn(
+                "docid", F.col(dc).cast("long")
+            )
+    return None
+
+
 def live_docs(spark: SparkSession, path: str) -> DataFrame | None:
     """The LIVE docdata view (base docs minus dead, plus replacement
     rows) — the docdata twin of live_termlists; None when the warehouse
     stores no docs table."""
-    docs_dir = os.path.join(path, "docs")
+    base = _base_docs(spark, path)
     drows = _delta_docs_rows(spark, path)
     delta = _delta_rows(spark, path)
-    if not os.path.exists(docs_dir):
+    if base is None:
         if drows is None and delta is None:
             return None
         # no base docs table: the overlay IS the docdata (replacement
@@ -579,7 +627,7 @@ def live_docs(spark: SparkSession, path: str) -> DataFrame | None:
             else:
                 docs = sha_rows
         return docs
-    docs = spark.read.parquet(docs_dir)
+    docs = base
     tomb = _tombstone_max(spark, path)
     dead: DataFrame | None = None
     if tomb is not None:
@@ -635,13 +683,11 @@ def read_warehouse(spark: SparkSession, path: str) -> InvertedIndex:
     )
     doclens = spark.read.parquet(os.path.join(path, "doclens"))
     term_stats = spark.read.parquet(os.path.join(path, "term_stats"))
-    docs = (
-        spark.read.parquet(os.path.join(path, "docs"))
-        if os.path.exists(os.path.join(path, "docs"))
-        else spark.read.parquet(os.path.join(path, "termlists")).select(
+    docs = _base_docs(spark, path)
+    if docs is None:
+        docs = spark.read.parquet(os.path.join(path, "termlists")).select(
             "docid", "content_sha256"
         )
-    )
     blocked: DataFrame | None = spark.read.parquet(
         os.path.join(path, "blocked")
     )
