@@ -31,15 +31,17 @@ itself is byte-parity-pinned on the full public Snowball vocabulary).
 
 Entry-count policy: the driver checks the FIRST 50 queries() entries, so
 every training-data-pipeline / ANN operator sits inside that window;
-positions 51-54 (dedup_components, dedup_spans, pl2_weight,
-matches_estimated) are oracle-checked by tools/check_entry.py on every
-local run even though the driver stops at 50.  The 16 weight schemes keep 3 driver rows
-(BM25 via term_bm25, TfIdf, PL2); the other 13 are pinned to the literal
-api_weight.cc doubles in tests/test_reference_golden.py.  Entries removed
-from the window in round 3 (all hash-green in earlier rounds, still
-pytest-covered): trad/coord/bool/bm25plus/inl2/dph/ifb2/dice/lm weights,
-tfidf_pivoted, value_weight_source, count_all, sort_by_value,
-stemmed_search_fr, diversify_rerank.
+positions 51+ are oracle-checked by tools/check_entry.py on every local
+run even though the driver stops at 50.  Positions 59+ restore the set
+rotated out of the window in round 3 (weight schemes, count_all,
+sort_by_value, value_weight_source, French stemmed search), add
+first-time value-hash oracles for IneB2/BB2/PL2+/DLH (previously only
+pinned to the api_weight.cc doubles in tests/test_reference_golden.py),
+and upgrade stemmed_search_fr from rows-only to a dictionary-replay
+oracle.  Every entry now carries a value-hash oracle; the only
+implemented operator intentionally absent is diversify_rerank (iterative
+GLS — no faithful SQL replay exists; pytest-covered in
+tests/test_diversify.py).
 """
 
 from __future__ import annotations
@@ -54,7 +56,23 @@ from xapian_spark.index.builder import InvertedIndex, build_index, persist_index
 from xapian_spark.ops import dedup, similarity, textstats
 from xapian_spark.query import ast
 from xapian_spark.query.planner import Planner
-from xapian_spark.ranking.weights import PL2Weight, TfIdfWeight
+from xapian_spark.ranking.weights import (
+    BB2Weight,
+    BM25PlusWeight,
+    BoolWeight,
+    CoordWeight,
+    DiceCoeffWeight,
+    DLHWeight,
+    DPHWeight,
+    IfB2Weight,
+    IneB2Weight,
+    InL2Weight,
+    LMWeight,
+    PL2PlusWeight,
+    PL2Weight,
+    TfIdfWeight,
+    TradWeight,
+)
 
 # --------------------------------------------------------------------------
 # shared index (built once per sf_dir, persisted)
@@ -431,6 +449,73 @@ def _q_stemmed_search(spark, sf_dir):
         _STEM_IDX_CACHE[sf_dir] = idx
     qp = QueryParser(stemmer=Stemmer("en"))
     q = qp.parse_query("merges scanning")
+    m = Planner(idx).plan(q)
+    return (
+        m.select("docid", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(10)
+    )
+
+
+def _q_count_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MatchAll over the whole database (Query::MatchAll,
+    queryinternal.cc QueryTerm with empty term): exact doccount."""
+    idx = _index(spark, sf_dir)
+    m = Planner(idx).plan(ast.MatchAll())
+    return m.agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def _q_sort_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-by-value (KeyMaker analogue, enquire.h:170-270): matches of a
+    term ordered by a doc value column instead of relevance."""
+    idx = _index(spark, sf_dir)
+    m = Planner(idx).plan(ast.Term("merge"))
+    return (
+        m.join(idx.docs.select("docid", "n_chars"), "docid")
+        .orderBy(F.desc("n_chars"), F.asc("docid"))
+        .limit(10)
+        .select("docid", "n_chars")
+    )
+
+
+def _q_value_weight(spark, sf_dir):
+    """ExternalPostList / ValueWeightPostingSource analogue."""
+    return _search(ast.ValueWeightSource("n_chars", 0.01), k=10)(
+        spark, sf_dir
+    )
+
+
+_STEM_FR_IDX_CACHE: dict[str, InvertedIndex] = {}
+
+
+def _q_stemmed_search_fr(spark, sf_dir):
+    """French Snowball stemming end-to-end (Stem('french'); algorithm
+    validated byte-exact against the full public Snowball vocabulary in
+    tests/test_stem_multilang.py).  STEM_SOME French index + French
+    stemmed query.  Value-hash checked via the same dictionary-replay
+    pattern as stemmed_search: the French closure of the two query stems
+    over the corpus vocabulary (merg<-{merge}, tabl<-{table}) is embedded
+    in the oracle and pinned complete by
+    tests/test_stemmer.py::test_stemmed_search_fr_oracle_closure."""
+    from xapian_spark.query.parser import QueryParser
+    from xapian_spark.text.stem import Stemmer
+
+    idx = _STEM_FR_IDX_CACHE.get(sf_dir)
+    if idx is None:
+        idx = build_index(
+            spark,
+            _docs(spark, sf_dir),
+            content_col="text",
+            docid_col="docid",
+            stemmer=Stemmer("french"),
+            stem_strategy="some",
+        )
+        persist_index(idx)
+        _STEM_FR_IDX_CACHE[sf_dir] = idx
+    qp = QueryParser(stemmer=Stemmer("french"))
+    # French-stemmed query forms: merges->merg, tables->tabl, both of
+    # which are corpus stems (merge->merg, table->tabl under fr).
+    q = qp.parse_query("merges tables")
     m = Planner(idx).plan(q)
     return (
         m.select("docid", F.round("score", 6).alias("score"))
@@ -931,6 +1016,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_kmeans": _q_cluster_kmeans,
         "stream_window_stats": _q_stream_window_stats,
         "warehouse_integrity": _q_warehouse_integrity,
+        # position 59+: the full entry set rotated below the window in
+        # round 3 (driver checks the first 50; these stay under the local
+        # value-hash gate), restored in round 4 so every implemented
+        # SURVEY row is oracle-checked again — plus first-time oracle
+        # entries for the four weight schemes that never had one
+        # (IneB2, BB2, PL2+, DLH) and a dictionary-replay oracle for
+        # French stemmed search (previously rows-only).
+        "count_all": _q_count_all,
+        "sort_by_value": _q_sort_by_value,
+        "value_weight_source": _q_value_weight,
+        "trad_weight": _search(ast.Term("dup"), weight=TradWeight),
+        "coord_weight": _search(
+            ast.Or((ast.Term("dup"), ast.Term("key"), ast.Term("line"))),
+            weight=CoordWeight,
+        ),
+        "bool_weight": _search(ast.Term("dup"), weight=BoolWeight),
+        "bm25plus_weight": _search(ast.Term("dup"), weight=BM25PlusWeight),
+        "inl2_weight": _search(ast.Term("dup"), weight=InL2Weight),
+        "dph_weight": _search(ast.Term("dup"), weight=DPHWeight),
+        "ifb2_weight": _search(ast.Term("dup"), weight=IfB2Weight),
+        "dice_weight": _search(
+            ast.Or((ast.Term("dup"), ast.Term("key"))), weight=DiceCoeffWeight
+        ),
+        "lm_weight": _search(ast.Term("dup"), weight=LMWeight),
+        "tfidf_pivoted": _search(
+            ast.Term("dup"),
+            weight=lambda: TfIdfWeight(normalizations="Ptn"),
+        ),
+        "ineb2_weight": _search(ast.Term("dup"), weight=IneB2Weight),
+        "bb2_weight": _search(ast.Term("dup"), weight=BB2Weight),
+        "pl2plus_weight": _search(ast.Term("dup"), weight=PL2PlusWeight),
+        "dlh_weight": _search(ast.Term("dup"), weight=DLHWeight),
+        "stemmed_search_fr": _q_stemmed_search_fr,  # dictionary-replay oracle
     }
 
 
@@ -2095,6 +2213,315 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
        0 AS doclen_mismatches,
        0 AS blocked_vs_runs_posting_diff,
        0 AS blocked_vs_runs_wdf_diff
+"""
+    # -- position 59+: the round-3 rotated set, restored under the local
+    #    value-hash gate, plus first-time oracles for IneB2/BB2/PL2+/DLH
+    #    and the French dictionary-replay stemmed search.
+    q["count_all"] = "SELECT count(*) AS cnt FROM documents"
+    q["sort_by_value"] = (
+        _PRELUDE
+        + """
+SELECT d.doc_id + 1 AS docid, d.n_chars
+FROM documents d
+WHERE d.doc_id + 1 IN (SELECT docid FROM post WHERE term = 'merge')
+ORDER BY d.n_chars DESC, docid LIMIT 10
+"""
+    )
+    # ValueWeightPostingSource: weight = n_chars * 0.01 over all docs
+    q["value_weight_source"] = """
+SELECT docid, score FROM (
+  SELECT doc_id + 1 AS docid,
+         round(CAST(n_chars AS DOUBLE) * 0.01, 6) AS score
+  FROM documents WHERE n_chars IS NOT NULL
+) ORDER BY score DESC, docid LIMIT 10
+"""
+    # TradWeight (tradweight.cc): w = ln(tw') * wdf / (doclen/avg + wdf)
+    q["trad_weight"] = (
+        _PRELUDE
+        + """
+SELECT docid, score FROM (
+  SELECT p.docid,
+    round(ln(CASE WHEN (g.n - b.tf + 0.5) / (b.tf + 0.5) < 2
+             THEN (g.n - b.tf + 0.5) / (b.tf + 0.5) * 0.5 + 1
+             ELSE (g.n - b.tf + 0.5) / (b.tf + 0.5) END)
+      * (p.wdf / (1.0 * (greatest(l.doclen * (1.0 / (g.total / g.n)), 0.0) * 1.0 + 0.0) + p.wdf)), 6) AS score
+  FROM post p JOIN dl l ON l.docid = p.docid JOIN bm b ON b.term = p.term
+  CROSS JOIN g WHERE p.term = 'dup'
+) ORDER BY score DESC, docid LIMIT 10
+"""
+    )
+    # CoordWeight (coordweight.cc): 1 point per matching subquery
+    q["coord_weight"] = _topk_sql(
+        "SELECT docid, round(CAST(count(*) AS DOUBLE), 6) AS score FROM sp "
+        "WHERE term IN ('dup', 'key', 'line') GROUP BY docid"
+    )
+    # BoolWeight: all zero
+    q["bool_weight"] = _topk_sql(
+        "SELECT docid, CAST(0.0 AS DOUBLE) AS score FROM sp "
+        "WHERE term = 'dup' GROUP BY docid"
+    )
+    # BM25+ (bm25plusweight.cc): idf=ln((N+1)/tf);
+    # sumpart = tw * ((k1+1)*wdf/denom + delta), delta=1
+    q["bm25plus_weight"] = (
+        _PRELUDE
+        + """
+SELECT docid, score FROM (
+  SELECT p.docid,
+    round(ln((g.n + 1) / b.tf)
+      * (2.0 * p.wdf / (1.0 * (greatest(l.doclen * (1.0 / (g.total / g.n)), 0.5) * 0.5 + 0.5) + p.wdf) + 1.0), 6) AS score
+  FROM post p JOIN dl l ON l.docid = p.docid JOIN bm b ON b.term = p.term
+  CROSS JOIN g WHERE p.term = 'dup'
+) ORDER BY score DESC, docid LIMIT 10
+"""
+    )
+    # DFR InL2 (inl2weight.cc:123-134): idf=log2((N+1)/(tf+0.5));
+    # wdfn = wdf * log2(1 + c*avlen/len); w = idf * wdfn/(wdfn+1)
+    q["inl2_weight"] = (
+        _PRELUDE
+        + """
+SELECT docid, score FROM (
+  SELECT p.docid,
+    round(log2((g.n + 1) / (b.tf + 0.5))
+      * ((p.wdf * log2(1 + (1.0 * (g.total / g.n)) / l.doclen))
+         / ((p.wdf * log2(1 + (1.0 * (g.total / g.n)) / l.doclen)) + 1.0)), 6) AS score
+  FROM post p JOIN dl l ON l.docid = p.docid JOIN bm b ON b.term = p.term
+  CROSS JOIN g WHERE p.term = 'dup' AND p.wdf > 0
+) ORDER BY score DESC, docid LIMIT 10
+"""
+    )
+    # DFR DPH (dphweight.cc:139-156), parameter-free:
+    # norm=(1-wdf/len)^2/(wdf+1);
+    # wt = norm*(wdf*(log2(wdf/len)+log2(total/cf)) + 0.5*log2(2pi*wdf*(1-wdf/len)))
+    q["dph_weight"] = (
+        _PRELUDE
+        + """
+SELECT docid, score FROM (
+  SELECT p.docid,
+    round(CASE WHEN p.wdf = l.doclen THEN 0.0 ELSE
+      greatest(
+        ((1.0 - p.wdf / (1.0 * l.doclen)) * (1.0 - p.wdf / (1.0 * l.doclen)) / (p.wdf + 1.0))
+        * (p.wdf * (log2(p.wdf / (1.0 * l.doclen)) + log2(g.total / b.cf))
+           + 0.5 * log2(2 * pi() * p.wdf * (1.0 - p.wdf / (1.0 * l.doclen)))),
+        0.0) END, 6) AS score
+  FROM post p JOIN dl l ON l.docid = p.docid JOIN bm b ON b.term = p.term
+  CROSS JOIN g WHERE p.term = 'dup' AND p.wdf > 0
+) ORDER BY score DESC, docid LIMIT 10
+"""
+    )
+    # DFR IfB2 (ifb2weight.cc): idf=log2((N+1)/(cf+0.5)); B=(cf+1)/tf;
+    # wdfn=wdf*log2(1+avlen/len); score = idf * wdfn*B/(wdfn+1)
+    q["ifb2_weight"] = (
+        _PRELUDE
+        + """
+SELECT docid, score FROM (
+  SELECT p.docid,
+    round(log2((g.n + 1.0) / (b.cf + 0.5))
+      * ((p.wdf * log2(1 + (g.total / g.n) / l.doclen)) * ((b.cf + 1.0) / b.tf)
+         / ((p.wdf * log2(1 + (g.total / g.n) / l.doclen)) + 1.0)), 6) AS score
+  FROM post p JOIN dl l ON l.docid = p.docid JOIN bm b ON b.term = p.term
+  CROSS JOIN g WHERE p.term = 'dup' AND p.wdf > 0
+) ORDER BY score DESC, docid LIMIT 10
+"""
+    )
+    # DiceCoeffWeight (dicecoeffweight.cc): per matching query term
+    # 2/(qlen + uniqterms); uniqterms = full termlist incl. the 2 boolean
+    # field terms (S<source>, L<lang>) the index adds per doc
+    q["dice_weight"] = (
+        _PRELUDE
+        + """
+, uniq AS (
+  SELECT docid, count(DISTINCT term) + 2 AS uniqterms FROM toks GROUP BY docid
+)
+SELECT docid, score FROM (
+  SELECT p.docid, round(sum(2.0 / (2.0 + u.uniqterms)), 6) AS score
+  FROM post p JOIN uniq u ON u.docid = p.docid
+  WHERE p.term IN ('dup', 'key') AND p.wdf > 0
+  GROUP BY p.docid
+) ORDER BY score DESC, docid LIMIT 10
+"""
+    )
+    # LM Dirichlet (lmweight.cc:180-182,205-206): p=(wdf+mu*cf/T)/(len+mu);
+    # score = ln(p * doclen_ub) when > 1 else 0; mu=2000
+    q["lm_weight"] = (
+        _PRELUDE
+        + """
+, ub AS (SELECT CAST(max(doclen) AS DOUBLE) AS dub FROM dl)
+SELECT docid, score FROM (
+  SELECT p.docid,
+    round(CASE WHEN ((p.wdf + 2000.0 * (b.cf / g.total)) / (l.doclen + 2000.0)) * ub.dub > 1.0
+      THEN ln(((p.wdf + 2000.0 * (b.cf / g.total)) / (l.doclen + 2000.0)) * ub.dub)
+      ELSE 0.0 END, 6) AS score
+  FROM post p JOIN dl l ON l.docid = p.docid JOIN bm b ON b.term = p.term
+  CROSS JOIN g CROSS JOIN ub WHERE p.term = 'dup'
+) ORDER BY score DESC, docid LIMIT 10
+"""
+    )
+    # TfIdf "Ptn" (tfidfweight.cc:263-268): wdfn = (1+ln(1+ln(wdf))) *
+    # 1/(1-slope+slope*doclen/avg) + delta (slope=.2 delta=1); idfn=ln(N/tf)
+    q["tfidf_pivoted"] = (
+        _PRELUDE
+        + """
+SELECT docid, score FROM (
+  SELECT p.docid,
+    round(((1.0 + ln(1.0 + ln(p.wdf)))
+           * (1.0 / (0.8 + 0.2 * (l.doclen / (g.total / g.n)))) + 1.0)
+          * ln(g.n / b.tf), 6) AS score
+  FROM post p JOIN dl l ON l.docid = p.docid JOIN bm b ON b.term = p.term
+  CROSS JOIN g WHERE p.term = 'dup' AND p.wdf > 0
+) ORDER BY score DESC, docid LIMIT 10
+"""
+    )
+    # DFR IneB2 (ineb2weight.cc): like IfB2 but idf uses the EXPECTED
+    # termfreq under a Poisson model: idf=log2((N+1)/(N*(1-e^{-cf/N})+0.5))
+    q["ineb2_weight"] = (
+        _PRELUDE
+        + """
+SELECT docid, score FROM (
+  SELECT p.docid,
+    round(log2((g.n + 1.0) / (g.n * (1.0 - exp(-(b.cf / (1.0 * g.n)))) + 0.5))
+      * ((p.wdf * log2(1 + (g.total / g.n) / l.doclen)) * ((b.cf + 1.0) / b.tf)
+         / ((p.wdf * log2(1 + (g.total / g.n) / l.doclen)) + 1.0)), 6) AS score
+  FROM post p JOIN dl l ON l.docid = p.docid JOIN bm b ON b.term = p.term
+  CROSS JOIN g WHERE p.term = 'dup' AND p.wdf > 0
+) ORDER BY score DESC, docid LIMIT 10
+"""
+    )
+    # DFR BB2 (bb2weight.cc:150-180), c=1: Bose-Einstein with Stirling
+    # approximation.  tw=(cf+1)/tf; wdfn=min(wdf*log2(1+avlen/len), cf-1);
+    # stirling(d,y,c)=(y+0.5)*(c-log2(y))+d*c with sc1=log2(N+cf-1),
+    # sc2=log2(cf); w = tw/(wdfn+1) * (-1/ln2 - log2(N-1)
+    #   + stirling(wdfn+1, (N-2)+(cf-wdfn), sc1) - stirling(wdfn, cf-wdfn, sc2));
+    # score = max(w, 0), N clamped to >= 2.
+    q["bb2_weight"] = (
+        _PRELUDE
+        + """
+, c AS (
+  SELECT (b.cf + 1.0) / b.tf AS tw,
+         CAST(b.cf AS DOUBLE) AS cf,
+         CASE WHEN g.n <= 2 THEN 2.0 ELSE CAST(g.n AS DOUBLE) END AS nn,
+         g.total / g.n AS avlen
+  FROM bm b CROSS JOIN g WHERE b.term = 'dup'
+),
+w AS (
+  SELECT p.docid, c.tw, c.cf, c.nn,
+         least(p.wdf * log2(1 + c.avlen / l.doclen), c.cf - 1.0) AS wdfn
+  FROM post p JOIN dl l ON l.docid = p.docid CROSS JOIN c
+  WHERE p.term = 'dup' AND p.wdf > 0
+)
+SELECT docid, score FROM (
+  SELECT docid,
+    round(CASE WHEN wdfn <= 0 THEN 0.0 ELSE greatest(
+      (tw / (wdfn + 1.0)) * (
+        -1.0 / ln(2) - log2(nn - 1.0)
+        + ((greatest(nn - 2.0, 0.0) + cf - wdfn) + 0.5)
+            * (log2(nn + cf - 1.0) - log2(greatest(nn - 2.0, 0.0) + cf - wdfn))
+        + (wdfn + 1.0) * log2(nn + cf - 1.0)
+        - ((cf - wdfn + 0.5) * (log2(cf) - log2(cf - wdfn)) + wdfn * log2(cf))
+      ), 0.0) END, 6) AS score
+  FROM w
+) ORDER BY score DESC, docid LIMIT 10
+"""
+    )
+    # DFR PL2+ (pl2plusweight.cc, c=1 delta=0.8): vanilla PL2's
+    # P/(wdfn+1) plus the lower-bound bonus dw = P(delta)/(delta+1),
+    # guarded AFTER the addition; 0 when mean = cf/N < 1.
+    q["pl2plus_weight"] = (
+        _PRELUDE
+        + """
+, c AS (
+  SELECT b.cf / (1.0 * g.n) AS mean,
+         (b.cf / (1.0 * g.n)) / ln(2) + 0.5 * log2(2 * pi()) AS p1,
+         log2(b.cf / (1.0 * g.n)) + 1.0 / ln(2) AS p2,
+         g.total / g.n AS avlen
+  FROM bm b CROSS JOIN g WHERE b.term = 'dup'
+),
+c2 AS (
+  SELECT mean, p1, p2, avlen,
+         (p1 + (0.8 + 0.5) * log2(0.8) - p2 * 0.8) / 1.8 AS dw
+  FROM c
+),
+w AS (
+  SELECT p.docid, p.wdf * log2(1 + c2.avlen / l.doclen) AS wdfn,
+         c2.p1, c2.p2, c2.dw, c2.mean
+  FROM post p JOIN dl l ON l.docid = p.docid CROSS JOIN c2
+  WHERE p.term = 'dup' AND p.wdf > 0
+)
+SELECT docid, score FROM (
+  SELECT docid,
+    round(CASE WHEN mean < 1 THEN 0.0
+          WHEN (p1 + (wdfn + 0.5) * log2(wdfn) - p2 * wdfn) / (wdfn + 1.0) + dw > 0
+          THEN (p1 + (wdfn + 0.5) * log2(wdfn) - p2 * wdfn) / (wdfn + 1.0) + dw
+          ELSE 0.0 END, 6) AS score
+  FROM w
+) ORDER BY score DESC, docid LIMIT 10
+"""
+    )
+    # DFR DLH (dlhweight.cc), parameter-free: L = total_len/cf;
+    # wt = (wdf*log2((wdf/len)*L) + (len-wdf)*log2(1-wdf/len)
+    #       + 0.5*log2(2pi*wdf*(1-wdf/len))) / (wdf+0.5);
+    # score = max(wt, 0), 0 when wdf == len.
+    q["dlh_weight"] = (
+        _PRELUDE
+        + """
+SELECT docid, score FROM (
+  SELECT p.docid,
+    round(CASE WHEN p.wdf = l.doclen THEN 0.0 ELSE
+      greatest(
+        (p.wdf * log2((p.wdf / (1.0 * l.doclen)) * (g.total / b.cf))
+         + (l.doclen - p.wdf) * log2(1.0 - p.wdf / (1.0 * l.doclen))
+         + 0.5 * log2(2 * pi() * p.wdf * (1.0 - p.wdf / (1.0 * l.doclen))))
+        / (p.wdf + 0.5), 0.0) END, 6) AS score
+  FROM post p JOIN dl l ON l.docid = p.docid JOIN bm b ON b.term = p.term
+  CROSS JOIN g WHERE p.term = 'dup' AND p.wdf > 0
+) ORDER BY score DESC, docid LIMIT 10
+"""
+    )
+    # French stemmed search (STEM_SOME, Stem('french')): dictionary-replay
+    # oracle, same pattern as stemmed_search — the query "merges tables"
+    # stems to merg/tabl under French, whose closures over the corpus
+    # vocabulary are exactly {merge} and {table}; pinned complete by
+    # tests/test_stemmer.py::test_stemmed_search_fr_oracle_closure.
+    # STEM_SOME doubles doclen (unstemmed positional + Z-stem per token).
+    q["stemmed_search_fr"] = """
+WITH toks AS (
+  SELECT doc_id + 1 AS docid,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+dl AS (
+  SELECT d.doc_id + 1 AS docid, 2 * coalesce(t.n, 0) AS doclen
+  FROM documents d
+  LEFT JOIN (SELECT docid, count(*) AS n FROM toks GROUP BY docid) t
+    ON t.docid = d.doc_id + 1
+),
+g AS (SELECT count(*) AS n, CAST(sum(doclen) AS DOUBLE) AS total FROM dl),
+zpost AS (
+  SELECT docid, 'Zmerg' AS zterm, count(*) AS wdf FROM toks
+  WHERE term IN ('merge') GROUP BY docid
+  UNION ALL
+  SELECT docid, 'Ztabl' AS zterm, count(*) AS wdf FROM toks
+  WHERE term IN ('table') GROUP BY docid
+),
+tstat AS (SELECT zterm, count(*) AS tf FROM zpost GROUP BY zterm),
+bm AS (
+  SELECT t.zterm,
+         (ln(CASE WHEN (g.n - t.tf + 0.5) / (t.tf + 0.5) < 2
+                  THEN (g.n - t.tf + 0.5) / (t.tf + 0.5) * 0.5 + 1
+                  ELSE (g.n - t.tf + 0.5) / (t.tf + 0.5) END) * 2.0)
+           AS termweight
+  FROM tstat t, g
+),
+sp2 AS (
+  SELECT p.docid,
+         b.termweight * (p.wdf / (1.0 * (greatest(l.doclen * (1.0 / (g.total / g.n)), 0.5) * 0.5 + 0.5) + p.wdf)) AS sumpart
+  FROM zpost p
+  JOIN dl l ON l.docid = p.docid
+  JOIN bm b ON b.zterm = p.zterm
+  CROSS JOIN g
+)
+SELECT docid, score FROM (
+  SELECT docid, round(sum(sumpart), 6) AS score FROM sp2 GROUP BY docid
+) ORDER BY score DESC, docid LIMIT 10
 """
     return q
 

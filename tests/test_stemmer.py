@@ -272,3 +272,36 @@ def test_stemmed_search_oracle_closure():
         closure_scan = {v for v in vocab if st(v) == "scan"}
         assert closure_merg == set(merg) & set(vocab), sf
         assert closure_scan == set(scan) & set(vocab), sf
+
+
+def test_stemmed_search_fr_oracle_closure():
+    """Pin the dictionary-replay oracle for the stemmed_search_fr driver
+    entry: (a) the query forms and the oracle's IN-list forms stem to the
+    intended French stems, and (b) those IN lists are the COMPLETE closure
+    of the stems over the sf0.01 and sf0.1 corpus vocabularies — so the
+    SQL dictionary reproduces index-time Snowball-French behavior on the
+    driver's data exactly."""
+    import os
+
+    import duckdb
+
+    st = Stemmer("french")
+    # query side: parse-time stems match the oracle's Z-terms
+    assert st("merges") == "merg" and st("tables") == "tabl"
+    con = duckdb.connect()
+    for sf in ("sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        vocab = [
+            r[0]
+            for r in con.execute(
+                "SELECT DISTINCT unnest(regexp_extract_all(lower(text),"
+                f" '[a-z0-9_]+')) FROM '{path}'"
+            ).fetchall()
+        ]
+        closure_merg = {v for v in vocab if st(v) == "merg"}
+        closure_tabl = {v for v in vocab if st(v) == "tabl"}
+        # the oracle's IN lists (__spark_entry__.oracle_sql):
+        assert closure_merg == {"merge"}, sf
+        assert closure_tabl == {"table"}, sf
