@@ -37,11 +37,13 @@ rotated out of the window in round 3 (weight schemes, count_all,
 sort_by_value, value_weight_source, French stemmed search), add
 first-time value-hash oracles for IneB2/BB2/PL2+/DLH (previously only
 pinned to the api_weight.cc doubles in tests/test_reference_golden.py),
-and upgrade stemmed_search_fr from rows-only to a dictionary-replay
-oracle.  Every entry now carries a value-hash oracle; the only
+upgrade stemmed_search_fr from rows-only to a dictionary-replay oracle,
+and put the LCD clusterer under the gate (cluster_lcd: k=3 over a
+12-doc MSet makes the greedy construction exactly three rounds, replayed
+as chained CTEs).  Every entry carries a value-hash oracle; the only
 implemented operator intentionally absent is diversify_rerank (iterative
-GLS — no faithful SQL replay exists; pytest-covered in
-tests/test_diversify.py).
+GLS with unbounded hill-climb rounds — no faithful SQL replay exists;
+pytest-covered in tests/test_diversify.py).
 """
 
 from __future__ import annotations
@@ -689,6 +691,32 @@ def _q_cluster_kmeans(spark, sf_dir):
     return out.select("id", "cluster", F.round("dist", 6).alias("dist"))
 
 
+def _q_cluster_lcd(spark, sf_dir):
+    """LCD clustering (cluster/lcd_clusterer.cc:64-154): greedy equal-size
+    partition of a ranked MSet for result diversification.  k=3 over the
+    BM25 top-12 gives exactly three greedy rounds of four points each, so
+    the oracle replays the whole construction as chained CTEs: per round,
+    the 3 nearest remaining points by cosine distance join the center's
+    cluster (stable tie-break = descending-weight order) and the farthest
+    becomes the next center.  The general path (any k/size, zero-magnitude
+    quirk) is pytest-covered in tests/test_cluster.py."""
+    from xapian_spark.ops.cluster import lcd_cluster
+
+    idx = _index(spark, sf_dir)
+    m = (
+        Planner(idx)
+        .plan(ast.Term("dup"))
+        .select("docid", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(12)
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        (F.col("vec_id") + 1).cast("long").alias("docid"), "embedding"
+    )
+    out = lcd_cluster(m.join(emb, "docid"), k=3, vec_col="embedding")
+    return out.select("docid", F.round("score", 6).alias("score"), "cluster")
+
+
 def _q_stream_window_stats(spark, sf_dir):
     """Structured Streaming under the value-hash gate: tumbling-window
     event stats computed BY THE STREAMING ENGINE (readStream -> window agg
@@ -1049,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl2plus_weight": _search(ast.Term("dup"), weight=PL2PlusWeight),
         "dlh_weight": _search(ast.Term("dup"), weight=DLHWeight),
         "stemmed_search_fr": _q_stemmed_search_fr,  # dictionary-replay oracle
+        "cluster_lcd": _q_cluster_lcd,  # bounded greedy rounds: CTE replay
     }
 
 
@@ -2523,6 +2552,54 @@ SELECT docid, score FROM (
   SELECT docid, round(sum(sumpart), 6) AS score FROM sp2 GROUP BY docid
 ) ORDER BY score DESC, docid LIMIT 10
 """
+    # LCD clustering (lcd_clusterer.cc:64-154) replayed exactly: k=3 over
+    # the BM25 top-12 MSet -> n_small = 3 - 12%3 = 3, x = 12//3+1 = 5, so
+    # every round takes (x-1)-1 = 3 nearest remaining points by cosine
+    # distance 1 - ip/sqrt(|a|^2*|b|^2) plus the center; the FARTHEST
+    # remaining point becomes the next center.  Stable distance ties keep
+    # descending-weight (rank) order -> ORDER BY dist, rnk.  o1 has 11
+    # rows and o2 has 7, so the next centers are nn=11 and nn=7 exactly.
+    q["cluster_lcd"] = (
+        _PRELUDE
+        + """
+, m AS (
+  SELECT docid, round(sum(sumpart), 6) AS score FROM sp WHERE term = 'dup'
+  GROUP BY docid ORDER BY score DESC, docid LIMIT 12
+),
+r0 AS (
+  SELECT m.docid, m.score,
+         row_number() OVER (ORDER BY m.score DESC, m.docid) AS rnk,
+         CAST(e.embedding AS DOUBLE[]) AS v
+  FROM m JOIN embeddings e ON e.vec_id + 1 = m.docid
+),
+pd AS (
+  SELECT a.docid AS a, b.docid AS b,
+    CASE WHEN sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) > 0
+      THEN 1.0 - list_dot_product(a.v, b.v)
+           / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))
+      ELSE 0.0 END AS dist
+  FROM r0 a JOIN r0 b ON a.docid <> b.docid
+),
+c1 AS (SELECT docid FROM r0 WHERE rnk = 1),
+o1 AS (
+  SELECT r.docid, row_number() OVER (ORDER BY p.dist ASC, r.rnk ASC) AS nn
+  FROM r0 r CROSS JOIN c1 JOIN pd p ON p.a = c1.docid AND p.b = r.docid
+),
+clus1 AS (SELECT docid FROM o1 WHERE nn <= 3 UNION ALL SELECT docid FROM c1),
+c2 AS (SELECT docid FROM o1 WHERE nn = 11),
+o2 AS (
+  SELECT r.docid, row_number() OVER (ORDER BY p.dist ASC, r.rnk ASC) AS nn
+  FROM r0 r CROSS JOIN c2 JOIN pd p ON p.a = c2.docid AND p.b = r.docid
+  WHERE r.docid NOT IN (SELECT docid FROM clus1)
+),
+clus2 AS (SELECT docid FROM o2 WHERE nn <= 3 UNION ALL SELECT docid FROM c2)
+SELECT m.docid, m.score,
+  CASE WHEN m.docid IN (SELECT docid FROM clus1) THEN 1
+       WHEN m.docid IN (SELECT docid FROM clus2) THEN 2
+       ELSE 3 END AS cluster
+FROM m
+"""
+    )
     return q
 
 
