@@ -191,3 +191,34 @@ def test_spark_submit_pyfiles_launch(tmp_path):
     assert report["docs"] == 500
     # the warehouse the deployed artifact wrote is a real, queryable one
     assert os.path.isdir(os.path.join(out_dir, "blocked"))
+    # serving through the same posture: scripts/serve_batch.py (the
+    # scaling_run query phase's spark-submit twin) over that warehouse
+    staged_serve = str(tmp_path / "serve_batch.py")
+    shutil.copyfile(
+        os.path.join(REPO, "scripts", "serve_batch.py"), staged_serve
+    )
+    proc2 = subprocess.run(
+        [
+            spark_submit, "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--py-files", zip_path,
+            staged_serve,
+            "--index", out_dir,
+            "--nq", "10",
+            "--trials", "2",
+        ],
+        cwd=str(tmp_path), env=env,
+        capture_output=True, text=True, timeout=420,
+    )
+    assert proc2.returncode == 0, proc2.stderr[-3000:]
+    qreport = None
+    for line in reversed(proc2.stdout.strip().splitlines()):
+        try:
+            qreport = json.loads(line)
+            break
+        except json.JSONDecodeError:
+            continue
+    assert qreport is not None, proc2.stdout[-2000:]
+    assert qreport["complete"] is True and qreport["nq"] == 10
+    assert len(qreport["query_secs_all"]) == 2
+    assert qreport["qps"] > 0
