@@ -38,12 +38,14 @@ sort_by_value, value_weight_source, French stemmed search), add
 first-time value-hash oracles for IneB2/BB2/PL2+/DLH (previously only
 pinned to the api_weight.cc doubles in tests/test_reference_golden.py),
 upgrade stemmed_search_fr from rows-only to a dictionary-replay oracle,
-and put the LCD clusterer under the gate (cluster_lcd: k=3 over a
-12-doc MSet makes the greedy construction exactly three rounds, replayed
-as chained CTEs).  Every entry carries a value-hash oracle; the only
-implemented operator intentionally absent is diversify_rerank (iterative
-GLS with unbounded hill-climb rounds — no faithful SQL replay exists;
-pytest-covered in tests/test_diversify.py).
+put the LCD clusterer under the gate (cluster_lcd: k=3 over a 12-doc
+MSet makes the greedy construction exactly three rounds, replayed as
+chained CTEs), and put the LSM delete/replace overlay's serving
+semantics under it (overlay_search: tombstones + delta + the documented
+stale-composite tf, replayed exactly).  Every entry carries a value-hash
+oracle; the only implemented operator intentionally absent is
+diversify_rerank (iterative GLS with unbounded hill-climb rounds — no
+faithful SQL replay exists; pytest-covered in tests/test_diversify.py).
 """
 
 from __future__ import annotations
@@ -795,6 +797,58 @@ def _q_warehouse_integrity(spark, sf_dir):
     )
 
 
+def _q_overlay_search(spark, sf_dir):
+    """The LSM delete/replace overlay under the value-hash gate
+    (WritableDatabase.delete_document / replace_document, api.py;
+    glass's in-place postlist update re-expressed as tombstones + delta
+    termlists, database.h semantics): build a warehouse, delete docids
+    {2,3,5,7}, replace docid 11's content, commit, then run a BM25
+    OR-query through the live read_warehouse view.  Every piece of the
+    overlay is deterministic and the oracle replays it exactly —
+    including the DOCUMENTED tf staleness (read_warehouse composes base
+    term_stats + delta stats; deleted/replaced docs' old postings are
+    not subtracted until compact(), the same docFreq staleness Lucene
+    accepts between segment merges), while doccount/doclens/avg_len are
+    exact live values.  Kill/resume, transactions and compaction physics
+    stay pytest-covered (tests/test_mutations.py)."""
+    import shutil
+    import tempfile
+
+    from xapian_spark.api import WritableDatabase
+    from xapian_spark.index import merge
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("docid", (F.col("doc_id") + 1).cast("long"))
+        .select("docid", "text")
+    )
+    tmp = tempfile.mkdtemp(prefix="wh_overlay_")
+    path = f"{tmp}/idx"
+    try:
+        db = WritableDatabase(spark, path, n_ranges=4)
+        db.add_documents(docs, content_col="text", docid_col="docid")
+        db.commit()
+        for d in (2, 3, 5, 7):
+            db.delete_document(d)
+        db.replace_document(
+            11, {"text": "dup dup table merge scan"}, content_col="text"
+        )
+        db.commit()
+        idx = merge.read_warehouse(spark, path)
+        m = Planner(idx).plan(ast.Or((ast.Term("dup"), ast.Term("table"))))
+        rows = (
+            m.select("docid", F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("docid"))
+            .limit(10)
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["docid"], r["score"]) for r in rows], "docid long, score double"
+    )
+
+
 def _q_cosine_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
@@ -1078,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dlh_weight": _search(ast.Term("dup"), weight=DLHWeight),
         "stemmed_search_fr": _q_stemmed_search_fr,  # dictionary-replay oracle
         "cluster_lcd": _q_cluster_lcd,  # bounded greedy rounds: CTE replay
+        "overlay_search": _q_overlay_search,  # LSM overlay staleness replay
     }
 
 
@@ -2600,6 +2655,69 @@ SELECT m.docid, m.score,
 FROM m
 """
     )
+    # LSM overlay replay (read_warehouse composition, merge.py): the query
+    # entry deletes docids {2,3,5,7} and replaces docid 11 with
+    # 'dup dup table merge scan'.  Live matching/doclens/doccount are
+    # exact (dead docids anti-joined out, delta postings unioned in);
+    # per-term tf is the DOCUMENTED stale composite: base tf over the FULL
+    # original corpus (deleted/replaced docs' old postings are not
+    # subtracted until compact) PLUS the delta rows' stats — replayed
+    # below as tstat0 + deltap.  avg_len = exact live total/count.
+    q["overlay_search"] = """
+WITH toks AS (
+  SELECT doc_id + 1 AS docid,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+post0 AS (SELECT term, docid, count(*) AS wdf FROM toks GROUP BY term, docid),
+tstat0 AS (SELECT term, count(*) AS tf FROM post0 GROUP BY term),
+deltap AS (
+  SELECT * FROM (VALUES (11, 'dup', 2), (11, 'table', 1),
+                        (11, 'merge', 1), (11, 'scan', 1))
+  AS t(docid, term, wdf)
+),
+tstat AS (
+  SELECT term, sum(tf) AS tf FROM (
+    SELECT term, tf FROM tstat0
+    UNION ALL SELECT term, count(*) AS tf FROM deltap GROUP BY term
+  ) GROUP BY term
+),
+dl0 AS (
+  SELECT d.doc_id + 1 AS docid, coalesce(t.n, 0) AS doclen
+  FROM documents d
+  LEFT JOIN (SELECT docid, count(*) AS n FROM toks GROUP BY docid) t
+    ON t.docid = d.doc_id + 1
+),
+live_dl AS (
+  SELECT docid, doclen FROM dl0 WHERE docid NOT IN (2, 3, 5, 7, 11)
+  UNION ALL SELECT 11 AS docid, 5 AS doclen
+),
+g AS (SELECT count(*) AS n, CAST(sum(doclen) AS DOUBLE) AS total FROM live_dl),
+livepost AS (
+  SELECT term, docid, wdf FROM post0 WHERE docid NOT IN (2, 3, 5, 7, 11)
+  UNION ALL SELECT term, docid, wdf FROM deltap
+),
+bm AS (
+  SELECT t.term,
+         (ln(CASE WHEN (g.n - t.tf + 0.5) / (t.tf + 0.5) < 2
+                  THEN (g.n - t.tf + 0.5) / (t.tf + 0.5) * 0.5 + 1
+                  ELSE (g.n - t.tf + 0.5) / (t.tf + 0.5) END) * 2.0)
+           AS termweight
+  FROM tstat t, g
+),
+sp2 AS (
+  SELECT p.docid,
+         b.termweight * (p.wdf / (1.0 * (greatest(l.doclen * (1.0 / (g.total / g.n)), 0.5) * 0.5 + 0.5) + p.wdf)) AS sumpart
+  FROM livepost p
+  JOIN live_dl l ON l.docid = p.docid
+  JOIN bm b ON b.term = p.term
+  CROSS JOIN g
+  WHERE p.term IN ('dup', 'table')
+)
+SELECT docid, score FROM (
+  SELECT docid, round(sum(sumpart), 6) AS score FROM sp2 GROUP BY docid
+) ORDER BY score DESC, docid LIMIT 10
+"""
     return q
 
 
