@@ -40,12 +40,15 @@ pinned to the api_weight.cc doubles in tests/test_reference_golden.py),
 upgrade stemmed_search_fr from rows-only to a dictionary-replay oracle,
 put the LCD clusterer under the gate (cluster_lcd: k=3 over a 12-doc
 MSet makes the greedy construction exactly three rounds, replayed as
-chained CTEs), and put the LSM delete/replace overlay's serving
-semantics under it (overlay_search: tombstones + delta + the documented
-stale-composite tf, replayed exactly).  Every entry carries a value-hash
-oracle; the only implemented operator intentionally absent is
-diversify_rerank (iterative GLS with unbounded hill-climb rounds — no
-faithful SQL replay exists; pytest-covered in tests/test_diversify.py).
+chained CTEs), put the LSM delete/replace overlay's serving semantics
+under it (overlay_search: tombstones + delta + the documented
+stale-composite tf, replayed exactly), and put multi-database search
+under it (multidb_search: the reference's interleaved docid remap over
+two independently-built shards with exactly-combined stats).  Every
+entry carries a value-hash oracle; the only implemented operator
+intentionally absent is diversify_rerank (iterative GLS with unbounded
+hill-climb rounds — no faithful SQL replay exists; pytest-covered in
+tests/test_diversify.py).
 """
 
 from __future__ import annotations
@@ -849,6 +852,36 @@ def _q_overlay_search(spark, sf_dir):
     )
 
 
+def _q_multidb_search(spark, sf_dir):
+    """Multi-database search (Database::add_database, backends/multi.h):
+    the corpus split into two shards indexed independently, combined with
+    the reference's interleaved docid remap — combined docid =
+    (shard_docid - 1) * n_shards + shard_index + 1 — and searched as one.
+    Collection statistics combine exactly (tf/cf sums, doclen bound
+    min/max), so scores equal the single-database build's and only the
+    docids interleave; the oracle replays the remap arithmetic over the
+    standard BM25 prelude.  Shard docids: shard 0 = docid <= N/2 as-is,
+    shard 1 = docid - N/2."""
+    from xapian_spark.api import Database
+
+    docs = _docs(spark, sf_dir)
+    half = docs.count() // 2
+    a = docs.where(F.col("docid") <= half)
+    b = docs.where(F.col("docid") > half).withColumn(
+        "docid", (F.col("docid") - half).cast("long")
+    )
+    idx_a = build_index(spark, a, content_col="text", docid_col="docid")
+    idx_b = build_index(spark, b, content_col="text", docid_col="docid")
+    db = Database(spark, index=idx_a)
+    db.add_database(Database(spark, index=idx_b))
+    m = Planner(db.index).plan(ast.Or((ast.Term("dup"), ast.Term("key"))))
+    return (
+        m.select("docid", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(10)
+    )
+
+
 def _q_cosine_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
@@ -1133,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stemmed_search_fr": _q_stemmed_search_fr,  # dictionary-replay oracle
         "cluster_lcd": _q_cluster_lcd,  # bounded greedy rounds: CTE replay
         "overlay_search": _q_overlay_search,  # LSM overlay staleness replay
+        "multidb_search": _q_multidb_search,  # interleaved docid remap
     }
 
 
@@ -2718,6 +2752,24 @@ SELECT docid, score FROM (
   SELECT docid, round(sum(sumpart), 6) AS score FROM sp2 GROUP BY docid
 ) ORDER BY score DESC, docid LIMIT 10
 """
+    # Multi-database interleave (backends/multi.h): combined stats equal
+    # the single-database corpus stats exactly (tf/cf sums, same doclens),
+    # so the oracle is the standard BM25 prelude with the reversible remap
+    # docid -> (docid-1)*2 + shard + 1 applied before the final ordering.
+    q["multidb_search"] = (
+        _PRELUDE
+        + """
+, h AS (SELECT CAST(floor(count(*) / 2) AS BIGINT) AS half FROM documents)
+SELECT CASE WHEN d0 <= h.half THEN 2 * d0 - 1
+            ELSE 2 * (d0 - h.half) END AS docid,
+       score
+FROM (
+  SELECT docid AS d0, round(sum(sumpart), 6) AS score FROM sp
+  WHERE term IN ('dup', 'key') GROUP BY docid
+) CROSS JOIN h
+ORDER BY score DESC, docid LIMIT 10
+"""
+    )
     return q
 
 
