@@ -42,9 +42,12 @@ put the LCD clusterer under the gate (cluster_lcd: k=3 over a 12-doc
 MSet makes the greedy construction exactly three rounds, replayed as
 chained CTEs), put the LSM delete/replace overlay's serving semantics
 under it (overlay_search: tombstones + delta + the documented
-stale-composite tf, replayed exactly), and put multi-database search
-under it (multidb_search: the reference's interleaved docid remap over
-two independently-built shards with exactly-combined stats).  Every
+stale-composite tf, replayed exactly), put multi-database search under
+it (multidb_search: the reference's interleaved docid remap over two
+independently-built shards with exactly-combined stats), and put the
+multi-source Compactor under it (compact_search: two shard warehouses
+compacted with contiguous renumbering must serve byte-identically to a
+direct build — the plain prelude is the oracle).  Every
 entry carries a value-hash oracle; the only implemented operator
 intentionally absent is diversify_rerank (iterative GLS with unbounded
 hill-climb rounds — no faithful SQL replay exists; pytest-covered in
@@ -882,6 +885,63 @@ def _q_multidb_search(spark, sf_dir):
     )
 
 
+def _q_compact_search(spark, sf_dir):
+    """Multi-source Compactor under the value-hash gate (compactor.h /
+    bin/xapian-compact.cc: k-way merge of N committed warehouses with
+    contiguous docid renumbering — source i shifts by the cumulative max
+    docid of sources 0..i-1).  The corpus halves are built as two
+    warehouses (shard B's docids rebased to 1..N/2), compacted into one,
+    and searched: the renumber offsets (+0, +N/2) restore the ORIGINAL
+    docids exactly, so the compacted warehouse must serve byte-identically
+    to a direct single build — the oracle is the plain BM25 prelude, and
+    the hash checks the whole build->compact->serve identity.  Status
+    callbacks, no-renumber mode and metadata resolution stay
+    pytest-covered (tests/test_multidb.py)."""
+    import shutil
+    import tempfile
+
+    from xapian_spark.index import merge
+    from xapian_spark.index.compactor import Compactor
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("docid", (F.col("doc_id") + 1).cast("long"))
+        .select("docid", "text")
+    )
+    half = docs.count() // 2
+    tmp = tempfile.mkdtemp(prefix="wh_compact_")
+    try:
+        merge.build_warehouse(
+            spark, docs.where(F.col("docid") <= half), f"{tmp}/a",
+            content_col="text", docid_col="docid", n_ranges=4,
+        )
+        b = docs.where(F.col("docid") > half).withColumn(
+            "docid", (F.col("docid") - half).cast("long")
+        )
+        merge.build_warehouse(
+            spark, b, f"{tmp}/b",
+            content_col="text", docid_col="docid", n_ranges=4,
+        )
+        c = Compactor(spark)
+        c.add_source(f"{tmp}/a")
+        c.add_source(f"{tmp}/b")
+        c.set_destdir(f"{tmp}/c")
+        c.compact()
+        idx = merge.read_warehouse(spark, f"{tmp}/c")
+        m = Planner(idx).plan(ast.Or((ast.Term("merge"), ast.Term("slow"))))
+        rows = (
+            m.select("docid", F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("docid"))
+            .limit(10)
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["docid"], r["score"]) for r in rows], "docid long, score double"
+    )
+
+
 def _q_cosine_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
@@ -1167,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_lcd": _q_cluster_lcd,  # bounded greedy rounds: CTE replay
         "overlay_search": _q_overlay_search,  # LSM overlay staleness replay
         "multidb_search": _q_multidb_search,  # interleaved docid remap
+        "compact_search": _q_compact_search,  # build->compact->serve identity
     }
 
 
@@ -2770,6 +2831,11 @@ FROM (
 ORDER BY score DESC, docid LIMIT 10
 """
     )
+    # Compaction identity: the two sources' renumber offsets (+0, +N/2)
+    # restore the original docids, so the compacted warehouse must serve
+    # exactly like a direct build over the whole corpus — the plain
+    # prelude IS the oracle.
+    q["compact_search"] = _topk_sql(_sum_terms(["merge", "slow"]))
     return q
 
 
