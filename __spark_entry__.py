@@ -1228,6 +1228,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_search": _q_overlay_search,  # LSM overlay staleness replay
         "multidb_search": _q_multidb_search,  # interleaved docid remap
         "compact_search": _q_compact_search,  # build->compact->serve identity
+        # general n-term positional sweep (positional.py, the Arrow-batched
+        # port of phrasepostlist.cc/nearpostlist.cc) — a different code
+        # path from the gated 2-term/exact-phrase JVM branches
+        "phrase3": _search(
+            ast.Phrase(
+                (ast.Term("table"), ast.Term("scan"), ast.Term("merge")), 8
+            )
+        ),
+        "near3": _search(
+            ast.Near(
+                (ast.Term("customer"), ast.Term("table"), ast.Term("join")),
+                10,
+            )
+        ),
     }
 
 
@@ -2836,6 +2850,32 @@ ORDER BY score DESC, docid LIMIT 10
     # exactly like a direct build over the whole corpus — the plain
     # prelude IS the oracle.
     q["compact_search"] = _topk_sql(_sum_terms(["merge", "slow"]))
+    # General n-term PHRASE (phrasepostlist.cc:66-103): exists strictly
+    # increasing positions p0 < p1 < p2, one per term in order, with span
+    # p2 - p0 <= window-1 (greedy-minimal in the engine decides exactly
+    # this existence).  Score = BM25 sum over the three terms.
+    q["phrase3"] = _topk_sql(
+        "SELECT docid, round(sum(sumpart), 6) AS score FROM sp "
+        "WHERE term IN ('table', 'scan', 'merge') AND docid IN ("
+        "  SELECT a.docid FROM toks a"
+        "  JOIN toks b ON b.docid = a.docid JOIN toks c ON c.docid = a.docid"
+        "  WHERE a.term = 'table' AND b.term = 'scan' AND c.term = 'merge'"
+        "  AND b.pos > a.pos AND c.pos > b.pos AND c.pos - a.pos <= 7)"
+        "GROUP BY docid HAVING count(*) = 3"
+    )
+    # General n-term NEAR (nearpostlist.cc:75-160): distinct positions,
+    # one per term, any order, span <= window-1.  With three DISTINCT
+    # terms every position holds exactly one token, so distinctness is
+    # automatic and the predicate is max-min <= 9.
+    q["near3"] = _topk_sql(
+        "SELECT docid, round(sum(sumpart), 6) AS score FROM sp "
+        "WHERE term IN ('customer', 'table', 'join') AND docid IN ("
+        "  SELECT a.docid FROM toks a"
+        "  JOIN toks b ON b.docid = a.docid JOIN toks c ON c.docid = a.docid"
+        "  WHERE a.term = 'customer' AND b.term = 'table' AND c.term = 'join'"
+        "  AND greatest(a.pos, b.pos, c.pos) - least(a.pos, b.pos, c.pos) <= 9)"
+        "GROUP BY docid HAVING count(*) = 3"
+    )
     return q
 
 
