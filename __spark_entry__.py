@@ -542,6 +542,19 @@ def _q_bo1_eset(spark, sf_dir):
     return out.select("term", F.round("wt", 6).alias("wt"))
 
 
+def _q_trad_eset(spark, sf_dir):
+    """TradEWeight expansion (Enquire::set_expansion_scheme("trad"),
+    expand/tradeweight.cc:31-40): the second expansion scheme next to the
+    gated Bo1.  Unlike Bo1 it weights wdf=0 boolean field terms too
+    (wdf -> 1), so the oracle replays the S<source>/L<lang> terms the
+    index adds per doc alongside the text postings."""
+    from xapian_spark.query.expand import trad_eset
+
+    idx = _index(spark, sf_dir)
+    out = trad_eset(idx, list(range(1, 11)), k=10)
+    return out.select("term", F.round("wt", 6).alias("wt"))
+
+
 def _q_percent(spark, sf_dir):
     from xapian_spark.query.expand import with_percent
 
@@ -1242,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 10,
             )
         ),
+        "trad_eset": _q_trad_eset,  # second expansion scheme, field terms in
     }
 
 
@@ -2875,6 +2889,47 @@ ORDER BY score DESC, docid LIMIT 10
         "  WHERE a.term = 'customer' AND b.term = 'table' AND c.term = 'join'"
         "  AND greatest(a.pos, b.pos, c.pos) - least(a.pos, b.pos, c.pos) <= 9)"
         "GROUP BY docid HAVING count(*) = 3"
+    )
+    # TradEWeight expansion (tradeweight.cc:31-40, expandweight.h:50-72):
+    # multiplier = sum over RSet docs of 2*max(wdf,1)/(doclen/avlen +
+    # max(wdf,1)); tw = ln((r+0.5)(N-tf-(R-r)+0.5)/((tf-r+0.5)(R-r+0.5)));
+    # RSet = docids 1..10, R = 10, expand_k = 1.  The index adds wdf=0
+    # boolean field terms (S<source>, L<lang>) per doc, which Trad weights
+    # too (wdf 0 -> 1) — replayed via the ft CTE.
+    q["trad_eset"] = (
+        _PRELUDE
+        + """
+, ft AS (
+  SELECT doc_id + 1 AS docid, 'S' || lower(source) AS term, 0 AS wdf
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1 AS docid, 'L' || lower(lang) AS term, 0 AS wdf
+  FROM documents
+),
+allpost AS (
+  SELECT term, docid, wdf FROM post
+  UNION ALL SELECT term, docid, wdf FROM ft
+),
+alltf AS (SELECT term, count(*) AS tf FROM allpost GROUP BY term),
+rmult AS (
+  SELECT p.term,
+         CAST(count(*) AS DOUBLE) AS r,
+         sum(2.0 * greatest(p.wdf, 1)
+             / (1.0 * l.doclen / (g.total / g.n) + greatest(p.wdf, 1)))
+           AS multiplier
+  FROM allpost p JOIN dl l ON l.docid = p.docid CROSS JOIN g
+  WHERE p.docid BETWEEN 1 AND 10
+  GROUP BY p.term
+)
+SELECT term, wt FROM (
+  SELECT m.term,
+    round(m.multiplier * ln((m.r + 0.5) * (g.n - t.tf - (10.0 - m.r) + 0.5)
+          / ((t.tf - m.r + 0.5) * (10.0 - m.r + 0.5))), 6) AS wt,
+    m.multiplier * ln((m.r + 0.5) * (g.n - t.tf - (10.0 - m.r) + 0.5)
+          / ((t.tf - m.r + 0.5) * (10.0 - m.r + 0.5))) AS wt_raw
+  FROM rmult m JOIN alltf t ON t.term = m.term CROSS JOIN g
+) ORDER BY wt_raw DESC, term LIMIT 10
+"""
     )
     return q
 
