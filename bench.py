@@ -400,13 +400,26 @@ def main():
             with open(scaling_path) as f:
                 s = json.load(f)
             summary = {"full_evidence": "SCALING.json + BASELINE.md"}
+            serve = s.get("round4_spark_submit_serve_pair", {})
             hist = (
                 s.get("round4_full_run_5th_query_reproduction", {})
                 .get("query_gate_history")
             )
             if hist:
+                if serve.get("query_scaling_efficiency") is not None:
+                    hist = list(hist) + [serve["query_scaling_efficiency"]]
                 summary["query_gate_n_to_4n_efficiency_history"] = hist
                 summary["query_gate"] = "met (>=0.8) on every clean window"
+            if serve.get("query_scaling_efficiency") is not None:
+                summary["spark_submit_serve_1M"] = {
+                    "qps_8": serve["level8"]["query_qps"],
+                    "qps_32": serve["level32"]["query_qps"],
+                    # the sixth gate reproduction, and the first through
+                    # the deployed --py-files artifact (serve_batch.py)
+                    "query_efficiency_n_to_4n": serve[
+                        "query_scaling_efficiency"
+                    ],
+                }
             h = s.get("headline_x200_1M_docs", {})
             if h:
                 summary["headline_1M_docs"] = h
