@@ -542,6 +542,25 @@ def _q_bo1_eset(spark, sf_dir):
     return out.select("term", F.round("wt", 6).alias("wt"))
 
 
+def _q_chunk_documents(spark, sf_dir):
+    """Training-data chunking (ops/chunking.py — Spark-era pipeline
+    surface, no reference analogue): fixed-token windows with overlap,
+    chunk_tokens=16 / overlap=4 / stride=12.  Pure Catalyst (tokenize ->
+    per-row sequence -> posexplode + slice), no shuffle, no Python; the
+    oracle replays starts via generate_series and chunk text via an
+    ordered string_agg over the position range."""
+    from xapian_spark.ops.chunking import chunk_documents
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("docid", (F.col("doc_id") + 1).cast("long"))
+    )
+    return chunk_documents(
+        docs, content_col="text", id_col="docid",
+        chunk_tokens=16, overlap=4,
+    )
+
+
 def _q_trad_eset(spark, sf_dir):
     """TradEWeight expansion (Enquire::set_expansion_scheme("trad"),
     expand/tradeweight.cc:31-40): the second expansion scheme next to the
@@ -1256,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         "trad_eset": _q_trad_eset,  # second expansion scheme, field terms in
+        "chunk_documents": _q_chunk_documents,  # LLM-pipeline chunking
     }
 
 
@@ -2931,6 +2951,31 @@ SELECT term, wt FROM (
 ) ORDER BY wt_raw DESC, term LIMIT 10
 """
     )
+    # Chunking replay (ops/chunking.py, chunk_tokens=16 overlap=4 stride
+    # 12): starts = 0,12,24,... while start <= n_tokens-1; chunk k covers
+    # positions [start+1, start+16]; chunk_id = start/12 (exact — starts
+    # are multiples of 12); text rebuilt with an ordered string_agg.
+    q["chunk_documents"] = """
+WITH toks AS (
+  SELECT doc_id + 1 AS docid,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1) AS pos
+  FROM documents
+),
+n AS (SELECT docid, count(*) AS n FROM toks GROUP BY docid),
+starts AS (
+  SELECT docid, unnest(generate_series(0, CAST(n - 1 AS BIGINT), 12)) AS start
+  FROM n WHERE n > 0
+)
+SELECT s.docid,
+       CAST(s.start / 12 AS INT) AS chunk_id,
+       CAST(count(*) AS INT) AS n_tokens,
+       string_agg(t.term, ' ' ORDER BY t.pos) AS chunk_text
+FROM starts s
+JOIN toks t ON t.docid = s.docid
+  AND t.pos >= s.start + 1 AND t.pos <= s.start + 16
+GROUP BY s.docid, s.start
+"""
     return q
 
 
