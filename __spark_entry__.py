@@ -561,6 +561,26 @@ def _q_chunk_documents(spark, sf_dir):
     )
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified hash sampling (ops/sampling.py — the
+    data-mix construction step; Spark-era pipeline surface).  Keeps a
+    per-language fraction by md5-bucket of docid, reproducible across
+    runs/partitionings; the oracle replays the identical
+    ('0x'||substring(md5,1,7))::bigint bucket and thresholds."""
+    from xapian_spark.ops.sampling import stratified_sample
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("docid", (F.col("doc_id") + 1).cast("long"))
+        .select("docid", "lang")
+    )
+    out = stratified_sample(
+        docs, {"en": 0.5, "fr": 0.25, "zh": 0.1},
+        stratum_col="lang", default_rate=0.05, key_col="docid", seed=42,
+    )
+    return out.select("docid", "lang")
+
+
 def _q_trad_eset(spark, sf_dir):
     """TradEWeight expansion (Enquire::set_expansion_scheme("trad"),
     expand/tradeweight.cc:31-40): the second expansion scheme next to the
@@ -1276,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "trad_eset": _q_trad_eset,  # second expansion scheme, field terms in
         "chunk_documents": _q_chunk_documents,  # LLM-pipeline chunking
+        "stratified_sample": _q_stratified_sample,  # deterministic mix sampling
     }
 
 
@@ -2975,6 +2996,17 @@ FROM starts s
 JOIN toks t ON t.docid = s.docid
   AND t.pos >= s.start + 1 AND t.pos <= s.start + 16
 GROUP BY s.docid, s.start
+"""
+    # Stratified hash sampling replay: thresholds = rate * 2^28 against
+    # the md5-bucket of '42:'||docid — the exact Spark conv() equivalence
+    # the fingerprint/simhash oracles already pin.
+    q["stratified_sample"] = """
+SELECT doc_id + 1 AS docid, lang FROM documents
+WHERE ('0x' || substring(md5('42:' || CAST(doc_id + 1 AS VARCHAR)), 1, 7))::BIGINT
+      < CASE lang WHEN 'en' THEN 134217728
+                  WHEN 'fr' THEN 67108864
+                  WHEN 'zh' THEN 26843545
+                  ELSE 13421772 END
 """
     return q
 
