@@ -581,6 +581,58 @@ def _q_stratified_sample(spark, sf_dir):
     return out.select("docid", "lang")
 
 
+def _pii_augmented_docs(spark, sf_dir):
+    """documents with deterministic synthetic PII appended (the sf corpus
+    is clean lowercase tokens, so the scrub would be vacuous on it raw):
+    emails / IPv4 / phones / credential-shaped tokens derived from doc_id
+    by fixed arithmetic, replayed verbatim by the oracle."""
+    d = F.col("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        (d + 1).cast("long").alias("docid"),
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 5 == 0,
+                F.concat(F.lit(" contact user"), d.cast("string"),
+                         F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 7 == 0,
+                F.concat(F.lit(" server 10."), (d % 256).cast("string"),
+                         F.lit(".0.1 up")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 11 == 0,
+                F.concat(F.lit(" call +1415555"),
+                         (F.lit(1000) + d % 9000).cast("string"),
+                         F.lit(" or 415-555-0199")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 13 == 0,
+                F.concat(F.lit(" token sk-"),
+                         F.substring(F.md5(d.cast("string")), 1, 20)),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def _q_pii_report(spark, sf_dir):
+    """PII scrub (ops/pii.py — Spark-era pipeline surface, no reference
+    analogue): per-doc match counts + class-tag redacted text in one
+    Catalyst pass (regexp only, Java-regex∩RE2 subset, zero shuffle).
+    The oracle replays the augmentation and the ordered redaction with
+    RE2 regexp_replace(..., 'g')."""
+    from xapian_spark.ops.pii import pii_report
+
+    out = pii_report(_pii_augmented_docs(spark, sf_dir), "docid", "text")
+    return out.select(
+        F.col("id").alias("docid"),
+        "n_emails", "n_phones", "n_ipv4", "n_secrets", "n_pii",
+        "text_redacted",
+    )
+
+
 def _q_trad_eset(spark, sf_dir):
     """TradEWeight expansion (Enquire::set_expansion_scheme("trad"),
     expand/tradeweight.cc:31-40): the second expansion scheme next to the
@@ -1297,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trad_eset": _q_trad_eset,  # second expansion scheme, field terms in
         "chunk_documents": _q_chunk_documents,  # LLM-pipeline chunking
         "stratified_sample": _q_stratified_sample,  # deterministic mix sampling
+        "pii_redact": _q_pii_report,  # PII scan + redaction scrub
     }
 
 
@@ -3007,6 +3060,47 @@ WHERE ('0x' || substring(md5('42:' || CAST(doc_id + 1 AS VARCHAR)), 1, 7))::BIGI
                   WHEN 'fr' THEN 67108864
                   WHEN 'zh' THEN 26843545
                   ELSE 13421772 END
+"""
+    # PII scrub replay (ops/pii.py): deterministic augmentation, then
+    # counts via regexp_extract_all and ordered class-tag redaction via
+    # regexp_replace(..., 'g').  Patterns are the Java-regex∩RE2 subset,
+    # so the literals below are byte-identical to the engine's.
+    q["pii_redact"] = r"""
+WITH aug AS (
+  SELECT doc_id + 1 AS docid,
+    text
+    || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' server 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 up' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' call +1415555' || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' or 415-555-0199' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' token sk-' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 20) ELSE '' END
+    AS t
+  FROM documents
+),
+r1 AS (
+  SELECT docid, t,
+    regexp_replace(
+      regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b(?:sk|pk|key|token)-[A-Za-z0-9]{16,}\b', '<SECRET>', 'g') AS t2
+  FROM aug
+),
+c AS (
+  SELECT docid,
+    CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+    CAST(len(regexp_extract_all(t2, '\+\d{7,15}\b'))
+       + len(regexp_extract_all(t2, '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phones,
+    CAST(len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+    CAST(len(regexp_extract_all(t, '\b(?:sk|pk|key|token)-[A-Za-z0-9]{16,}\b')) AS INT) AS n_secrets,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t2, '\+\d{7,15}\b', '<PHONE>', 'g'),
+        '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text_redacted
+  FROM r1
+)
+SELECT docid, n_emails, n_phones, n_ipv4, n_secrets,
+       n_emails + n_phones + n_ipv4 + n_secrets AS n_pii,
+       text_redacted
+FROM c
 """
     return q
 
