@@ -633,6 +633,38 @@ def _q_pii_report(spark, sf_dir):
     )
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (ops/decontam.py — Spark-era pipeline
+    surface, no reference analogue): flag corpus docs sharing any 8-token
+    window with a benchmark set.  Benchmark = the first 12 tokens of every
+    40th document (deterministic), so the sources and their exact/near
+    duplicates must flag.  Corpus side is shuffle-free except the rare-hit
+    per-doc count; benchmark grams broadcast."""
+    from xapian_spark.ops.decontam import decontaminate
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("docid", (F.col("doc_id") + 1).cast("long"))
+    )
+    bench = (
+        docs.where(F.col("doc_id") % 40 == 0)
+        .select(
+            F.array_join(
+                F.slice(
+                    F.expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)"),
+                    1, 12,
+                ),
+                " ",
+            ).alias("text")
+        )
+    )
+    out = decontaminate(docs, bench, id_col="docid", text_col="text", n=8)
+    return out.select(
+        F.col("id").alias("docid"),
+        "n_ngrams", "n_contaminated", "contamination_frac", "contaminated",
+    )
+
+
 def _q_trad_eset(spark, sf_dir):
     """TradEWeight expansion (Enquire::set_expansion_scheme("trad"),
     expand/tradeweight.cc:31-40): the second expansion scheme next to the
@@ -1350,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,  # LLM-pipeline chunking
         "stratified_sample": _q_stratified_sample,  # deterministic mix sampling
         "pii_redact": _q_pii_report,  # PII scan + redaction scrub
+        "decontaminate": _q_decontaminate,  # benchmark n-gram overlap
     }
 
 
@@ -3101,6 +3134,43 @@ SELECT docid, n_emails, n_phones, n_ipv4, n_secrets,
        n_emails + n_phones + n_ipv4 + n_secrets AS n_pii,
        text_redacted
 FROM c
+"""
+    # Decontamination replay (ops/decontam.py, n=8): benchmark = first 12
+    # tokens of every 40th doc; distinct 8-gram windows per side; per-doc
+    # overlap counts over a plain join.  Same inclusive list-slice shingle
+    # construction the minhash oracle uses.
+    q["decontaminate"] = """
+WITH t AS (
+  SELECT doc_id + 1 AS docid,
+         regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT DISTINCT array_to_string((toks[1:12])[i:i+7], ' ') AS gram
+  FROM t, unnest(range(1, len(toks[1:12]) - 6)) AS u(i)
+  WHERE (docid - 1) % 40 = 0 AND len(toks[1:12]) >= 8
+),
+dg AS (
+  SELECT DISTINCT docid, array_to_string(toks[i:i+7], ' ') AS gram
+  FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+  WHERE len(toks) >= 8
+),
+nn AS (SELECT docid, count(*) AS n_ngrams FROM dg GROUP BY docid),
+h AS (
+  SELECT dg.docid, count(*) AS n_hits
+  FROM dg JOIN bg USING (gram) GROUP BY dg.docid
+)
+SELECT t.docid,
+  CAST(coalesce(nn.n_ngrams, 0) AS INT) AS n_ngrams,
+  CAST(coalesce(h.n_hits, 0) AS INT) AS n_contaminated,
+  round(CASE WHEN coalesce(nn.n_ngrams, 0) = 0 THEN 0.0
+             ELSE coalesce(h.n_hits, 0) * 1.0 / nn.n_ngrams END, 6)
+    AS contamination_frac,
+  CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS INT)
+    AS contaminated
+FROM t
+LEFT JOIN nn ON nn.docid = t.docid
+LEFT JOIN h ON h.docid = t.docid
 """
     return q
 

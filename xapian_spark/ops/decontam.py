@@ -1,0 +1,92 @@
+"""Benchmark decontamination for training-data pipelines.
+
+Not a reference operator; part of the Spark-era LLM-pipeline surface next
+to ops/dedup.py and ops/pii.py.  Before pretraining, the corpus is checked
+for verbatim overlap with evaluation benchmarks (the standard n-gram
+decontamination step: a document sharing any length-n token window with a
+benchmark item is flagged / dropped so the eval set is not memorized).
+
+Scale shape (the part that matters at 100 TB): the benchmark side is tiny
+(benchmarks are megabytes), so its distinct n-grams BROADCAST — the corpus
+is never shuffled for the match.  Per document, n-grams are built and
+deduplicated row-locally with higher-order functions (no groupBy), then
+exploded into a broadcast-hash join against the benchmark grams; only the
+rare hit rows reach the final per-doc aggregation shuffle.  The total
+n-gram count per document is a pure per-row expression, so the non-hit
+99.9% of the corpus flows scan→project with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TOKEN_RE = "[a-z0-9_]+"
+
+
+def _toks(text_col: str) -> Column:
+    return F.expr(f"regexp_extract_all(lower({text_col}), '{_TOKEN_RE}', 0)")
+
+
+def _grams(toks: Column, n: int) -> Column:
+    """Distinct n-token shingles of a token array (row-local)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def benchmark_ngrams(
+    bench: DataFrame, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Distinct n-grams over the whole benchmark set: one `gram` column."""
+    return (
+        bench.select(F.explode(_grams(_toks(text_col), n)).alias("gram"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "docid",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """(id, n_ngrams, n_contaminated, contamination_frac, contaminated):
+    per-document distinct n-gram count, how many of them appear in the
+    benchmark set, their ratio, and a 0/1 flag (any overlap).  Every
+    input document gets a row (clean docs report zeros)."""
+    grams = _grams(_toks(text_col), n)
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        grams.alias("grams"),
+        F.size(grams).cast("int").alias("n_ngrams"),
+    )
+    bg = benchmark_ngrams(bench, bench_text_col, n)
+    hits = (
+        base.select("id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(bg), "gram")
+        .groupBy("id")
+        .agg(F.count("*").cast("int").alias("n_contaminated"))
+    )
+    out = base.drop("grams").join(hits, "id", "left")
+    n_hit = F.coalesce(F.col("n_contaminated"), F.lit(0))
+    return out.select(
+        "id",
+        "n_ngrams",
+        n_hit.cast("int").alias("n_contaminated"),
+        F.round(
+            F.when(F.col("n_ngrams") > 0, n_hit / F.col("n_ngrams"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("contamination_frac"),
+        F.when(n_hit > 0, F.lit(1)).otherwise(F.lit(0)).cast("int")
+        .alias("contaminated"),
+    )
