@@ -665,6 +665,38 @@ def _q_decontaminate(spark, sf_dir):
     )
 
 
+def _q_repetition_stats(spark, sf_dir):
+    """Within-doc repetition statistics (ops/repetition.py — the
+    Gopher/MassiveText quality-filter signals; Spark-era pipeline
+    surface).  The sf corpus is single-line, so the entry deterministically
+    rebuilds each document as newline-joined 10-token lines (replayed by
+    the oracle via position groups) to exercise the line-duplication
+    metrics alongside the n-gram ones."""
+    from xapian_spark.ops.repetition import repetition_stats
+
+    toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        (F.col("doc_id") + 1).cast("long").alias("docid"),
+        F.when(
+            F.size(toks) > 0,
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks), F.lit(10)),
+                    lambda s: F.array_join(F.slice(toks, s, 10), " "),
+                ),
+                "\n",
+            ),
+        ).otherwise(F.lit("")).alias("text"),
+    )
+    out = repetition_stats(docs, "docid", "text")
+    return out.select(
+        F.col("id").alias("docid"),
+        "n_tokens", "n_lines", "dup_line_frac", "dup_line_char_frac",
+        "top_2gram_frac", "top_3gram_frac", "top_4gram_frac",
+        "dup_5gram_frac",
+    )
+
+
 def _q_trad_eset(spark, sf_dir):
     """TradEWeight expansion (Enquire::set_expansion_scheme("trad"),
     expand/tradeweight.cc:31-40): the second expansion scheme next to the
@@ -1383,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,  # deterministic mix sampling
         "pii_redact": _q_pii_report,  # PII scan + redaction scrub
         "decontaminate": _q_decontaminate,  # benchmark n-gram overlap
+        "repetition_stats": _q_repetition_stats,  # Gopher repetition signals
     }
 
 
@@ -3171,6 +3204,82 @@ SELECT t.docid,
 FROM t
 LEFT JOIN nn ON nn.docid = t.docid
 LEFT JOIN h ON h.docid = t.docid
+"""
+    # Repetition-stats replay (ops/repetition.py over 10-token lines):
+    # lines are position groups (pos-1)//10 rebuilt with an ordered
+    # string_agg; n-gram occurrence counts from inclusive list slices
+    # (range(1, len-n+2) start positions); fractions per the module's
+    # documented formulas, round(,6).
+    q["repetition_stats"] = """
+WITH t AS (
+  SELECT doc_id + 1 AS docid,
+         regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id + 1 AS docid, unnest(toks0) AS term,
+         generate_subscripts(toks0, 1) AS pos
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks0
+        FROM documents)
+),
+lines AS (
+  SELECT docid, (pos - 1) // 10 AS li,
+         string_agg(term, ' ' ORDER BY pos) AS line
+  FROM tok GROUP BY docid, (pos - 1) // 10
+),
+linec AS (SELECT docid, line, count(*) AS c FROM lines GROUP BY docid, line),
+lstats AS (
+  SELECT docid, sum(c) AS n_lines, count(*) AS d_lines,
+         sum(len(line) * c) AS chars, sum(len(line) * (c - 1)) AS dupchars
+  FROM linec GROUP BY docid
+),
+g2c AS (
+  SELECT docid, array_to_string(toks[i:i+1], ' ') AS g, count(*) AS c
+  FROM t, unnest(range(1, len(toks))) AS u(i) GROUP BY docid, g
+),
+g2s AS (SELECT docid, max(c) AS max2 FROM g2c GROUP BY docid),
+g3c AS (
+  SELECT docid, array_to_string(toks[i:i+2], ' ') AS g, count(*) AS c
+  FROM t, unnest(range(1, len(toks) - 1)) AS u(i) GROUP BY docid, g
+),
+g3s AS (SELECT docid, max(c) AS max3 FROM g3c GROUP BY docid),
+g4c AS (
+  SELECT docid, array_to_string(toks[i:i+3], ' ') AS g, count(*) AS c
+  FROM t, unnest(range(1, len(toks) - 2)) AS u(i) GROUP BY docid, g
+),
+g4s AS (SELECT docid, max(c) AS max4 FROM g4c GROUP BY docid),
+g5c AS (
+  SELECT docid, array_to_string(toks[i:i+4], ' ') AS g, count(*) AS c
+  FROM t, unnest(range(1, len(toks) - 3)) AS u(i) GROUP BY docid, g
+),
+g5s AS (SELECT docid, sum(c) AS t5, count(*) AS d5 FROM g5c GROUP BY docid)
+SELECT t.docid,
+  CAST(len(t.toks) AS INT) AS n_tokens,
+  CAST(coalesce(l.n_lines, 0) AS INT) AS n_lines,
+  round(CASE WHEN coalesce(l.n_lines, 0) > 0
+             THEN (l.n_lines - l.d_lines) * 1.0 / l.n_lines ELSE 0.0 END, 6)
+    AS dup_line_frac,
+  round(CASE WHEN coalesce(l.chars, 0) > 0
+             THEN l.dupchars * 1.0 / l.chars ELSE 0.0 END, 6)
+    AS dup_line_char_frac,
+  round(CASE WHEN len(t.toks) > 0
+             THEN coalesce(g2s.max2, 0) * 2.0 / len(t.toks) ELSE 0.0 END, 6)
+    AS top_2gram_frac,
+  round(CASE WHEN len(t.toks) > 0
+             THEN coalesce(g3s.max3, 0) * 3.0 / len(t.toks) ELSE 0.0 END, 6)
+    AS top_3gram_frac,
+  round(CASE WHEN len(t.toks) > 0
+             THEN coalesce(g4s.max4, 0) * 4.0 / len(t.toks) ELSE 0.0 END, 6)
+    AS top_4gram_frac,
+  round(CASE WHEN coalesce(g5s.t5, 0) > 0
+             THEN (g5s.t5 - g5s.d5) * 1.0 / g5s.t5 ELSE 0.0 END, 6)
+    AS dup_5gram_frac
+FROM t
+LEFT JOIN lstats l ON l.docid = t.docid
+LEFT JOIN g2s ON g2s.docid = t.docid
+LEFT JOIN g3s ON g3s.docid = t.docid
+LEFT JOIN g4s ON g4s.docid = t.docid
+LEFT JOIN g5s ON g5s.docid = t.docid
 """
     return q
 

@@ -1,0 +1,134 @@
+"""Within-document repetition statistics for quality filtering.
+
+Not a reference operator; part of the Spark-era LLM-pipeline surface next
+to ops/textstats.py.  Machine-generated and boilerplate-heavy pages are
+dominated by internal repetition, and the standard pretraining quality
+rules (the Gopher/MassiveText repetition filters, public) threshold on:
+
+- duplicate-line fraction (and the character mass inside the duplicate
+  copies),
+- the token fraction covered by the single most frequent n-gram (n=2..4),
+- the fraction of n-gram occurrences that are repeats (n=5).
+
+Scale shape: one explode of (kind, gram) items per document feeds a
+three-level aggregation — (id, kind, gram) occurrence counts, then
+(id, kind) summaries, then a conditional-aggregation pivot to one row per
+document.  Every level partial-aggregates map-side (plain groupBy counts,
+no windows, no Python), so the shuffle volume is the distinct-gram set,
+not the corpus.  Empty lines are dropped before counting so blank-line
+runs don't read as duplication.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TOKEN_RE = "[a-z0-9_]+"
+
+
+def _toks(text_col: str) -> Column:
+    return F.expr(f"regexp_extract_all(lower({text_col}), '{_TOKEN_RE}', 0)")
+
+
+def _gram_list(toks: Column, n: int) -> Column:
+    """ALL n-token shingles in order (occurrence-preserving, not distinct)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _tagged(kind: str, arr: Column) -> Column:
+    return F.transform(
+        arr,
+        lambda g: F.struct(F.lit(kind).alias("kind"), g.alias("gram")),
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """One row per input document:
+
+    (id, n_tokens, n_lines, dup_line_frac, dup_line_char_frac,
+     top_2gram_frac, top_3gram_frac, top_4gram_frac, dup_5gram_frac)
+
+    dup_line_frac        = 1 - distinct_lines / lines
+    dup_line_char_frac   = chars in copies beyond a line's first
+                           occurrence / total line chars
+    top_ngram_frac (2-4) = max_count(n-gram) * n / n_tokens
+    dup_5gram_frac       = 1 - distinct_5grams / total_5grams
+
+    All fractions round(,6); documents with no tokens/lines report zeros.
+    """
+    toks = _toks(text_col)
+    lines = F.filter(
+        F.split(F.col(text_col), line_sep), lambda l: l != F.lit("")
+    )
+    items = F.concat(
+        _tagged("line", lines),
+        _tagged("g1", toks),
+        _tagged("g2", _gram_list(toks, 2)),
+        _tagged("g3", _gram_list(toks, 3)),
+        _tagged("g4", _gram_list(toks, 4)),
+        _tagged("g5", _gram_list(toks, 5)),
+    )
+    ex = df.select(F.col(id_col).alias("id"), F.explode(items).alias("it"))
+    cnt = (
+        ex.select("id", F.col("it.kind").alias("kind"),
+                  F.col("it.gram").alias("gram"))
+        .groupBy("id", "kind", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    per = cnt.groupBy("id", "kind").agg(
+        F.sum("c").alias("total"),
+        F.count("*").alias("dist"),
+        F.max("c").alias("maxc"),
+        F.sum(F.length("gram") * F.col("c")).alias("chars"),
+        F.sum(F.length("gram") * (F.col("c") - 1)).alias("dupchars"),
+    )
+
+    def pick(kind: str, field: str) -> Column:
+        return F.max(F.when(F.col("kind") == kind, F.col(field)))
+
+    stats = per.groupBy("id").agg(
+        pick("g1", "total").alias("n_tokens"),
+        pick("line", "total").alias("n_lines"),
+        pick("line", "dist").alias("d_lines"),
+        pick("line", "chars").alias("line_chars"),
+        pick("line", "dupchars").alias("line_dupchars"),
+        pick("g2", "maxc").alias("max2"),
+        pick("g3", "maxc").alias("max3"),
+        pick("g4", "maxc").alias("max4"),
+        pick("g5", "total").alias("t5"),
+        pick("g5", "dist").alias("d5"),
+    )
+    out = df.select(F.col(id_col).alias("id")).join(stats, "id", "left")
+
+    def z(c: str) -> Column:
+        return F.coalesce(F.col(c), F.lit(0))
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.round(
+            F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6
+        )
+
+    ntok = z("n_tokens")
+    return out.select(
+        "id",
+        ntok.cast("int").alias("n_tokens"),
+        z("n_lines").cast("int").alias("n_lines"),
+        frac(z("n_lines") - z("d_lines"), z("n_lines")).alias("dup_line_frac"),
+        frac(z("line_dupchars"), z("line_chars")).alias("dup_line_char_frac"),
+        frac(z("max2") * 2, ntok).alias("top_2gram_frac"),
+        frac(z("max3") * 3, ntok).alias("top_3gram_frac"),
+        frac(z("max4") * 4, ntok).alias("top_4gram_frac"),
+        frac(z("t5") - z("d5"), z("t5")).alias("dup_5gram_frac"),
+    )
