@@ -697,6 +697,24 @@ def _q_repetition_stats(spark, sf_dir):
     )
 
 
+def _q_quality_filter(spark, sf_dir):
+    """Composite quality filter (ops/filtering.py — C4/Gopher-style
+    keep/reject verdict with named first-failing rule; Spark-era pipeline
+    surface).  Defaults over the raw corpus: rejects mix too_short /
+    no_stopwords / repetitive_2gram with the bulk kept."""
+    from xapian_spark.ops.filtering import quality_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        (F.col("doc_id") + 1).cast("long").alias("docid"), "text"
+    )
+    out = quality_filter(docs, "docid", "text")
+    return out.select(
+        F.col("id").alias("docid"),
+        "n_tokens", "mean_token_len", "stopword_ratio",
+        "top_2gram_frac", "dup_5gram_frac", "keep", "reject_reason",
+    )
+
+
 def _q_trad_eset(spark, sf_dir):
     """TradEWeight expansion (Enquire::set_expansion_scheme("trad"),
     expand/tradeweight.cc:31-40): the second expansion scheme next to the
@@ -1416,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_report,  # PII scan + redaction scrub
         "decontaminate": _q_decontaminate,  # benchmark n-gram overlap
         "repetition_stats": _q_repetition_stats,  # Gopher repetition signals
+        "quality_filter": _q_quality_filter,  # composite keep/reject verdict
     }
 
 
@@ -3280,6 +3299,76 @@ LEFT JOIN g2s ON g2s.docid = t.docid
 LEFT JOIN g3s ON g3s.docid = t.docid
 LEFT JOIN g4s ON g4s.docid = t.docid
 LEFT JOIN g5s ON g5s.docid = t.docid
+"""
+    # Quality-filter replay (ops/filtering.py defaults over raw text):
+    # signals from the quality_scores / repetition_stats replays, then the
+    # ordered rule cascade.  Rule comparisons mirror the engine exactly:
+    # mean/stopword UNROUNDED, top2/dup5 ROUNDED (repetition_stats
+    # publishes rounded values).
+    q["quality_filter"] = """
+WITH t AS (
+  SELECT doc_id + 1 AS docid,
+         regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id + 1 AS docid, unnest(toks0) AS term
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks0
+        FROM documents)
+),
+qs AS (
+  SELECT docid, count(*) AS n_tokens,
+         sum(len(term)) * 1.0 / count(*) AS mean_len,
+         sum(CASE WHEN term IN ('the','and','of','to','is','in','that',
+                                'it','for','was') THEN 1 ELSE 0 END)
+           * 1.0 / count(*) AS sw_ratio
+  FROM tok GROUP BY docid
+),
+g2c AS (
+  SELECT docid, array_to_string(toks[i:i+1], ' ') AS g, count(*) AS c
+  FROM t, unnest(range(1, len(toks))) AS u(i) GROUP BY docid, g
+),
+g2s AS (SELECT docid, max(c) AS max2 FROM g2c GROUP BY docid),
+g5c AS (
+  SELECT docid, array_to_string(toks[i:i+4], ' ') AS g, count(*) AS c
+  FROM t, unnest(range(1, len(toks) - 3)) AS u(i) GROUP BY docid, g
+),
+g5s AS (SELECT docid, sum(c) AS t5, count(*) AS d5 FROM g5c GROUP BY docid),
+sig AS (
+  SELECT t.docid,
+    coalesce(q.n_tokens, 0) AS n_tokens,
+    coalesce(q.mean_len, 0.0) AS mean_len,
+    coalesce(q.sw_ratio, 0.0) AS sw_ratio,
+    round(CASE WHEN coalesce(q.n_tokens, 0) > 0
+               THEN coalesce(g2s.max2, 0) * 2.0 / q.n_tokens
+               ELSE 0.0 END, 6) AS top2,
+    round(CASE WHEN coalesce(g5s.t5, 0) > 0
+               THEN (g5s.t5 - g5s.d5) * 1.0 / g5s.t5 ELSE 0.0 END, 6) AS dup5
+  FROM t
+  LEFT JOIN qs q ON q.docid = t.docid
+  LEFT JOIN g2s ON g2s.docid = t.docid
+  LEFT JOIN g5s ON g5s.docid = t.docid
+),
+v AS (
+  SELECT docid, n_tokens, mean_len, sw_ratio, top2, dup5,
+    CASE WHEN n_tokens < 30 THEN 'too_short'
+         WHEN n_tokens > 5000 THEN 'too_long'
+         WHEN mean_len < 3.0 OR mean_len > 10.0 THEN 'mean_token_len'
+         WHEN sw_ratio < 0.01 THEN 'no_stopwords'
+         WHEN top2 > 0.18 THEN 'repetitive_2gram'
+         WHEN dup5 > 0.30 THEN 'repetitive_5gram'
+         ELSE 'keep' END AS reject_reason
+  FROM sig
+)
+SELECT docid,
+  CAST(n_tokens AS INT) AS n_tokens,
+  round(mean_len, 6) AS mean_token_len,
+  round(sw_ratio, 6) AS stopword_ratio,
+  top2 AS top_2gram_frac,
+  dup5 AS dup_5gram_frac,
+  CAST(CASE WHEN reject_reason = 'keep' THEN 1 ELSE 0 END AS INT) AS keep,
+  reject_reason
+FROM v
 """
     return q
 
