@@ -911,6 +911,29 @@ def _q_cluster_lcd(spark, sf_dir):
     return out.select("docid", F.round("score", 6).alias("score"), "cluster")
 
 
+def _q_mmr_rerank(spark, sf_dir):
+    """MMR diversification (ops/diversify.py mmr_rerank — Carbonell &
+    Goldstein 1998; the round-bounded companion to the reference's GLS
+    hill-climb, which has no SQL replay).  k=5 from the BM25 top-10 at
+    lambda=0.5: exactly five greedy rounds, so the oracle replays the
+    whole selection as chained CTEs; sim = dot/(sqrt(aa)*sqrt(bb)) in the
+    engine's exact operation order."""
+    from xapian_spark.ops.diversify import mmr_rerank
+
+    idx = _index(spark, sf_dir)
+    m = (
+        Planner(idx)
+        .plan(ast.Term("dup"))
+        .select("docid", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(10)
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        (F.col("vec_id") + 1).cast("long").alias("docid"), "embedding"
+    )
+    return mmr_rerank(m, emb, k=5, lambda_=0.5)
+
+
 def _q_stream_window_stats(spark, sf_dir):
     """Structured Streaming under the value-hash gate: tumbling-window
     event stats computed BY THE STREAMING ENGINE (readStream -> window agg
@@ -1435,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,  # benchmark n-gram overlap
         "repetition_stats": _q_repetition_stats,  # Gopher repetition signals
         "quality_filter": _q_quality_filter,  # composite keep/reject verdict
+        "mmr_rerank": _q_mmr_rerank,  # round-bounded MMR diversification
     }
 
 
@@ -3370,7 +3394,65 @@ SELECT docid,
   reject_reason
 FROM v
 """
+    q["mmr_rerank"] = _PRELUDE + _mmr_oracle_sql(k=5)
     return q
+
+
+def _mmr_oracle_sql(k: int = 5) -> str:
+    """Replays ops.diversify.mmr_select at lambda=0.5 over the BM25
+    top-10 'dup' MSet as k chained greedy-round CTEs.  sim uses the
+    engine's exact operation order dot/(sqrt(aa)*sqrt(bb)); objective
+    0.5*score - 0.5*max_sim; ties by original rank."""
+    parts = [
+        """
+, m AS (
+  SELECT docid, round(sum(sumpart), 6) AS score FROM sp WHERE term = 'dup'
+  GROUP BY docid ORDER BY score DESC, docid LIMIT 10
+),
+r0 AS (
+  SELECT m.docid, m.score,
+         row_number() OVER (ORDER BY m.score DESC, m.docid) AS rnk,
+         CAST(e.embedding AS DOUBLE[]) AS v
+  FROM m JOIN embeddings e ON e.vec_id + 1 = m.docid
+),
+ps AS (
+  SELECT a.docid AS a, b.docid AS b,
+    CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) > 0
+      THEN list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      ELSE 0.0 END AS sim
+  FROM r0 a JOIN r0 b ON a.docid <> b.docid
+),
+s1 AS (SELECT docid FROM r0 WHERE rnk = 1)"""
+    ]
+    sel = "SELECT docid FROM s1"
+    for i in range(2, k + 1):
+        parts.append(
+            f""",
+sel{i - 1} AS ({sel}),
+o{i} AS (
+  SELECT r.docid,
+         row_number() OVER (
+           ORDER BY 0.5 * r.score - 0.5 * ms.m DESC, r.rnk ASC) AS pick
+  FROM r0 r
+  JOIN (SELECT p.b AS docid, max(p.sim) AS m FROM ps p
+        WHERE p.a IN (SELECT docid FROM sel{i - 1}) GROUP BY p.b) ms
+    ON ms.docid = r.docid
+  WHERE r.docid NOT IN (SELECT docid FROM sel{i - 1})
+),
+s{i} AS (SELECT docid FROM o{i} WHERE pick = 1)"""
+        )
+        sel += f" UNION ALL SELECT docid FROM s{i}"
+    ranks = " UNION ALL ".join(
+        f"SELECT docid, {i} AS r FROM s{i}" for i in range(1, k + 1)
+    )
+    parts.append(
+        f"""
+SELECT r.docid, r.score, CAST(x.r AS INT) AS mmr_rank
+FROM ({ranks}) x JOIN r0 r ON r.docid = x.docid
+"""
+    )
+    return "".join(parts)
 
 
 # ---------------------------------------------------------------------------

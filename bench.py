@@ -269,6 +269,51 @@ def run_incremental(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def run_pipeline(spark, sf_dir):
+    """Training-data pipeline ops at the bench SF: one timed pass each for
+    the composite quality filter (which embeds the repetition explode),
+    the PII scrub and benchmark decontamination — the per-doc scrub chain
+    a pretraining ingest runs alongside dedup."""
+    from xapian_spark.ops.decontam import decontaminate
+    from xapian_spark.ops.filtering import quality_filter
+    from xapian_spark.ops.pii import pii_report
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("docid", (F.col("doc_id") + 1).cast("long"))
+        .persist()
+    )
+    n = docs.count()
+    out = {"docs": n}
+
+    t0 = time.perf_counter()
+    kept = (
+        quality_filter(docs, "docid", "text")
+        .agg(F.sum("keep")).collect()[0][0]
+    )
+    out["quality_filter_sec"] = round(time.perf_counter() - t0, 3)
+    out["kept"] = int(kept or 0)
+
+    t0 = time.perf_counter()
+    pii = (
+        pii_report(docs, "docid", "text")
+        .agg(F.sum("n_pii"), F.sum(F.length("text_redacted"))).collect()[0]
+    )
+    out["pii_scan_sec"] = round(time.perf_counter() - t0, 3)
+    out["pii_found"] = int(pii[0] or 0)
+
+    bench_set = docs.where(F.col("doc_id") < 16).select("text")
+    t0 = time.perf_counter()
+    cont = (
+        decontaminate(docs, bench_set, id_col="docid", text_col="text")
+        .agg(F.sum("contaminated")).collect()[0][0]
+    )
+    out["decontam_sec"] = round(time.perf_counter() - t0, 3)
+    out["contaminated"] = int(cont or 0)
+    docs.unpersist()
+    return out
+
+
 def run_batch(idx, repeat: int = 4):
     """Batched QPS: the 10 headline queries x `repeat` copies in ONE job."""
     batch = {}
@@ -376,6 +421,7 @@ def main():
     amp.unpersist()
 
     result["ann"] = run_ann(spark, SF_DIR)
+    result["pipeline"] = run_pipeline(spark, SF_DIR)
     result["incremental"] = run_incremental(spark, SF_DIR)
     result.update(
         {
@@ -462,6 +508,7 @@ def main():
     if len(line) > 3000:
         result.pop("scaling", None)
         result.pop("incremental", None)
+        result.pop("pipeline", None)
         line = json.dumps(result)
     spark.stop()
     # print LAST, after Spark shutdown, so no stderr/stdout noise can land

@@ -168,3 +168,75 @@ def diversify(
     return spark.createDataFrame(
         [(i + 1, d) for i, d in enumerate(out)], "rank int, docid long"
     )
+
+
+def mmr_select(
+    mset_rows: list[tuple[int, float]],
+    vectors: dict[int, list[float]],
+    k: int = 5,
+    lambda_: float = 0.5,
+) -> list[int]:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998, public):
+    greedy re-selection of k docs from a ranked MSet trading relevance
+    against similarity to the already-selected set,
+
+        pick argmax_d  lambda * score(d)
+                       - (1-lambda) * max_{s in S} cos_sim(d, s)
+
+    ties broken by original rank.  The first pick is rank 1 (empty S has
+    max-sim 0, so the objective reduces to relevance).  Unlike the GLS
+    hill-climb above, the construction is ROUND-BOUNDED (exactly k greedy
+    rounds), so a SQL oracle can replay it as chained CTEs."""
+    if not mset_rows:
+        return []
+    ids = [d for d, _ in mset_rows]
+    scores = dict(mset_rows)
+    rank = {d: i for i, d in enumerate(ids)}
+    k_ = min(k, len(ids))
+    selected: list[int] = []
+    remaining = list(ids)
+    for _ in range(k_):
+        best, best_obj = None, None
+        for d in remaining:
+            max_sim = max(
+                (_cosine_sim(vectors[d], vectors[s]) for s in selected),
+                default=0.0,
+            )
+            obj = lambda_ * scores[d] - (1 - lambda_) * max_sim
+            if best is None or obj > best_obj or (
+                obj == best_obj and rank[d] < rank[best]
+            ):
+                best, best_obj = d, obj
+        selected.append(best)
+        remaining.remove(best)
+    return selected
+
+
+def mmr_rerank(
+    mset: DataFrame,
+    embeddings: DataFrame,
+    k: int = 5,
+    lambda_: float = 0.5,
+    id_col: str = "docid",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(docid, score, mmr_rank) for the k MMR-selected docs of an MSet
+    DataFrame (docid, score).  Vector fetch = broadcast semi-join against
+    the embeddings table (the MSet is tiny, post-top-k); the k greedy
+    rounds run driver-side exactly like the reference's own MSet-local
+    diversifier."""
+    rows = mset.orderBy(F.desc("score"), F.asc("docid")).collect()
+    mset_rows = [(r_["docid"], r_["score"]) for r_ in rows]
+    ids = [d for d, _ in mset_rows]
+    spark = mset.sparkSession
+    id_df = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+    vec_rows = embeddings.join(
+        F.broadcast(id_df), id_col
+    ).select(id_col, vec_col).collect()
+    vectors = {r_[id_col]: list(r_[vec_col]) for r_ in vec_rows}
+    order = mmr_select(mset_rows, vectors, k=k, lambda_=lambda_)
+    scores = dict(mset_rows)
+    return spark.createDataFrame(
+        [(d, scores[d], i + 1) for i, d in enumerate(order)],
+        "docid long, score double, mmr_rank int",
+    )
