@@ -53,10 +53,17 @@ def quality_filter(
     q = quality_scores(df, id_col, text_col).select(
         "id", "n_tokens", "mean_token_len", "stopword_ratio"
     )
-    r = repetition_stats(df, id_col, text_col).select(
+    # complete=False: token-less docs are absent from the aggregates and
+    # their fracs coalesce to 0.0 here — saves the corpus-wide
+    # completeness join inside repetition_stats (q already has every id).
+    r = repetition_stats(df, id_col, text_col, complete=False).select(
         "id", "top_2gram_frac", "dup_5gram_frac"
     )
-    j = q.join(r, "id")
+    j = q.join(r, "id", "left").select(
+        "id", "n_tokens", "mean_token_len", "stopword_ratio",
+        F.coalesce(F.col("top_2gram_frac"), F.lit(0.0)).alias("top_2gram_frac"),
+        F.coalesce(F.col("dup_5gram_frac"), F.lit(0.0)).alias("dup_5gram_frac"),
+    )
     reason = (
         F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
         .when(F.col("n_tokens") > max_tokens, F.lit("too_long"))

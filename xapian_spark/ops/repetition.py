@@ -11,12 +11,12 @@ rules (the Gopher/MassiveText repetition filters, public) threshold on:
 - the fraction of n-gram occurrences that are repeats (n=5).
 
 Scale shape: one explode of (kind, gram) items per document feeds a
-three-level aggregation — (id, kind, gram) occurrence counts, then
-(id, kind) summaries, then a conditional-aggregation pivot to one row per
-document.  Every level partial-aggregates map-side (plain groupBy counts,
-no windows, no Python), so the shuffle volume is the distinct-gram set,
-not the corpus.  Empty lines are dropped before counting so blank-line
-runs don't read as duplication.
+two-shuffle aggregation — (id, kind, gram) occurrence counts, then a
+filtered-aggregate pivot straight to one row per document.  Both levels
+partial-aggregate map-side (plain groupBy counts, no windows, no
+Python), so the shuffle volume is the distinct-gram set, not the corpus.
+Empty lines are dropped before counting so blank-line runs don't read as
+duplication.
 """
 
 from __future__ import annotations
@@ -54,6 +54,7 @@ def repetition_stats(
     id_col: str,
     text_col: str,
     line_sep: str = "\n",
+    complete: bool = True,
 ) -> DataFrame:
     """One row per input document:
 
@@ -67,6 +68,12 @@ def repetition_stats(
     dup_5gram_frac       = 1 - distinct_5grams / total_5grams
 
     All fractions round(,6); documents with no tokens/lines report zeros.
+
+    ``complete=False`` skips the completeness join back to ``df`` (one
+    corpus-wide shuffle): item-less documents (no tokens AND no lines)
+    are then absent from the result.  Use it when the caller left-joins
+    these aggregates onto a per-doc frame it already has, as
+    ops/filtering.py does.
     """
     toks = _toks(text_col)
     lines = F.filter(
@@ -87,30 +94,32 @@ def repetition_stats(
         .groupBy("id", "kind", "gram")
         .agg(F.count("*").alias("c"))
     )
-    per = cnt.groupBy("id", "kind").agg(
-        F.sum("c").alias("total"),
-        F.count("*").alias("dist"),
-        F.max("c").alias("maxc"),
-        F.sum(F.length("gram") * F.col("c")).alias("chars"),
-        F.sum(F.length("gram") * (F.col("c") - 1)).alias("dupchars"),
-    )
 
-    def pick(kind: str, field: str) -> Column:
-        return F.max(F.when(F.col("kind") == kind, F.col(field)))
+    # Fold the per-(id, kind) summaries straight into the per-id pivot
+    # with filtered aggregates — two shuffles total (occurrence counts,
+    # then per-doc), both partial-aggregating map-side.
+    def k(kind: str) -> Column:
+        return F.col("kind") == kind
 
-    stats = per.groupBy("id").agg(
-        pick("g1", "total").alias("n_tokens"),
-        pick("line", "total").alias("n_lines"),
-        pick("line", "dist").alias("d_lines"),
-        pick("line", "chars").alias("line_chars"),
-        pick("line", "dupchars").alias("line_dupchars"),
-        pick("g2", "maxc").alias("max2"),
-        pick("g3", "maxc").alias("max3"),
-        pick("g4", "maxc").alias("max4"),
-        pick("g5", "total").alias("t5"),
-        pick("g5", "dist").alias("d5"),
+    def fsum(kind: str, expr: Column) -> Column:
+        return F.sum(F.when(k(kind), expr).otherwise(F.lit(0)))
+
+    stats = cnt.groupBy("id").agg(
+        fsum("g1", F.col("c")).alias("n_tokens"),
+        fsum("line", F.col("c")).alias("n_lines"),
+        F.count(F.when(k("line"), True)).alias("d_lines"),
+        fsum("line", F.length("gram") * F.col("c")).alias("line_chars"),
+        fsum("line", F.length("gram") * (F.col("c") - 1)).alias("line_dupchars"),
+        F.max(F.when(k("g2"), F.col("c"))).alias("max2"),
+        F.max(F.when(k("g3"), F.col("c"))).alias("max3"),
+        F.max(F.when(k("g4"), F.col("c"))).alias("max4"),
+        fsum("g5", F.col("c")).alias("t5"),
+        F.count(F.when(k("g5"), True)).alias("d5"),
     )
-    out = df.select(F.col(id_col).alias("id")).join(stats, "id", "left")
+    if complete:
+        out = df.select(F.col(id_col).alias("id")).join(stats, "id", "left")
+    else:
+        out = stats
 
     def z(c: str) -> Column:
         return F.coalesce(F.col(c), F.lit(0))
