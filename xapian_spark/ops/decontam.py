@@ -21,11 +21,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_TOKEN_RE = "[a-z0-9_]+"
-
-
-def _toks(text_col: str) -> Column:
-    return F.expr(f"regexp_extract_all(lower({text_col}), '{_TOKEN_RE}', 0)")
+# one tokenizer contract across the pipeline ops — composed results
+# (e.g. ops/filtering.py mixing these grams with textstats counts) are
+# only coherent if every module splits text identically
+from xapian_spark.ops.textstats import _tokens as _toks
 
 
 def _grams(toks: Column, n: int) -> Column:
@@ -76,7 +75,9 @@ def decontaminate(
         .groupBy("id")
         .agg(F.count("*").cast("int").alias("n_contaminated"))
     )
-    out = base.drop("grams").join(hits, "id", "left")
+    # hits is one row per CONTAMINATED doc — rare by assumption — so it
+    # broadcasts; the clean bulk of the corpus is never shuffled here.
+    out = base.drop("grams").join(F.broadcast(hits), "id", "left")
     n_hit = F.coalesce(F.col("n_contaminated"), F.lit(0))
     return out.select(
         "id",

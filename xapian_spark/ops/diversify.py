@@ -138,6 +138,21 @@ def diversify_mset(
     return curr
 
 
+def _fetch_mset_vectors(mset, embeddings, id_col, vec_col):
+    """Collect the ranked (docid, score) MSet and fetch its doc vectors
+    with a broadcast semi-join (the MSet is tiny, post-top-k).  Shared by
+    diversify() and mmr_rerank()."""
+    rows = mset.orderBy(F.desc("score"), F.asc("docid")).collect()
+    mset_rows = [(r_["docid"], r_["score"]) for r_ in rows]
+    ids = [d for d, _ in mset_rows]
+    spark = mset.sparkSession
+    id_df = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+    vec_rows = embeddings.join(
+        F.broadcast(id_df), id_col
+    ).select(id_col, vec_col).collect()
+    return mset_rows, {r_[id_col]: list(r_[vec_col]) for r_ in vec_rows}
+
+
 def diversify(
     mset: DataFrame,
     embeddings: DataFrame,
@@ -152,15 +167,8 @@ def diversify(
     """Diversified (rank, docid) from an MSet DataFrame (docid, score) and
     an embeddings table.  The vector fetch is a broadcast semi-join (the
     MSet is tiny); the GLS swap loop is driver-side like the reference."""
-    rows = mset.orderBy(F.desc("score"), F.asc("docid")).collect()
-    mset_rows = [(r_["docid"], r_["score"]) for r_ in rows]
-    ids = [d for d, _ in mset_rows]
+    mset_rows, vectors = _fetch_mset_vectors(mset, embeddings, id_col, vec_col)
     spark = mset.sparkSession
-    id_df = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
-    vec_rows = embeddings.join(
-        F.broadcast(id_df), id_col
-    ).select(id_col, vec_col).collect()
-    vectors = {r_[id_col]: list(r_[vec_col]) for r_ in vec_rows}
     out = diversify_mset(
         mset_rows, vectors, k=k, r=r, lambda_=lambda_, b=b,
         sigma_sqr=sigma_sqr,
@@ -198,8 +206,14 @@ def mmr_select(
     for _ in range(k_):
         best, best_obj = None, None
         for d in remaining:
+            # missing vector == zero vector (sim 0 to everything), like
+            # diversify_mset's tolerant fetch — a doc without an
+            # embedding row still ranks, on pure relevance
             max_sim = max(
-                (_cosine_sim(vectors[d], vectors[s]) for s in selected),
+                (
+                    _cosine_sim(vectors.get(d, []), vectors.get(s, []))
+                    for s in selected
+                ),
                 default=0.0,
             )
             obj = lambda_ * scores[d] - (1 - lambda_) * max_sim
@@ -225,15 +239,8 @@ def mmr_rerank(
     the embeddings table (the MSet is tiny, post-top-k); the k greedy
     rounds run driver-side exactly like the reference's own MSet-local
     diversifier."""
-    rows = mset.orderBy(F.desc("score"), F.asc("docid")).collect()
-    mset_rows = [(r_["docid"], r_["score"]) for r_ in rows]
-    ids = [d for d, _ in mset_rows]
+    mset_rows, vectors = _fetch_mset_vectors(mset, embeddings, id_col, vec_col)
     spark = mset.sparkSession
-    id_df = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
-    vec_rows = embeddings.join(
-        F.broadcast(id_df), id_col
-    ).select(id_col, vec_col).collect()
-    vectors = {r_[id_col]: list(r_[vec_col]) for r_ in vec_rows}
     order = mmr_select(mset_rows, vectors, k=k, lambda_=lambda_)
     scores = dict(mset_rows)
     return spark.createDataFrame(

@@ -47,16 +47,15 @@ def _count(col: Column, pattern: str) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
 
 
-def pii_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, n_emails, n_phones, n_ipv4, n_secrets, n_pii): per-document
-    PII match counts.  Counting runs BEFORE redaction, on the raw text;
-    phone = E.164 + US dashed forms.  Pure Catalyst, no shuffle."""
+def _count_cols(text_col: str) -> list[Column]:
+    """The five aliased count columns shared by pii_scan / pii_report.
+
+    E.164/IPv4 counting must not re-count digit runs inside e-mail local
+    parts or secrets, so those two count on the email/secret-redacted
+    text — exactly as the ordered redaction pass sees it."""
     t = F.col(text_col)
     emails = _count(t, EMAIL_RE)
     secrets = _count(t, SECRET_RE)
-    # E.164 counting must not re-count digit runs inside e-mail local
-    # parts or secrets; count on the email/secret-redacted text, exactly
-    # as the redaction pass sees it.
     t2 = F.regexp_replace(
         F.regexp_replace(t, F.lit(EMAIL_RE), F.lit("<EMAIL>")),
         F.lit(SECRET_RE),
@@ -64,14 +63,20 @@ def pii_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     phones = _count(t2, PHONE_E164_RE) + _count(t2, PHONE_US_RE)
     ipv4 = _count(t2, IPV4_RE)
-    return df.select(
-        F.col(id_col).alias("id"),
+    return [
         emails.cast("int").alias("n_emails"),
         phones.cast("int").alias("n_phones"),
         ipv4.cast("int").alias("n_ipv4"),
         secrets.cast("int").alias("n_secrets"),
         (emails + phones + ipv4 + secrets).cast("int").alias("n_pii"),
-    )
+    ]
+
+
+def pii_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_emails, n_phones, n_ipv4, n_secrets, n_pii): per-document
+    PII match counts.  Counting runs BEFORE redaction, on the raw text;
+    phone = E.164 + US dashed forms.  Pure Catalyst, no shuffle."""
+    return df.select(F.col(id_col).alias("id"), *_count_cols(text_col))
 
 
 def redacted_text(text_col: str) -> Column:
@@ -96,22 +101,8 @@ def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def pii_report(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """pii_scan's counts + the redacted text in ONE select — a single
     pass over the corpus (what a 100-TB scrub job runs), no self-join."""
-    t = F.col(text_col)
-    emails = _count(t, EMAIL_RE)
-    secrets = _count(t, SECRET_RE)
-    t2 = F.regexp_replace(
-        F.regexp_replace(t, F.lit(EMAIL_RE), F.lit("<EMAIL>")),
-        F.lit(SECRET_RE),
-        F.lit("<SECRET>"),
-    )
-    phones = _count(t2, PHONE_E164_RE) + _count(t2, PHONE_US_RE)
-    ipv4 = _count(t2, IPV4_RE)
     return df.select(
         F.col(id_col).alias("id"),
-        emails.cast("int").alias("n_emails"),
-        phones.cast("int").alias("n_phones"),
-        ipv4.cast("int").alias("n_ipv4"),
-        secrets.cast("int").alias("n_secrets"),
-        (emails + phones + ipv4 + secrets).cast("int").alias("n_pii"),
+        *_count_cols(text_col),
         redacted_text(text_col).alias("text_redacted"),
     )

@@ -24,11 +24,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_TOKEN_RE = "[a-z0-9_]+"
-
-
-def _toks(text_col: str) -> Column:
-    return F.expr(f"regexp_extract_all(lower({text_col}), '{_TOKEN_RE}', 0)")
+# one tokenizer contract across the pipeline ops — ops/filtering.py mixes
+# these gram fractions with textstats' per-row counts, which is only
+# coherent if both modules split text identically
+from xapian_spark.ops.textstats import _tokens as _toks
 
 
 def _gram_list(toks: Column, n: int) -> Column:
