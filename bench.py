@@ -314,6 +314,44 @@ def run_pipeline(spark, sf_dir):
     return out
 
 
+def run_dedup(spark, sf_dir):
+    """Dedup-suite throughput at the bench SF: exact groups, MinHash-LSH
+    near-dup pairs (candidate-only verify), corpus-adaptive SimHash."""
+    from xapian_spark.ops.dedup import (
+        exact_duplicates,
+        minhash_lsh_pairs,
+        simhash_near_pairs,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("docid", (F.col("doc_id") + 1).cast("long"))
+        .persist()
+    )
+    n = docs.count()
+    out = {"docs": n}
+
+    t0 = time.perf_counter()
+    groups = (
+        exact_duplicates(docs, "docid", "text")
+        .where(~F.col("is_canonical")).count()
+    )
+    out["exact_sec"] = round(time.perf_counter() - t0, 3)
+    out["exact_dup_docs"] = int(groups)
+
+    t0 = time.perf_counter()
+    pairs = minhash_lsh_pairs(docs, "docid", "text").count()
+    out["minhash_lsh_sec"] = round(time.perf_counter() - t0, 3)
+    out["minhash_pairs"] = int(pairs)
+
+    t0 = time.perf_counter()
+    spairs = simhash_near_pairs(docs, "docid", "text").count()
+    out["simhash_sec"] = round(time.perf_counter() - t0, 3)
+    out["simhash_pairs"] = int(spairs)
+    docs.unpersist()
+    return out
+
+
 def run_batch(idx, repeat: int = 4):
     """Batched QPS: the 10 headline queries x `repeat` copies in ONE job."""
     batch = {}
@@ -422,6 +460,7 @@ def main():
 
     result["ann"] = run_ann(spark, SF_DIR)
     result["pipeline"] = run_pipeline(spark, SF_DIR)
+    result["dedup"] = run_dedup(spark, SF_DIR)
     result["incremental"] = run_incremental(spark, SF_DIR)
     result.update(
         {
@@ -505,10 +544,13 @@ def main():
                 result[sec].pop("note", None)
                 result[sec].pop("workload", None)
         line = json.dumps(result)
-    if len(line) > 3000:
-        result.pop("scaling", None)
-        result.pop("incremental", None)
-        result.pop("pipeline", None)
+    # then shed whole optional sections one at a time, least-load-bearing
+    # first, until the line fits the driver's stdout-tail capture
+    for sec in ("batch_or_secs_all", "incremental", "scaling", "dedup",
+                "pipeline"):
+        if len(line) <= 3000:
+            break
+        result.pop(sec, None)
         line = json.dumps(result)
     spark.stop()
     # print LAST, after Spark shutdown, so no stderr/stdout noise can land
