@@ -715,6 +715,20 @@ def _q_quality_filter(spark, sf_dir):
     )
 
 
+def _q_hashed_tfidf(spark, sf_dir):
+    """Hashed TF-IDF document vectors (ops/vectorize.py — the feature-
+    hashing trick; Spark-era pipeline surface).  dim=32 signed hashing
+    over the corpus; sparse (docid, bucket, weight) output.  The oracle
+    replays the md5 bucket/sign hashes and the smoothed idf exactly."""
+    from xapian_spark.ops.vectorize import hashed_tfidf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        (F.col("doc_id") + 1).cast("long").alias("docid"), "text"
+    )
+    out = hashed_tfidf(docs, "docid", "text", dim=32)
+    return out.select(F.col("id").alias("docid"), "bucket", "weight")
+
+
 def _q_trad_eset(spark, sf_dir):
     """TradEWeight expansion (Enquire::set_expansion_scheme("trad"),
     expand/tradeweight.cc:31-40): the second expansion scheme next to the
@@ -1459,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,  # Gopher repetition signals
         "quality_filter": _q_quality_filter,  # composite keep/reject verdict
         "mmr_rerank": _q_mmr_rerank,  # round-bounded MMR diversification
+        "hashed_tfidf": _q_hashed_tfidf,  # feature-hashed document vectors
     }
 
 
@@ -3395,6 +3410,29 @@ SELECT docid,
 FROM v
 """
     q["mmr_rerank"] = _PRELUDE + _mmr_oracle_sql(k=5)
+    # Hashed TF-IDF replay (ops/vectorize.py, dim=32 signed): md5 bucket
+    # and sign hashes via the proven '0x'-cast construction; smoothed idf
+    # ln((N+1)/(df+1)); weight rounded to 6dp, zero rows dropped.
+    q["hashed_tfidf"] = """
+WITH tok AS (
+  SELECT doc_id + 1 AS id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+post AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY id, term),
+dfv AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+n AS (SELECT count(*) AS c FROM documents)
+SELECT id AS docid, bucket, weight FROM (
+  SELECT p.id,
+    CAST((('0x' || substring(md5('b|' || p.term), 1, 7))::BIGINT % 268435456) % 32 AS INT) AS bucket,
+    round(sum(
+      (CASE WHEN (('0x' || substring(md5('s|' || p.term), 1, 7))::BIGINT % 268435456) % 2 = 0
+            THEN 1.0 ELSE -1.0 END)
+      * p.tf * ln((n.c + 1.0) / (d.df + 1))
+    ), 6) AS weight
+  FROM post p JOIN dfv d USING (term) CROSS JOIN n
+  GROUP BY p.id, bucket
+) WHERE weight <> 0.0
+"""
     return q
 
 
