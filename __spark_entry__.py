@@ -729,6 +729,19 @@ def _q_hashed_tfidf(spark, sf_dir):
     return out.select(F.col("id").alias("docid"), "bucket", "weight")
 
 
+def _q_mix_report(spark, sf_dir):
+    """Per-stratum mix report (ops/mixreport.py — the table a data-mix is
+    designed from; Spark-era pipeline surface): per language, doc/token
+    counts and the share surviving the quality filter.  The oracle
+    aggregates the quality_filter replay by lang."""
+    from xapian_spark.ops.mixreport import mix_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        (F.col("doc_id") + 1).cast("long").alias("docid"), "text", "lang"
+    )
+    return mix_report(docs, "docid", "text", stratum_col="lang")
+
+
 def _q_trad_eset(spark, sf_dir):
     """TradEWeight expansion (Enquire::set_expansion_scheme("trad"),
     expand/tradeweight.cc:31-40): the second expansion scheme next to the
@@ -1474,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": _q_quality_filter,  # composite keep/reject verdict
         "mmr_rerank": _q_mmr_rerank,  # round-bounded MMR diversification
         "hashed_tfidf": _q_hashed_tfidf,  # feature-hashed document vectors
+        "mix_report": _q_mix_report,  # per-stratum mix/token-budget report
     }
 
 
@@ -3433,6 +3447,20 @@ SELECT id AS docid, bucket, weight FROM (
   GROUP BY p.id, bucket
 ) WHERE weight <> 0.0
 """
+    # Mix-report replay: aggregate the quality_filter replay by lang.
+    q["mix_report"] = (
+        "WITH qf AS (" + q["quality_filter"] + ")\n"
+        """SELECT d.lang AS stratum,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(q.keep) AS BIGINT) AS n_kept,
+  round(sum(q.keep) * 1.0 / count(*), 6) AS kept_frac,
+  CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens,
+  CAST(sum(q.n_tokens * q.keep) AS BIGINT) AS kept_tokens,
+  round(avg(q.n_tokens), 6) AS mean_tokens
+FROM qf q JOIN documents d ON d.doc_id + 1 = q.docid
+GROUP BY d.lang
+"""
+    )
     return q
 
 
