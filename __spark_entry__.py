@@ -742,6 +742,84 @@ def _q_mix_report(spark, sf_dir):
     return mix_report(docs, "docid", "text", stratum_col="lang")
 
 
+def _q_multiword_synonym(spark, sf_dir):
+    """FLAG_AUTO_MULTIWORD_SYNONYMS end-to-end (queryparser.h:590;
+    TermGroup::as_group, queryparser.lemony:1749-1831): the free-text run
+    "dup vector" greedily matches the 2-word synonym key and parses to
+    ((dup@1 OR vector@2) SYNONYM key); the group scores as ONE pseudo-term
+    over the union stats (query.h:231-237, synonympostlist.h:50-57) —
+    same math as the gated synonym_op, but with the group produced by the
+    multi-word PARSER walk instead of an explicit AST."""
+    from xapian_spark.query.parser import QueryParser
+
+    qp = QueryParser(
+        synonyms={"dup vector": ("key",)}, auto_multiword_synonyms=True
+    )
+    node = qp.parse_query("dup vector")
+    assert node.describe() == "((dup@1 OR vector@2) SYNONYM key)"
+    return _search(node, k=10)(spark, sf_dir)
+
+
+def _q_pipeline_compose(spark, sf_dir):
+    """End-to-end training-data pipeline composition: dedup_exact ->
+    decontaminate -> quality_filter -> stratified_sample -> mix_report
+    over the sf corpus — the shape an actual pretraining data run takes,
+    chained as DataFrame stages (each stage individually gated already).
+    Every stage's verdict is per-doc deterministic, so the oracle replays
+    the chain as one WITH pipeline of the per-op oracles' CTEs; the final
+    per-stratum mix table is the value-hash target."""
+    from xapian_spark.ops.decontam import decontaminate
+    from xapian_spark.ops.filtering import quality_filter
+    from xapian_spark.ops.mixreport import mix_report
+    from xapian_spark.ops.sampling import stratified_sample
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("docid", (F.col("doc_id") + 1).cast("long"))
+        .select("docid", "text", "lang")
+    )
+    # 1. exact dedup: keep each duplicate group's canonical (lowest docid)
+    canon = (
+        dedup.exact_duplicates(docs, "docid", "text")
+        .where("is_canonical")
+        .select(F.col("id").alias("docid"))
+    )
+    d1 = docs.join(canon, "docid")
+    # 2. decontamination against the benchmark set (first 12 tokens of
+    #    every 40th doc of the FULL corpus — the same external-benchmark
+    #    construction as the gated decontaminate entry); any overlap drops
+    bench = docs.where((F.col("docid") - 1) % 40 == 0).select(
+        F.array_join(
+            F.slice(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)"),
+                1, 12,
+            ),
+            " ",
+        ).alias("text")
+    )
+    clean = decontaminate(d1, bench, id_col="docid", text_col="text", n=8)
+    d2 = d1.join(
+        clean.where(F.col("contaminated") == 0)
+        .select(F.col("id").alias("docid")),
+        "docid",
+    )
+    # 3. composite quality filter: keep=1 verdicts survive
+    keep = (
+        quality_filter(d2, "docid", "text")
+        .where(F.col("keep") == 1)
+        .select(F.col("id").alias("docid"))
+    )
+    d3 = d2.join(keep, "docid")
+    # 4. stratified mix sampling (same rates/seed as the gated entry)
+    d4 = stratified_sample(
+        d3, {"en": 0.5, "fr": 0.25, "zh": 0.1},
+        stratum_col="lang", default_rate=0.05, key_col="docid", seed=42,
+    )
+    # 5. per-stratum mix report over the survivors (all keep=1 here by
+    #    construction — kept_frac 1.0 is the expected degenerate column)
+    return mix_report(d4, "docid", "text", stratum_col="lang")
+
+
 def _q_trad_eset(spark, sf_dir):
     """TradEWeight expansion (Enquire::set_expansion_scheme("trad"),
     expand/tradeweight.cc:31-40): the second expansion scheme next to the
@@ -1488,6 +1566,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": _q_mmr_rerank,  # round-bounded MMR diversification
         "hashed_tfidf": _q_hashed_tfidf,  # feature-hashed document vectors
         "mix_report": _q_mix_report,  # per-stratum mix/token-budget report
+        # position 93+: round-5 additions (window still frozen at the
+        # first 50; these are local-gate entries like everything above 50)
+        "multiword_synonym_search": _q_multiword_synonym,  # FLAG_AUTO_MULTIWORD_SYNONYMS
+        "pipeline_compose": _q_pipeline_compose,  # 5-stage pipeline chain
     }
 
 
@@ -3461,6 +3543,129 @@ FROM qf q JOIN documents d ON d.doc_id + 1 = q.docid
 GROUP BY d.lang
 """
     )
+    # Multi-word synonym group (parser walk "dup vector" -> OP_SYNONYM over
+    # {dup, vector} + synonym key): scored as one pseudo-term over the
+    # UNION stats exactly like synonym_op, with the synonym term 'key'
+    # joining the union (Synonym flattens to its leaf terms in the
+    # planner, query/planner.py Synonym eval).
+    q["multiword_synonym_search"] = (
+        _PRELUDE
+        + """
+, sdocs AS (
+  SELECT p.docid, least(sum(p.wdf), max(l.doclen)) AS wdf, max(l.doclen) AS doclen
+  FROM post p JOIN dl l ON l.docid = p.docid
+  WHERE p.term IN ('dup', 'vector', 'key') GROUP BY p.docid
+),
+stf AS (SELECT count(*) AS tf FROM sdocs)
+SELECT docid, score FROM (
+  SELECT d.docid,
+    round((ln(CASE WHEN (g.n - s.tf + 0.5) / (s.tf + 0.5) < 2
+              THEN (g.n - s.tf + 0.5) / (s.tf + 0.5) * 0.5 + 1
+              ELSE (g.n - s.tf + 0.5) / (s.tf + 0.5) END) * 2.0)
+      * (d.wdf / (1.0 * (greatest(d.doclen * (1.0 / (g.total / g.n)), 0.5) * 0.5 + 0.5) + d.wdf)), 6) AS score
+  FROM sdocs d, stf s, g
+) ORDER BY score DESC, docid LIMIT 10
+"""
+    )
+    # Pipeline composition replay: each stage's per-doc verdict is
+    # independent of which docs remain upstream (dedup canonicals are
+    # min-docid over the full corpus = over any earlier stage's output;
+    # contamination / quality / sampling are pure per-doc predicates and
+    # the benchmark set is defined from the FULL corpus), so the chain is
+    # equivalent to AND-ing the four predicates, then aggregating the mix
+    # over the survivors.  kept_frac is 1.0 by construction (stage 3
+    # already filtered on keep).
+    q["pipeline_compose"] = """
+WITH t AS (
+  SELECT doc_id + 1 AS docid, lang,
+         regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+  FROM documents
+),
+canon AS (
+  SELECT docid FROM (
+    SELECT docid,
+           row_number() OVER (
+             PARTITION BY sha256(array_to_string(toks, ' '))
+             ORDER BY docid) AS rn
+    FROM t
+  ) WHERE rn = 1
+),
+bg AS (
+  SELECT DISTINCT array_to_string((toks[1:12])[i:i+7], ' ') AS gram
+  FROM t, unnest(range(1, len(toks[1:12]) - 6)) AS u(i)
+  WHERE (docid - 1) % 40 = 0 AND len(toks[1:12]) >= 8
+),
+contam AS (
+  SELECT DISTINCT dg.docid
+  FROM (
+    SELECT DISTINCT docid, array_to_string(toks[i:i+7], ' ') AS gram
+    FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+    WHERE len(toks) >= 8
+  ) dg JOIN bg USING (gram)
+),
+tok AS (SELECT docid, unnest(toks) AS term FROM t),
+qs AS (
+  SELECT docid, count(*) AS n_tokens,
+         sum(len(term)) * 1.0 / count(*) AS mean_len,
+         sum(CASE WHEN term IN ('the','and','of','to','is','in','that',
+                                'it','for','was') THEN 1 ELSE 0 END)
+           * 1.0 / count(*) AS sw_ratio
+  FROM tok GROUP BY docid
+),
+g2c AS (
+  SELECT docid, array_to_string(toks[i:i+1], ' ') AS g, count(*) AS c
+  FROM t, unnest(range(1, len(toks))) AS u(i) GROUP BY docid, g
+),
+g2s AS (SELECT docid, max(c) AS max2 FROM g2c GROUP BY docid),
+g5c AS (
+  SELECT docid, array_to_string(toks[i:i+4], ' ') AS g, count(*) AS c
+  FROM t, unnest(range(1, len(toks) - 3)) AS u(i) GROUP BY docid, g
+),
+g5s AS (SELECT docid, sum(c) AS t5, count(*) AS d5 FROM g5c GROUP BY docid),
+sig AS (
+  SELECT t.docid,
+    coalesce(q.n_tokens, 0) AS n_tokens,
+    coalesce(q.mean_len, 0.0) AS mean_len,
+    coalesce(q.sw_ratio, 0.0) AS sw_ratio,
+    round(CASE WHEN coalesce(q.n_tokens, 0) > 0
+               THEN coalesce(g2s.max2, 0) * 2.0 / q.n_tokens
+               ELSE 0.0 END, 6) AS top2,
+    round(CASE WHEN coalesce(g5s.t5, 0) > 0
+               THEN (g5s.t5 - g5s.d5) * 1.0 / g5s.t5 ELSE 0.0 END, 6) AS dup5
+  FROM t
+  LEFT JOIN qs q ON q.docid = t.docid
+  LEFT JOIN g2s ON g2s.docid = t.docid
+  LEFT JOIN g5s ON g5s.docid = t.docid
+),
+keepv AS (
+  SELECT docid, n_tokens FROM sig
+  WHERE NOT (n_tokens < 30 OR n_tokens > 5000
+             OR mean_len < 3.0 OR mean_len > 10.0
+             OR sw_ratio < 0.01 OR top2 > 0.18 OR dup5 > 0.30)
+),
+surv AS (
+  SELECT t.docid, t.lang, k.n_tokens
+  FROM t
+  JOIN canon USING (docid)
+  JOIN keepv k ON k.docid = t.docid
+  LEFT JOIN contam c ON c.docid = t.docid
+  WHERE c.docid IS NULL
+    AND ('0x' || substring(md5('42:' || CAST(t.docid AS VARCHAR)), 1, 7))::BIGINT
+        < CASE t.lang WHEN 'en' THEN 134217728
+                      WHEN 'fr' THEN 67108864
+                      WHEN 'zh' THEN 26843545
+                      ELSE 13421772 END
+)
+SELECT lang AS stratum,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_kept,
+  round(count(*) * 1.0 / count(*), 6) AS kept_frac,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+  round(avg(n_tokens), 6) AS mean_tokens
+FROM surv
+GROUP BY lang
+"""
     return q
 
 
@@ -3476,10 +3681,15 @@ def _mmr_oracle_sql(k: int = 5) -> str:
   GROUP BY docid ORDER BY score DESC, docid LIMIT 10
 ),
 r0 AS (
+  -- LEFT JOIN mirrors mmr_select's tolerant vector fetch: a top-k doc
+  -- with no embedding row keeps v NULL, and every sim involving it takes
+  -- the ELSE 0.0 branch below (a NULL dot product is never > 0) — i.e.
+  -- exactly the engine's zero-vector, relevance-only fallback
+  -- (ops/diversify.py mmr_select).
   SELECT m.docid, m.score,
          row_number() OVER (ORDER BY m.score DESC, m.docid) AS rnk,
          CAST(e.embedding AS DOUBLE[]) AS v
-  FROM m JOIN embeddings e ON e.vec_id + 1 = m.docid
+  FROM m LEFT JOIN embeddings e ON e.vec_id + 1 = m.docid
 ),
 ps AS (
   SELECT a.docid AS a, b.docid AS b,

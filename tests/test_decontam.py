@@ -83,3 +83,24 @@ def test_benchmark_side_broadcasts(spark):
         ._jdf.queryExecution().toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_broadcast_hits_false_equivalent(spark):
+    """broadcast_hits=False (the benchmark-heavy-corpus fallback) must
+    produce identical rows via a plain shuffled left join."""
+    docs = _docs(
+        spark,
+        ["a b c d e f g h i j", "k l m n o p q r s t", "a b c d e f g h x y"],
+    )
+    bench = spark.createDataFrame([("a b c d e f g h",)], ["text"])
+    a = sorted(
+        (r.id, r.n_contaminated, r.contaminated)
+        for r in decontaminate(docs, bench, "docid", "text").collect()
+    )
+    b = sorted(
+        (r.id, r.n_contaminated, r.contaminated)
+        for r in decontaminate(
+            docs, bench, "docid", "text", broadcast_hits=False
+        ).collect()
+    )
+    assert a == b

@@ -7,6 +7,7 @@ love-hate / phrase / NEAR cases)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from xapian_spark.query import ast
 from xapian_spark.query.parser import QueryParser
@@ -467,3 +468,179 @@ def test_query_introspection_and_serialise():
     assert not q.empty() and ast.MatchNothing().empty()
     q2 = ast.Node.unserialise(q.serialise())
     assert q2 == q and q2.describe() == q.describe()
+
+
+# -- FLAG_AUTO_MULTIWORD_SYNONYMS (queryparser.h:590) ------------------------
+
+# Goldens mirror the reference's qp_synonym2 set (api_queryparser.cc:
+# 2649-2688), rewritten for our describe() format (synonym terms carry no
+# position in our description; binary ORs are n-ary here).
+MULTIWORD_SYNONYM_GOLDEN = [
+    ("sun OR tan OR cream", "(Zsun@1 OR Ztan@2 OR Zcream@3)"),
+    ("sun tan", "((Zsun@1 OR Ztan@2) SYNONYM bathe)"),
+    ("sun tan cream", "((Zsun@1 OR Ztan@2 OR Zcream@3) SYNONYM lotion)"),
+    (
+        "beach sun tan holiday",
+        "(Zbeach@1 OR ((Zsun@2 OR Ztan@3) SYNONYM bathe) OR Zholiday@4)",
+    ),
+    (
+        "sun tan sun tan cream",
+        "(((Zsun@1 OR Ztan@2) SYNONYM bathe)"
+        " OR ((Zsun@3 OR Ztan@4 OR Zcream@5) SYNONYM lotion))",
+    ),
+    # single-word keys still expand (MASK_ENABLE_AUTO_SYNONYMS includes
+    # the multiword flag, queryparser.lemony:434-441)
+    ("single", "(Zsingl@1 SYNONYM record)"),
+    # quoted phrases never trigger the walk (qp_synonym1 golden)
+    ('"sun tan"', "(sun@1 PHRASE 2 tan@2)"),
+]
+
+
+@pytest.mark.parametrize("query,expected", MULTIWORD_SYNONYM_GOLDEN)
+def test_auto_multiword_synonyms(query, expected):
+    from xapian_spark.text.stem import Stemmer
+
+    qp = QueryParser(
+        stemmer=Stemmer("english"),
+        synonyms={
+            "sun tan cream": ("lotion",),
+            "sun tan": ("bathe",),
+            "single": ("record",),
+        },
+        auto_multiword_synonyms=True,
+    )
+    assert qp.parse_query(query).describe() == expected
+
+
+def test_auto_multiword_longest_match_and_boundaries():
+    """Greedy longest key wins; NEAR operands and registered field terms
+    never join a span; default-op AND combines originals with AND."""
+    syn = {"a b": ("ab",), "a b c": ("abc",)}
+    qp = QueryParser(synonyms=syn, auto_multiword_synonyms=True)
+    # longest exact key ("a b c") beats its prefix ("a b")
+    assert (
+        qp.parse_query("a b c").describe()
+        == "((a@1 OR b@2 OR c@3) SYNONYM abc)"
+    )
+    # a word captured by NEAR belongs to the positional group
+    qp2 = QueryParser(synonyms=syn, auto_multiword_synonyms=True)
+    assert "SYNONYM" not in qp2.parse_query("a b NEAR/3 d").describe()
+    # registered boolean-prefix tokens break the run
+    qp3 = QueryParser(
+        synonyms=syn,
+        boolean_prefixes={"lang": "L"},
+        auto_multiword_synonyms=True,
+    )
+    assert (
+        qp3.parse_query("a lang:en b").describe()
+        == "((a@1 OR b@2) FILTER Len)"
+    )
+    # default_op=and combines the originals with AND
+    qp4 = QueryParser(
+        default_op="and", synonyms=syn, auto_multiword_synonyms=True
+    )
+    assert (
+        qp4.parse_query("a b c").describe()
+        == "((a@1 AND b@2 AND c@3) SYNONYM abc)"
+    )
+
+
+def test_auto_multiword_without_flag_unchanged():
+    """FLAG_AUTO_SYNONYMS alone must NOT enable multi-word matching
+    (regression-tested in the reference for 1.3.0/1.2.9)."""
+    qp = QueryParser(
+        synonyms={"regression test": ("magic",)}, auto_synonyms=True
+    )
+    assert (
+        qp.parse_query("regression test").describe()
+        == "(regression@1 OR test@2)"
+    )
+
+
+def test_auto_multiword_stopwords_in_span():
+    """Stopwords inside a matched span are dropped from the originals but
+    still participate in the key (TermGroup::as_group applies the stopper
+    only to subqs2, queryparser.lemony:1802-1810)."""
+    qp = QueryParser(
+        synonyms={"state of the art": ("sota",)},
+        stopwords=frozenset({"of", "the"}),
+        auto_multiword_synonyms=True,
+    )
+    assert (
+        qp.parse_query("state of the art").describe()
+        == "((state@1 OR art@4) SYNONYM sota)"
+    )
+    assert qp.get_stoplist() == ["of", "the"]
+
+
+# -- FLAG_NO_POSITIONS (queryparser.h:716) -----------------------------------
+
+NO_POSITIONS_GOLDEN = [
+    # quoted phrase -> AND of the same unstemmed terms
+    ('"dog food"', "(dog@1 AND food@2)"),
+    # phrased compound -> AND
+    ("simple-example", "(simple@1 AND example@2)"),
+    # NEAR/ADJ -> AND (Terms::as_opwindow_query window=-1 -> OP_AND)
+    ("cat NEAR/3 dog", "(cat@1 AND dog@2)"),
+    ("cat ADJ dog", "(cat@1 AND dog@2)"),
+    # non-positional syntax is untouched
+    ("cat dog", "(cat@1 OR dog@2)"),
+]
+
+
+@pytest.mark.parametrize("query,expected", NO_POSITIONS_GOLDEN)
+def test_no_positions_golden(query, expected):
+    qp = QueryParser(no_positions=True)
+    assert qp.parse_query(query).describe() == expected
+
+
+def test_no_positions_field_phrase_and_stemming():
+    """field:"quoted" degrades to AND of prefixed terms; with a stemmer,
+    terms inside a degraded group stay unstemmed (they are still the
+    positional-production terms, Terms::as_opwindow_query reuses
+    make_term)."""
+    from xapian_spark.text.stem import Stemmer
+
+    qp = QueryParser(prefixes={"title": "XT"}, no_positions=True)
+    assert (
+        qp.parse_query('title:"dog food"').describe()
+        == "(XTdog@1 AND XTfood@2)"
+    )
+    qp2 = QueryParser(stemmer=Stemmer("english"), no_positions=True)
+    assert (
+        qp2.parse_query('"connection refused"').describe()
+        == "(connection@1 AND refused@2)"
+    )
+
+
+def test_no_positions_positionless_build(spark, simple_index):
+    """End-to-end FLAG_NO_POSITIONS over a POSITIONLESS index: with the
+    positions column nulled out (an index built without positional data),
+    a quoted-phrase query parsed under the flag runs fine (its plan never
+    touches positions) and matches the explicit AND query on the full
+    index."""
+    import dataclasses
+
+    from xapian_spark.query.planner import Planner
+
+    nopos_index = dataclasses.replace(
+        simple_index,
+        postings=simple_index.postings.withColumn(
+            "positions", F.lit(None).cast("array<int>")
+        ),
+    )
+    qp = QueryParser(no_positions=True)
+    node = qp.parse_query('"search engines"')
+    assert node.describe() == "(search@1 AND engines@2)"
+    got = Planner(nopos_index).search(node, k=10)
+    want = Planner(simple_index).search(
+        QueryParser().parse_query("search AND engines"), k=10
+    )
+    assert sorted(r["docid"] for r in got.collect()) == sorted(
+        r["docid"] for r in want.collect()
+    )
+    # sanity: the SAME quoted query without the flag needs positions and
+    # must NOT silently equal the AND degradation path semantics
+    assert QueryParser().parse_query(
+        '"search engines"'
+    ).describe() == "(search@1 PHRASE 2 engines@2)"

@@ -62,3 +62,15 @@ def test_short_and_empty_docs(spark):
 def test_blank_lines_ignored(spark):
     a = _run(spark, ["x y z\n\n\nx y z"])[0]
     assert a.n_lines == 2 and a.dup_line_frac == 0.5
+
+
+def test_literal_separator_with_metachars(spark):
+    """line_sep is a LITERAL separator: '.' must split on dots, not on
+    every character (the un-escaped Java-regex behavior)."""
+    from xapian_spark.ops.repetition import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "x y z.x y z.q r s")], ["docid", "text"]
+    )
+    r = repetition_stats(docs, "docid", "text", line_sep=".").collect()[0]
+    assert r.n_lines == 3 and r.dup_line_frac == round(1 / 3, 6)

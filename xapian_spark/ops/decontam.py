@@ -57,11 +57,22 @@ def decontaminate(
     text_col: str = "text",
     bench_text_col: str = "text",
     n: int = 8,
+    broadcast_hits: bool = True,
 ) -> DataFrame:
     """(id, n_ngrams, n_contaminated, contamination_frac, contaminated):
     per-document distinct n-gram count, how many of them appear in the
     benchmark set, their ratio, and a 0/1 flag (any overlap).  Every
-    input document gets a row (clean docs report zeros)."""
+    input document gets a row (clean docs report zeros).
+
+    broadcast_hits gates the join strategy for attaching per-doc hit
+    counts back onto the corpus.  The default (True) broadcasts the hit
+    table — one row per CONTAMINATED doc — which is correct when
+    contamination is rare (the normal web-corpus case: the clean bulk is
+    then never shuffled).  On a benchmark-heavy or adversarial corpus
+    where a large fraction of docs overlap the benchmark set, the hit
+    table is unbounded and a forced broadcast can exceed executor memory
+    — pass broadcast_hits=False there to use a plain shuffled left join
+    (hash-partitionable at any scale)."""
     grams = _grams(_toks(text_col), n)
     base = docs.select(
         F.col(id_col).alias("id"),
@@ -75,9 +86,13 @@ def decontaminate(
         .groupBy("id")
         .agg(F.count("*").cast("int").alias("n_contaminated"))
     )
-    # hits is one row per CONTAMINATED doc — rare by assumption — so it
-    # broadcasts; the clean bulk of the corpus is never shuffled here.
-    out = base.drop("grams").join(F.broadcast(hits), "id", "left")
+    # hits is one row per CONTAMINATED doc — rare by assumption when
+    # broadcast_hits=True — so it broadcasts and the clean bulk of the
+    # corpus is never shuffled; broadcast_hits=False is the safe fallback
+    # for corpora where that rarity assumption does not hold.
+    out = base.drop("grams").join(
+        F.broadcast(hits) if broadcast_hits else hits, "id", "left"
+    )
     n_hit = F.coalesce(F.col("n_contaminated"), F.lit(0))
     return out.select(
         "id",

@@ -31,6 +31,12 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 SECRET_RE = r"\b(?:sk|pk|key|token)-[A-Za-z0-9]{16,}\b"
 PHONE_E164_RE = r"\+\d{7,15}\b"
 PHONE_US_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+# Deliberately loose (standard scrub simplification): accepts out-of-range
+# octets (999.999.999.999) and version-number-like quads in prose, i.e. it
+# over-redacts rather than leaking.  A tighter bound would stay in the
+# Java∩RE2 subset via octet alternation
+# (25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d) — swap in if under-redaction of
+# version strings ever matters more than recall.
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 # (pattern, replacement tag) in redaction order.
@@ -74,8 +80,15 @@ def _count_cols(text_col: str) -> list[Column]:
 
 def pii_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, n_emails, n_phones, n_ipv4, n_secrets, n_pii): per-document
-    PII match counts.  Counting runs BEFORE redaction, on the raw text;
-    phone = E.164 + US dashed forms.  Pure Catalyst, no shuffle."""
+    PII match counts.  Emails and secrets count on the raw text; phone
+    and IPv4 counts run on the email/secret-REDACTED text (see
+    _count_cols) so digit runs inside an e-mail local part or a secret
+    are not double-counted.  Note phone and IPv4 are both counted at
+    that same partial-redaction stage, while redacted_text() applies
+    PHONE before IP — in the (practically disjoint) case of a phone
+    match overlapping a dotted quad, n_ipv4 could disagree with the
+    <IP> tags in text_redacted.  Phone = E.164 + US dashed forms.
+    Pure Catalyst, no shuffle."""
     return df.select(F.col(id_col).alias("id"), *_count_cols(text_col))
 
 

@@ -21,6 +21,8 @@ duplication.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -75,8 +77,14 @@ def repetition_stats(
     ops/filtering.py does.
     """
     toks = _toks(text_col)
+    # line_sep is a LITERAL separator, but F.split takes a Java regex —
+    # escape it so callers passing '.' or '|' get character splits, not
+    # regex behavior.  re.escape's output (backslash before every
+    # non-word char) is valid Java regex: escaping a non-alphanumeric
+    # char always denotes that literal character there.
     lines = F.filter(
-        F.split(F.col(text_col), line_sep), lambda l: l != F.lit("")
+        F.split(F.col(text_col), re.escape(line_sep)),
+        lambda l: l != F.lit(""),
     )
     items = F.concat(
         _tagged("line", lines),

@@ -101,6 +101,23 @@ class QueryParser:
     # Database / InvertedIndex.  Consulted after the static dict.
     synonym_source: object = None
     auto_synonyms: bool = False
+    # FLAG_AUTO_MULTIWORD_SYNONYMS (queryparser.h:590; queryparser.lemony:
+    # 1749-1831 TermGroup::as_group): while parsing a run of consecutive
+    # free probabilistic words, greedily match the longest span whose
+    # space-joined folded names form a multi-word synonym key ("sun tan")
+    # and wrap the span in OP_SYNONYM(default-op(original terms), synonym
+    # terms).  Implies single-term auto synonyms for non-matched words
+    # (MASK_ENABLE_AUTO_SYNONYMS, queryparser.lemony:434-441).
+    auto_multiword_synonyms: bool = False
+    # FLAG_NO_POSITIONS (queryparser.h:716): don't use positional info —
+    # PHRASE/NEAR/ADJ groups (quoted phrases, phrased compounds, NEAR/ADJ
+    # joins) degrade to OP_AND over the same (still unstemmed) terms
+    # (Terms::as_opwindow_query with window = size_t(-1),
+    # queryparser.lemony:1895-1941), for querying an index built without
+    # positional data.  The reference also degrades a positional DEFAULT
+    # op to OP_AND (State ctor, queryparser.lemony:224-228); our default
+    # op is only ever or/and, so that clause has nothing to do here.
+    no_positions: bool = False
     # query-time stemming (STEM_SOME when set): free terms -> Z+prefix+stem
     stemmer: object = None
     # CJK/unbroken-script n-gram queries (FLAG_NGRAMS): a run becomes an
@@ -369,13 +386,127 @@ class QueryParser:
             out.append(ast.Term(term, pos=self._next_pos()))
         return out
 
-    def _synonym_node(self, term: ast.Term) -> ast.Node:
-        syns = tuple(self.synonyms.get(term.term, ()))
-        if not syns and self.synonym_source is not None:
-            syns = tuple(self.synonym_source.get_synonyms(term.term))
+    def _synonym_node(self, term: ast.Term, raw: str | None = None) -> ast.Node:
+        """OP_SYNONYM expansion of a single term.  Like the reference's
+        Term::get_query_with_synonyms (queryparser.lemony:398-429), the
+        UNSTEMMED prefixed form is tried as the key first, then the
+        final (possibly Z-stemmed) term — qp_synonym1 golden: "search"
+        with keys {search->find, Zsearch->Zfind} expands via "search"."""
+        syns = ()
+        if raw is not None and raw != term.term:
+            syns = self._lookup_synonyms(raw)
+        if not syns:
+            syns = self._lookup_synonyms(term.term)
         if not syns:
             return term
         return ast.Synonym((term,) + tuple(ast.Term(s) for s in syns))
+
+    def _lookup_synonyms(self, key: str) -> tuple[str, ...]:
+        """Synonyms for a key (single term or space-joined multi-word)
+        from the static dict, then the database-backed table."""
+        syns = tuple(self.synonyms.get(key, ()))
+        if not syns and self.synonym_source is not None:
+            syns = tuple(self.synonym_source.get_synonyms(key))
+        return syns
+
+    def _opwindow(self, cls, subs: tuple, window: int) -> ast.Node:
+        """Positional combiner constructor: Phrase/Near normally, but
+        under FLAG_NO_POSITIONS the group degrades to OP_AND over the
+        same terms (Terms::as_opwindow_query sets window = size_t(-1) ->
+        op = OP_AND, queryparser.lemony:1895-1905,1936-1941)."""
+        if self.no_positions:
+            return ast.And(tuple(subs))
+        return cls(tuple(subs), window)
+
+    def _plain_word_name(self, text: str) -> str | None:
+        """The folded single-term name of a free word token eligible for
+        the multi-word synonym walk, else None.  Field-qualified (with a
+        REGISTERED field), wildcard, fuzzy, explicit-synonym, range and
+        compound tokens are not plain TermGroup members — the reference's
+        lexer routes those to other productions before TermGroup::as_group
+        ever sees them."""
+        if any(c in text for c in "*?~") or ".." in text:
+            return None
+        m = re.match(r"^([A-Za-z_][\w]*):", text)
+        if m:
+            f = m.group(1).lower()
+            if (
+                f in self.prefixes
+                or f in self.boolean_prefixes
+                or f in self.range_fields
+                or f in self.field_processors
+            ):
+                return None
+        raw = parse_terms(text)
+        if len(raw) != 1:
+            return None
+        return raw[0]
+
+    def _multiword_node(self, toks, i: int):
+        """FLAG_AUTO_MULTIWORD_SYNONYMS walk (TermGroup::as_group,
+        queryparser.lemony:1749-1831): greedily match the LONGEST run of
+        consecutive plain free-text words starting at token i whose
+        space-joined folded names are a synonym key; the span becomes
+        OP_SYNONYM(default-op(original terms), synonym terms) — original
+        first, like the single-term path — with the originals stemmed and
+        positioned exactly as if parsed individually (qp_synonym2 golden:
+        "sun tan" -> ((Zsun@1 OR Ztan@2) SYNONYM bathe@1)).  Returns
+        (node, next_i), or (None, i) when no key matches here.
+
+        Documented divergence: the reference records a match as soon as
+        any synonym KEY has the span as a PREFIX (lemony:1760-1767 sets
+        longest_match before the exact-size check), which can emit an
+        OP_SYNONYM with no synonyms for a prefix-only match; we require
+        an exact key with at least one synonym — the behavior the
+        reference's own qp_synonym2 goldens exercise."""
+        names: list[str] = []
+        j = i
+        while j < len(toks) and toks[j].kind == "word":
+            if j == self._partial_idx:
+                break  # the PARTIAL_TERM goes through its own production
+            if (
+                j + 1 < len(toks)
+                and toks[j + 1].kind == "op"
+                and toks[j + 1].text.startswith(("NEAR", "ADJ"))
+            ):
+                break  # captured by the positional group, not TermGroup
+            name = self._plain_word_name(toks[j].text)
+            if name is None:
+                break
+            names.append(name)
+            j += 1
+        if len(names) < 2:
+            return None, i
+        for m in range(len(names), 1, -1):
+            syns = self._lookup_synonyms(" ".join(names[:m]))
+            if not syns:
+                continue
+            # originals: plain get_query() per word (stemming + stopwords
+            # + positions as usual; NO single-term synonym expansion,
+            # lemony:1802-1810 uses get_query, not the _with_synonyms
+            # variant), combined by the default op
+            sub_terms: list[ast.Term] = []
+            for k in range(m):
+                sub_terms.extend(self._terms_of(toks[i + k].text))
+            cls = ast.And if self.default_op == "and" else ast.Or
+            orig: ast.Node | None
+            if not sub_terms:  # every original was a stopword
+                orig = None
+            elif len(sub_terms) == 1:
+                orig = sub_terms[0]
+            else:
+                orig = cls(tuple(sub_terms))
+            syn_terms = tuple(ast.Term(s) for s in syns)
+            if orig is None:
+                node = (
+                    ast.Synonym(syn_terms)
+                    if len(syn_terms) > 1
+                    else syn_terms[0]
+                )
+            else:
+                node = ast.Synonym((orig,) + syn_terms)
+            return node, i + m
+        return None, i
 
     def _check_wildcard_prefix(self, fixed: str) -> None:
         """set_min_wildcard_prefix contract (queryparser.h:852-881): a
@@ -468,11 +599,15 @@ class QueryParser:
         if not terms:
             return ast.MatchNothing()
         if len(terms) == 1:
-            if explicit_syn or self.auto_synonyms:
-                return self._synonym_node(terms[0])
+            if (
+                explicit_syn
+                or self.auto_synonyms
+                or self.auto_multiword_synonyms
+            ):
+                return self._synonym_node(terms[0], raw=prefix + raw_terms[0])
             return terms[0]
         # phrased compound: window = number of terms (:2455-2468)
-        return ast.Phrase(tuple(terms), len(terms))
+        return self._opwindow(ast.Phrase, tuple(terms), len(terms))
 
     def _ngram_node(self, text: str, scan, prefix: str) -> ast.Node:
         """Token containing unbroken-script runs: each run -> AND of its
@@ -752,7 +887,7 @@ class QueryParser:
                 else:
                     window = 10 + (n - 2)  # :1977-1991
                 cls = ast.Phrase if ordered else ast.Near
-                normal.append(cls(tuple(subs), window))
+                normal.append(self._opwindow(cls, tuple(subs), window))
                 continue
             if t.kind == "love":
                 sub, i, fg = self._parse_primary(toks, i + 1)
@@ -769,6 +904,16 @@ class QueryParser:
                 and toks[i + 1].kind == "op"
                 and toks[i + 1].text.startswith(("NEAR", "ADJ"))
             )
+            if (
+                self.auto_multiword_synonyms
+                and t.kind == "word"
+                and not next_positional
+            ):
+                node, ni = self._multiword_node(toks, i)
+                if node is not None:
+                    normal.append(node)
+                    i = ni
+                    continue
             sub, i, fg = self._parse_primary(
                 toks, i, positional=next_positional
             )
@@ -829,7 +974,9 @@ class QueryParser:
                 return None, i + 1, None
             if len(terms) == 1:
                 return terms[0], i + 1, None
-            return ast.Phrase(tuple(terms), len(terms)), i + 1, None
+            return self._opwindow(
+                ast.Phrase, tuple(terms), len(terms)
+            ), i + 1, None
         if t.kind == "word" or (t.kind == "op"):
             text = t.text
             range_unclaimed = False
@@ -862,7 +1009,9 @@ class QueryParser:
                     return None, i + 2, None
                 if len(terms) == 1:
                     return terms[0], i + 2, None
-                return ast.Phrase(tuple(terms), len(terms)), i + 2, None
+                return self._opwindow(
+                    ast.Phrase, tuple(terms), len(terms)
+                ), i + 2, None
             m = re.match(r"^([A-Za-z_][\w]*):(.+)$", text)
             if m:
                 node, fg = self._field_node(m.group(1).lower(), m.group(2))
