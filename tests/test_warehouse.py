@@ -374,3 +374,49 @@ def test_reference_docdata(spark, tmp_path):
 
     hits = Planner(idx).search(ast.Term("dup"), k=5).collect()
     assert len(hits) == 5
+
+
+def test_batch_auto_path_selection_matches_row_path(spark, wh):
+    """use_wand="auto" (measured WAND/row routing) must be rank- and
+    score-identical to the row-postings path on BOTH the cold call (probe
+    slices run through different paths) and the warm call (cached
+    decision routes the whole batch), and must cache a decision."""
+    from xapian_spark.query.planner import Planner
+
+    idx = merge.read_warehouse(spark, wh)
+    queries = {
+        f"q{i}": ts
+        for i, ts in enumerate([
+            ["dup"], ["dup", "vector"], ["scan", "key", "line"],
+            ["batch", "small", "scan", "agg", "the"], ["zzznothere"],
+            ["dup", "dup", "fast"], ["vector", "line"], ["key"],
+            ["scan", "vector"], ["fast", "batch"], ["line"], ["agg"],
+        ])
+    }
+    pl = Planner(idx)
+    want = [
+        (r["query"], r["rank"], r["docid"], round(r["score"], 9))
+        for r in pl.search_batch_or(queries, k=10)
+        .orderBy("query", "rank").collect()
+    ]
+    # cold: probes both paths (batch of 12 -> probe p = 3 per path)
+    got_cold = [
+        (r["query"], r["rank"], r["docid"], round(r["score"], 9))
+        for r in pl.search_batch_or(queries, k=10, use_wand="auto")
+        .orderBy("query", "rank").collect()
+    ]
+    assert got_cold == want
+    dec = pl._auto_decision
+    assert dec["path"] in ("wand", "row") and dec["probe"] == 3
+    # warm: cached decision routes the full batch through one path
+    got_warm = [
+        (r["query"], r["rank"], r["docid"], round(r["score"], 9))
+        for r in pl.search_batch_or(queries, k=10, use_wand="auto")
+        .orderBy("query", "rank").collect()
+    ]
+    assert got_warm == want
+    assert pl._auto_decision["age"] == 1
+    # a later tiny batch rides the cached decision too (no re-probe)
+    small = {"s1": ["dup"], "s2": ["key"], "s3": ["line"]}
+    pl.search_batch_or(small, k=5, use_wand="auto").collect()
+    assert pl._auto_decision["age"] == 2

@@ -757,7 +757,7 @@ class Planner:
 
     def search_batch_or(
         self, queries: dict[str, list[str]], k: int = 10,
-        use_wand: bool = False,
+        use_wand: bool | str = False,
     ) -> DataFrame:
         """High-throughput batched free-text search (default-op OR, BM25).
 
@@ -776,17 +776,26 @@ class Planner:
         thresholds split terms into essential (candidate-generating) and
         non-essential (looked up for candidate docs only), so aggregate
         input is proportional to candidates x query terms instead of
-        postings x queries.  OPT-IN, not default: on a 500-query selective
-        batch over a 100k-doc index (32 cores) WAND wins 5.1 s vs 9.9 s,
-        but when every query hits only common terms (nothing is
-        non-essential and candidates are most of the corpus) the simpler
-        row-postings plan wins — measured 13 s vs 37 s on a hot-term batch.
-        Pick use_wand for selective workloads over large indexes.
+        postings x queries.  On a 500-query selective batch over a
+        100k-doc index (32 cores) WAND wins 5.1 s vs 9.9 s, but when every
+        query hits only common terms (nothing is non-essential and
+        candidates are most of the corpus) the simpler row-postings plan
+        wins — measured 13 s vs 37 s on a hot-term batch.
+
+        use_wand="auto" picks the path by MEASUREMENT: a probe slice of
+        the batch runs through both paths (interleaved queries, so a
+        systematically ordered batch cannot bias one slice), the faster
+        marginal rate wins the remainder, and the decision is cached on
+        this Planner so subsequent batches route straight to the winner —
+        steady-state serving runs at max(wand, row) throughput with the
+        probe amortized across the serving lifetime.  Measured, not
+        modeled, because which path wins depends on the workload shape
+        (selectivity) AND on the host window (Python block decode vs JVM
+        join throughput shift differently under memory-bandwidth
+        contention; observed 0.76x-4.4x swings on one workload) — a
+        driver-side cost model sees only the first effect.  The serving
+        analogue of AQE: re-plan from observed execution, not estimates.
         """
-        from collections import Counter
-
-        from pyspark.sql import Window
-
         from xapian_spark.ranking.weights import BM25Weight, TradWeight
 
         # Both batch paths bake ONE shared sumpart shape
@@ -802,18 +811,40 @@ class Planner:
         all_terms = sorted({t for ts in queries.values() for t in ts})
         tstats = self.index.collect_term_stats(all_terms)
 
-        if (
-            use_wand
-            and self.index.blocked is not None
+        wand_ok = (
+            self.index.blocked is not None
             and not getattr(self.weight, "needs_uniqterms", False)
             and self.weight.maxextra(self.index.stats, 1) == 0
-        ):
-            from xapian_spark.query.wand import batch_wand_topk
+        )
+        if use_wand == "auto":
+            if not wand_ok:
+                return self._batch_or_rows(queries, k, tstats)
+            return self._batch_or_auto(queries, k, tstats)
+        if use_wand and wand_ok:
+            return self._batch_wand(queries, k, tstats)
+        return self._batch_or_rows(queries, k, tstats)
 
-            return batch_wand_topk(
-                self.index.blocked, self.index.stats, tstats, queries, k,
-                self.weight, postings=self.index.postings,
-            )
+    def _batch_wand(
+        self, queries: dict[str, list[str]], k: int,
+        tstats: dict[str, "TermStats"],
+    ) -> DataFrame:
+        from xapian_spark.query.wand import batch_wand_topk
+
+        return batch_wand_topk(
+            self.index.blocked, self.index.stats, tstats, queries, k,
+            self.weight, postings=self.index.postings,
+        )
+
+    def _batch_or_rows(
+        self, queries: dict[str, list[str]], k: int,
+        tstats: dict[str, "TermStats"],
+    ) -> DataFrame:
+        """The row-postings batch path (no pruning): postings x broadcast
+        query table -> partial agg -> per-query top-k."""
+        from collections import Counter
+
+        from pyspark.sql import Window
+
         rows = []
         for qname, terms in queries.items():
             for t, n in Counter(terms).items():
@@ -854,6 +885,67 @@ class Planner:
             .where(F.col("rank") <= k)
             .select("query", "rank", "docid", "score")
         )
+
+    # probe slice size for use_wand="auto" (per path); bounded below by
+    # batch size so tiny batches still split sanely
+    AUTO_PROBE = 48
+    # cached decisions expire after this many routed batches, so a
+    # long-lived server re-probes as the host window drifts
+    AUTO_REPROBE_EVERY = 64
+
+    def _batch_or_auto(
+        self, queries: dict[str, list[str]], k: int,
+        tstats: dict[str, "TermStats"],
+    ) -> DataFrame:
+        """Measured WAND/row path selection (see search_batch_or).  Probe
+        queries are REAL work — their results are returned as part of the
+        batch — so vs an oracle that knew the winner in advance the only
+        overhead is the probe slice on the losing path, paid once per
+        AUTO_REPROBE_EVERY batches."""
+        import time
+
+        dec = getattr(self, "_auto_decision", None)
+        if dec is not None and dec["age"] < self.AUTO_REPROBE_EVERY:
+            dec["age"] += 1
+            if dec["path"] == "wand":
+                return self._batch_wand(queries, k, tstats)
+            return self._batch_or_rows(queries, k, tstats)
+
+        names = list(queries)
+        p = min(self.AUTO_PROBE, len(names) // 4)
+        if p < 1:
+            # batch too small to probe meaningfully: fixed job cost
+            # dominates either way; take the single-join row plan and
+            # leave any cached decision untouched
+            return self._batch_or_rows(queries, k, tstats)
+        # interleaved slices: names[0,2,4..] vs names[1,3,5..] so an
+        # ordered batch (e.g. grouped by selectivity) can't bias one probe
+        wand_q = {n: queries[n] for n in names[0:2 * p:2]}
+        row_q = {n: queries[n] for n in names[1:2 * p:2]}
+        rest_q = {n: queries[n] for n in names[2 * p:]}
+
+        t0 = time.perf_counter()
+        wand_out = self._batch_wand(wand_q, k, tstats)  # eager (checkpointed)
+        wand_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        row_out = self._batch_or_rows(row_q, k, tstats).localCheckpoint(
+            eager=True
+        )
+        row_sec = time.perf_counter() - t0
+
+        path = "wand" if wand_sec <= row_sec else "row"
+        self._auto_decision = {
+            "path": path, "age": 0, "probe": p,
+            "wand_sec": round(wand_sec, 4), "row_sec": round(row_sec, 4),
+        }
+        out = wand_out.unionByName(row_out)
+        if rest_q:
+            rest = (
+                self._batch_wand(rest_q, k, tstats) if path == "wand"
+                else self._batch_or_rows(rest_q, k, tstats)
+            )
+            out = out.unionByName(rest)
+        return out
 
     @staticmethod
     def _as_weighted_or(query: ast.Node) -> dict[str, int] | None:
