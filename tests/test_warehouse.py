@@ -420,3 +420,102 @@ def test_batch_auto_path_selection_matches_row_path(spark, wh):
     small = {"s1": ["dup"], "s2": ["key"], "s3": ["line"]}
     pl.search_batch_or(small, k=5, use_wand="auto").collect()
     assert pl._auto_decision["age"] == 2
+
+
+# -- blocked payload v2 (doclen stream elided; blocks.py module docstring) ---
+
+
+@pytest.fixture(scope="module")
+def wh2(spark, corpus, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("wh2") / "index")
+    merge.build_warehouse(
+        spark, corpus, path, content_col="text", docid_col="docid",
+        n_ranges=4, block_size=16, payload_v=2,
+    )
+    return path
+
+
+def test_v2_blocked_smaller_and_selfdescribing(spark, wh, wh2):
+    """v2 blocks carry the payload_v marker, pack strictly fewer payload
+    bytes than v1 (the whole doclen stream), and decode to the same
+    postings (modulo the absent doclen column)."""
+    b1 = spark.read.parquet(os.path.join(wh, "blocked"))
+    b2 = spark.read.parquet(os.path.join(wh2, "blocked"))
+    assert "payload_v" not in b1.columns and "payload_v" in b2.columns
+    s1 = b1.agg(F.sum(F.length("payload"))).first()[0]
+    s2 = b2.agg(F.sum(F.length("payload"))).first()[0]
+    assert s2 < s1, (s1, s2)
+    p1 = sorted(
+        (r["term"], r["docid"], r["wdf"])
+        for r in unpack_blocks(b1).collect()
+    )
+    p2 = sorted(
+        (r["term"], r["docid"], r["wdf"])
+        for r in unpack_blocks(b2).collect()
+    )
+    assert p1 == p2
+    assert "doclen" not in unpack_blocks(b2).columns
+    # resume pin: the ranges meta records the committed payload version
+    assert merge._read_meta(wh2, "ranges")["payload_v"] == 2
+
+
+def test_v2_wand_matches_v1_and_brute(spark, wh, wh2):
+    """WAND over v2 blocks (candidate-scoped doclen join) must equal both
+    brute force over v2 and the v1 results, single-query and batched."""
+    from xapian_spark.query.planner import Planner
+
+    idx1 = merge.read_warehouse(spark, wh)
+    idx2 = merge.read_warehouse(spark, wh2)
+    w = BM25Weight()
+    for terms in (["dup"], ["dup", "vector"], ["scan", "key", "line"]):
+        tstats = idx2.collect_term_stats(terms)
+        got = sorted(
+            (r["docid"], round(r["score"], 9))
+            for r in wand_topk(idx2.blocked, idx2.stats, tstats, terms,
+                               10, w, doclens=idx2.doclens).collect()
+        )
+        brute = sorted(
+            (r["docid"], round(r["score"], 9))
+            for r in brute_topk(
+                idx2.blocked, idx2.stats, tstats, terms, 10, w,
+                doclens=idx2.doclens,
+            ).orderBy(F.desc("score"), F.asc("docid")).limit(10).collect()
+        )
+        v1 = sorted(
+            (r["docid"], round(r["score"], 9))
+            for r in wand_topk(idx1.blocked, idx1.stats, tstats, terms,
+                               10, w).collect()
+        )
+        assert got == brute == v1
+    # missing doclens raises loudly instead of silently misdecoding
+    with pytest.raises(ValueError, match="doclens"):
+        wand_topk(idx2.blocked, idx2.stats,
+                  idx2.collect_term_stats(["dup"]), ["dup"], 10, w)
+    # batch path (MaxScore + block-max) through the planner, which wires
+    # doclens automatically
+    queries = {
+        "q1": ["dup"], "q2": ["dup", "vector"],
+        "q3": ["batch", "small", "scan", "agg", "the"],
+        "q4": ["zzznothere"], "q5": ["dup", "dup", "fast"],
+    }
+    got_b = [
+        (r["query"], r["rank"], r["docid"], round(r["score"], 9))
+        for r in Planner(idx2).search_batch_or(queries, k=10, use_wand=True)
+        .orderBy("query", "rank").collect()
+    ]
+    want_b = [
+        (r["query"], r["rank"], r["docid"], round(r["score"], 9))
+        for r in Planner(idx1).search_batch_or(queries, k=10)
+        .orderBy("query", "rank").collect()
+    ]
+    assert got_b == want_b
+
+
+def test_v2_integrity_check(spark, corpus, wh2):
+    """verify_invariants' blocked-vs-runs invariant is version-agnostic
+    (posting count + wdf mass need no doclen stream), and the rest of the
+    whole-write-path check holds for a v2 warehouse."""
+    out = merge.verify_invariants(
+        spark, wh2, corpus, content_col="text", docid_col="docid"
+    )
+    assert all(v == 0 for v in out.values()), out

@@ -15,7 +15,10 @@ and a resumed build would skip committed stages and measure nothing).
 
 Run:  SPARK_GRAFT_AMPLIFY=800 python tools/scaling_warehouse.py
 Env:  SPARK_GRAFT_WH_TRIALS (default 2), SPARK_GRAFT_NRANGES (default 16),
-      SPARK_GRAFT_WH_DIR (scratch root, default /tmp/xs_whscale)
+      SPARK_GRAFT_WH_DIR (scratch root, default /tmp/xs_whscale),
+      SPARK_GRAFT_PAYLOAD_V (default 2: blocked payload v2 — no doclen
+      stream, ~1/3 fewer pack/decode bytes on the bandwidth-pinned
+      stage-2 range packs; set 1 to measure the legacy layout)
 """
 
 from __future__ import annotations
@@ -31,6 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 TRIALS = int(os.environ.get("SPARK_GRAFT_WH_TRIALS", "2"))
 N_RANGES = int(os.environ.get("SPARK_GRAFT_NRANGES", "16"))
 SCRATCH = os.environ.get("SPARK_GRAFT_WH_DIR", "/tmp/xs_whscale")
+PAYLOAD_V = int(os.environ.get("SPARK_GRAFT_PAYLOAD_V", "2"))
 
 
 def corpus_path() -> str:
@@ -88,7 +92,7 @@ def one_level(cores: int) -> dict:
         t0 = time.perf_counter()
         merge.build_warehouse(
             spark, docs, out, content_col="content", docid_col="docid",
-            n_ranges=N_RANGES,
+            n_ranges=N_RANGES, payload_v=PAYLOAD_V,
         )
         secs.append(round(time.perf_counter() - t0, 2))
         # per-stage decomposition from the commit markers (which stage
@@ -108,6 +112,7 @@ def one_level(cores: int) -> dict:
         "cores": cores,
         "n_docs": n_docs,
         "n_ranges": N_RANGES,
+        "payload_v": PAYLOAD_V,
         "build_wh_sec": best,
         "build_wh_secs_all": secs,
         "docs_per_sec": round(n_docs / best, 1),

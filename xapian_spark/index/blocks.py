@@ -18,12 +18,21 @@ Blocked table schema (one row per block):
   last_docid  long
   n           int      postings in block
   wdf_max     int      exact max wdf within block
-  payload     binary   vbyte([d0, delta1-1, ..., w0..wn-1, l0..ln-1])
+  payload     binary   v1: vbyte([d0, delta1-1, ..., w0..wn-1, l0..ln-1])
                        docid deltas, then wdfs, then doclens
+                       v2: vbyte([deltas..., wdfs...]) — NO doclen stream
+  payload_v   int      (v2 tables only; v1 tables lack the column, so a
+                       blocked table is self-describing)
 
-Doclens are denormalized into the payload so BM25 scoring from blocks
-needs no doclen join (same locality trick as the doclen postlist living
-in the postlist table, glass_postlist.h:53-56).
+Payload v1 denormalizes doclens into the payload so BM25 scoring from
+blocks needs no doclen join (locality trick).  Payload v2 follows glass
+instead: doclen lives ONCE per warehouse (the doclens table — glass
+keeps it in a separate postlist, pack.h:569-594, glass_postlist.h:53-56)
+and scoring joins it back for candidate docs only.  v2 cuts pack/decode/
+storage bytes by the whole doclen stream (~1/3 of payload ints, and
+doclens are the widest of the three streams), which matters exactly on
+the bandwidth-bound stages of a big build; the price is one
+candidate-scoped doclen join at query time (see query/wand.py).
 
 Encode/decode are vectorized numpy inside Arrow-batched mapInPandas —
 no per-row Python in the build or query hot path.
@@ -43,6 +52,12 @@ BLOCK_SCHEMA = (
     "term string, first_docid long, last_docid long, n int, "
     "wdf_max int, payload binary"
 )
+BLOCK_SCHEMA_V2 = BLOCK_SCHEMA + ", payload_v int"
+
+
+def block_schema(payload_v: int = 1) -> str:
+    return BLOCK_SCHEMA_V2 if payload_v == 2 else BLOCK_SCHEMA
+
 
 DEFAULT_BLOCK = 512  # postings per block (~ CHUNKSIZE=2000 bytes in glass)
 
@@ -181,6 +196,7 @@ def _pack_region(
     wdfs: np.ndarray,
     doclens: np.ndarray,
     block_size: int,
+    with_doclen: bool = True,
 ) -> tuple:
     """Vectorized pack of a (term, docid)-sorted posting region.
 
@@ -236,16 +252,19 @@ def _pack_region(
     d_enc[0] = docids[0]
     d_enc[1:] = (docids[1:] - docids[:-1] - 1).astype(np.uint64)
     d_enc[bs] = docids[bs].astype(np.uint64)
-    # one interleaved int array, per block [deltas..., wdfs..., doclens...]
+    # one interleaved int array, per block [deltas..., wdfs...(, doclens)]
+    # — v2 (with_doclen=False) omits the doclen stream entirely
+    s = 3 if with_doclen else 2
     row_block = np.repeat(np.arange(nblocks), nb)
     row_in_block = np.arange(n_rows) - bs[row_block]
-    out_base = np.concatenate(([0], np.cumsum(3 * nb)[:-1]))
+    out_base = np.concatenate(([0], np.cumsum(s * nb)[:-1]))
     pos = out_base[row_block] + row_in_block
     nb_here = nb[row_block]
-    ints = np.empty(3 * n_rows, dtype=np.uint64)
+    ints = np.empty(s * n_rows, dtype=np.uint64)
     ints[pos] = d_enc
     ints[pos + nb_here] = wdfs.astype(np.uint64)
-    ints[pos + 2 * nb_here] = doclens.astype(np.uint64)
+    if with_doclen:
+        ints[pos + 2 * nb_here] = doclens.astype(np.uint64)
     stream, nbytes = _vbyte_encode_with_lengths(ints)
     blk_bytes = np.add.reduceat(nbytes, out_base)
     offsets = np.concatenate(([0], np.cumsum(blk_bytes)))
@@ -298,6 +317,7 @@ def _pack_stream(
     batches: Iterator[tuple],
     block_size: int,
     flush_postings: int = CARRY_FLUSH_POSTINGS,
+    with_doclen: bool = True,
 ) -> Iterator[tuple]:
     """Drive _pack_region over a stream of (term, docid, wdf, doclen)
     batches (term column: pyarrow string Array or numpy object array),
@@ -334,7 +354,8 @@ def _pack_stream(
         while cut > 0 and d[cut] == d[cut - 1]:
             cut -= block_size
         if cut > 0:
-            yield _pack_region(*_slice4(run, 0, cut), block_size)
+            yield _pack_region(*_slice4(run, 0, cut), block_size,
+                               with_doclen=with_doclen)
             run = _slice4(run, cut)
         pend, pend_rows = [run], len(run[1])
 
@@ -345,7 +366,8 @@ def _pack_stream(
             continue
         if pend and _first_term(batch) != pend_term:
             # the pending run is complete — pack it on its own
-            yield _pack_region(*_concat4(pend), block_size)
+            yield _pack_region(*_concat4(pend), block_size,
+                               with_doclen=with_doclen)
             pend, pend_rows = [], 0
         changes = np.nonzero(_term_changes(terms))[0]
         if len(changes) == 0:
@@ -356,7 +378,8 @@ def _pack_stream(
         else:
             cut = int(changes[-1]) + 1
             yield _pack_region(
-                *_concat4(pend + [_slice4(batch, 0, cut)]), block_size
+                *_concat4(pend + [_slice4(batch, 0, cut)]), block_size,
+                with_doclen=with_doclen,
             )
             tail = _slice4(batch, cut)
             pend, pend_rows = [tail], n - cut
@@ -364,7 +387,8 @@ def _pack_stream(
         if pend_rows >= flush_postings:
             yield from flush_aligned(_concat4(pend))
     if pend:
-        yield _pack_region(*_concat4(pend), block_size)
+        yield _pack_region(*_concat4(pend), block_size,
+                           with_doclen=with_doclen)
 
 
 def _np_int(col: np.ndarray | pd.Series) -> np.ndarray:
@@ -372,23 +396,28 @@ def _np_int(col: np.ndarray | pd.Series) -> np.ndarray:
     return a.astype(np.int64, copy=False)
 
 
-def pack_blocks_arrow(block_size: int = DEFAULT_BLOCK):
+def pack_blocks_arrow(block_size: int = DEFAULT_BLOCK, payload_v: int = 1):
     """mapInArrow fn over (term, docid, wdf, doclen) sorted by (term, docid)
     within each partition: emits block rows as Arrow RecordBatches.
 
     The payload binary column is built directly from the packed byte stream
     + offsets pair (pa.BinaryArray.from_buffers) — zero per-block Python.
+    payload_v=2 omits the doclen stream (see module docstring) and appends
+    the constant payload_v marker column.
     """
     import pyarrow as pa
 
-    schema = pa.schema([
+    fields = [
         ("term", pa.string()),
         ("first_docid", pa.int64()),
         ("last_docid", pa.int64()),
         ("n", pa.int32()),
         ("wdf_max", pa.int32()),
         ("payload", pa.binary()),
-    ])
+    ]
+    if payload_v == 2:
+        fields.append(("payload_v", pa.int32()))
+    schema = pa.schema(fields)
 
     def pack(batches) -> Iterator["pa.RecordBatch"]:
         def np_batches():
@@ -403,24 +432,27 @@ def pack_blocks_arrow(block_size: int = DEFAULT_BLOCK):
                 )
 
         for tpb, first, last, nb, wmax, stream, offs in _pack_stream(
-            np_batches(), block_size
+            np_batches(), block_size, with_doclen=payload_v != 2
         ):
             payload = pa.Array.from_buffers(
                 pa.binary(), len(tpb),
                 [None, pa.py_buffer(offs.astype(np.int32).tobytes()),
                  pa.py_buffer(stream.tobytes())],
             )
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(tpb, type=pa.string()),
-                    pa.array(first, type=pa.int64()),
-                    pa.array(last, type=pa.int64()),
-                    pa.array(nb.astype(np.int32), type=pa.int32()),
-                    pa.array(wmax.astype(np.int32), type=pa.int32()),
-                    payload,
-                ],
-                schema=schema,
-            )
+            arrays = [
+                pa.array(tpb, type=pa.string()),
+                pa.array(first, type=pa.int64()),
+                pa.array(last, type=pa.int64()),
+                pa.array(nb.astype(np.int32), type=pa.int32()),
+                pa.array(wmax.astype(np.int32), type=pa.int32()),
+                payload,
+            ]
+            if payload_v == 2:
+                arrays.append(
+                    pa.array(np.full(len(tpb), 2, dtype=np.int32),
+                             type=pa.int32())
+                )
+            yield pa.RecordBatch.from_arrays(arrays, schema=schema)
 
     return pack
 
@@ -463,6 +495,7 @@ def pack_blocks(
     postings: DataFrame,
     block_size: int = DEFAULT_BLOCK,
     num_ranges: int | None = None,
+    payload_v: int = 1,
 ) -> DataFrame:
     """(term, docid, wdf, doclen) -> blocked table.
 
@@ -477,7 +510,9 @@ def pack_blocks(
         postings.select("term", "docid", "wdf", "doclen")
         .repartitionByRange(int(parts), "term", "docid")
         .sortWithinPartitions("term", "docid")
-        .mapInArrow(pack_blocks_arrow(block_size), BLOCK_SCHEMA)
+        .mapInArrow(
+            pack_blocks_arrow(block_size, payload_v), block_schema(payload_v)
+        )
     )
 
 
@@ -489,16 +524,23 @@ def _decode_block_batch(batch: pd.DataFrame) -> dict[str, np.ndarray]:
     numpy segment arithmetic — no per-block Python loop in the query hot
     path (the glass cursor decodes chunk-at-a-time, glass_postlist.cc:
     219-329; we decode batch-at-a-time).
+
+    Payload-version aware: v2 batches (payload_v column present) carry no
+    doclen stream, and the returned dict has no "doclen" key.  A batch is
+    all-v1 or all-v2 (the column is table-constant; mixed tables are not
+    constructed anywhere).
     """
+    v2 = "payload_v" in batch.columns
+    s = 2 if v2 else 3
     ns = batch["n"].to_numpy(np.int64)
     ints = vbyte_decode(b"".join(batch["payload"]))
     nblocks = len(ns)
     total = int(ns.sum())
-    # flat layout per block i: [deltas(n_i), wdfs(n_i), doclens(n_i)]
+    # flat layout per block i: [deltas(n_i), wdfs(n_i)(, doclens(n_i))]
     starts3 = np.zeros(nblocks, dtype=np.int64)
     pstarts = np.zeros(nblocks, dtype=np.int64)
     if nblocks > 1:
-        np.cumsum(3 * ns[:-1], out=starts3[1:])
+        np.cumsum(s * ns[:-1], out=starts3[1:])
         np.cumsum(ns[:-1], out=pstarts[1:])
     block_of = np.repeat(np.arange(nblocks), ns)
     within = np.arange(total, dtype=np.int64) - pstarts[block_of]
@@ -506,62 +548,69 @@ def _decode_block_batch(batch: pd.DataFrame) -> dict[str, np.ndarray]:
     n_rep = ns[block_of]
     deltas = ints[delta_idx].astype(np.int64)
     wdfs = ints[delta_idx + n_rep].astype(np.int64)
-    doclens = ints[delta_idx + 2 * n_rep].astype(np.int64)
     # docid reconstruction: within a block d = segmented_cumsum(delta+1) - 1
     c = np.cumsum(deltas + 1)
     seg_base = np.zeros(nblocks, dtype=np.int64)
     if nblocks > 1:
         seg_base[1:] = c[pstarts[1:] - 1]
     docids = c - seg_base[block_of] - 1
-    return {
+    out = {
         "term": np.repeat(batch["term"].to_numpy(), ns),
         "first_docid": np.repeat(
             batch["first_docid"].to_numpy(np.int64), ns
         ),
         "docid": docids,
         "wdf": wdfs,
-        "doclen": doclens,
     }
+    if not v2:
+        out["doclen"] = ints[delta_idx + 2 * n_rep].astype(np.int64)
+    return out
 
 
-def unpack_blocks_udf():
-    """mapInPandas fn: block rows -> (term, docid, wdf, doclen) postings."""
+def unpack_blocks_udf(with_doclen: bool = True):
+    """mapInPandas fn: block rows -> (term, docid, wdf[, doclen]) postings
+    (doclen only for v1 payloads — pass with_doclen=False for v2)."""
+    out_cols = ["term", "docid", "wdf"] + (["doclen"] if with_doclen else [])
 
     def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             if batch.empty:
                 continue
             cols = _decode_block_batch(batch)
-            yield pd.DataFrame(
-                {
-                    "term": cols["term"],
-                    "docid": cols["docid"],
-                    "wdf": cols["wdf"],
-                    "doclen": cols["doclen"],
-                }
-            )
+            yield pd.DataFrame({c: cols[c] for c in out_cols})
 
     return unpack
 
 
 def unpack_blocks(blocked: DataFrame) -> DataFrame:
-    return blocked.mapInPandas(
-        unpack_blocks_udf(), "term string, docid long, wdf int, doclen long"
+    """Block rows -> posting rows.  Version-aware: a v2 table (payload_v
+    column present) decodes to (term, docid, wdf) — no doclen stream
+    exists; callers needing doclen join the warehouse doclens table,
+    candidate-scoped (query/wand.py)."""
+    v2 = "payload_v" in blocked.columns
+    schema = "term string, docid long, wdf int" + (
+        "" if v2 else ", doclen long"
     )
+    return blocked.mapInPandas(unpack_blocks_udf(with_doclen=not v2), schema)
 
 
 def unpack_blocks_keyed(blocked: DataFrame) -> DataFrame:
     """Like unpack_blocks but keeps the block key (first_docid) on every
     posting row, so postings can be joined back to per-query surviving-
     block sets (the batched block-max path, query/wand.py)."""
+    v2 = "payload_v" in blocked.columns
+    out_cols = ["term", "first_docid", "docid", "wdf"] + (
+        [] if v2 else ["doclen"]
+    )
+    schema = "term string, first_docid long, docid long, wdf int" + (
+        "" if v2 else ", doclen long"
+    )
 
     def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             if batch.empty:
                 continue
-            yield pd.DataFrame(_decode_block_batch(batch))
+            cols = _decode_block_batch(batch)
+            yield pd.DataFrame({c: cols[c] for c in out_cols})
 
-    return blocked.mapInPandas(
-        unpack,
-        "term string, first_docid long, docid long, wdf int, doclen long",
-    )
+    return blocked.mapInPandas(unpack, schema)

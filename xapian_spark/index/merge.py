@@ -47,7 +47,11 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from xapian_spark.index.blocks import DEFAULT_BLOCK, pack_blocks_arrow
+from xapian_spark.index.blocks import (
+    DEFAULT_BLOCK,
+    block_schema,
+    pack_blocks_arrow,
+)
 from xapian_spark.index.builder import InvertedIndex, _right_size, invert_arrow
 from xapian_spark.ranking.weights import GlobalStats, TermStats
 
@@ -88,6 +92,7 @@ def build_warehouse(
     docdata: str = "copy",
     docdata_source: str | None = None,
     docdata_source_docid_col: str | None = None,
+    payload_v: int = 1,
 ) -> None:
     """Build (or RESUME building) the on-disk index warehouse at `path`.
 
@@ -103,6 +108,12 @@ def build_warehouse(
 
     stop_after_range: test hook — abort after committing that many stage-2
     ranges, simulating a mid-build failure for resumability tests.
+    payload_v: blocked payload format — 1 (default) packs doclen into
+    every block; 2 omits the doclen stream (doclens live once in the
+    warehouse doclens table and scoring joins them back candidate-scoped,
+    blocks.py module docstring), cutting pack/decode/storage bytes on the
+    bandwidth-bound stage-2 pack.  Readers auto-detect the version from
+    the blocked table's payload_v column.
     concurrent_ranges: how many independent range-merge jobs to keep in
     flight (see the stage-2 comment in _stages_1_to_3).  None (default)
     scales with the cluster — cores/4, floored at 4 — because a fixed
@@ -193,6 +204,7 @@ def build_warehouse(
         spark, path, mode=mode, n_ranges=n_ranges, block_size=block_size,
         stop_after_range=stop_after_range,
         concurrent_ranges=concurrent_ranges,
+        payload_v=payload_v,
     )
 
 
@@ -284,6 +296,7 @@ def _stages_1_to_3(
     block_size: int = DEFAULT_BLOCK,
     stop_after_range: int | None = None,
     concurrent_ranges: int | None = None,
+    payload_v: int = 1,
 ) -> None:
     """Stages 1-3 over an existing {path}/termlists table (used by the
     batch build and by streaming compaction, streaming/incremental.py)."""
@@ -319,10 +332,16 @@ def _stages_1_to_3(
         marks = _mass_boundaries(postings.select("term"), n_ranges)
         _commit(path, "ranges", {
             "stage": 1, "boundaries": marks, "n_ranges": len(marks) + 1,
+            "payload_v": payload_v,
         })
 
-    marks = _read_meta(path, "ranges")["boundaries"]
+    _rmeta = _read_meta(path, "ranges")
+    marks = _rmeta["boundaries"]
     n_eff = len(marks) + 1
+    # a RESUMED build must pack with the version the first run committed —
+    # mixing formats across ranges would corrupt reads (decoders detect
+    # the version per table, not per range)
+    payload_v = _rmeta.get("payload_v", 1)
 
     # -- stage 1b: sorted term-major runs, range-aligned layout --------------
     # The ONLY shuffle of the full posting table.  partitionBy(range_id)
@@ -392,10 +411,10 @@ def _stages_1_to_3(
         obs = Observation(f"range_{i}_stats")
         blocked = (
             part.sortWithinPartitions("term", "docid")
-            .mapInArrow(pack_blocks_arrow(block_size), (
-                "term string, first_docid long, last_docid long, n int, "
-                "wdf_max int, payload binary"
-            ))
+            .mapInArrow(
+                pack_blocks_arrow(block_size, payload_v),
+                block_schema(payload_v),
+            )
             .observe(
                 obs,
                 F.count(F.lit(1)).alias("blocks"),

@@ -833,6 +833,7 @@ class Planner:
         return batch_wand_topk(
             self.index.blocked, self.index.stats, tstats, queries, k,
             self.weight, postings=self.index.postings,
+            doclens=self.index.doclens,
         )
 
     def _batch_or_rows(
@@ -988,6 +989,7 @@ class Planner:
             matches = wand_topk(
                 self.index.blocked, self.index.stats, tstats, terms,
                 offset + k, self.weight, wqf=wqf_or,
+                doclens=self.index.doclens,
             )
         else:
             matches = self.plan(query)

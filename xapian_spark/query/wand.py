@@ -57,6 +57,7 @@ def wand_topk(
     weight: Weight,
     wqf: dict[str, int] | None = None,
     max_broadcast_candidates: int = 200_000,
+    doclens: DataFrame | None = None,
 ) -> DataFrame:
     """Exact BM25 top-k for a weighted-OR query over blocked postings.
 
@@ -83,6 +84,13 @@ def wand_topk(
             f"{type(weight).__name__} needs the per-doc uniqterms stat, "
             "which blocked postings do not carry; use Planner.search"
         )
+    # payload v2: blocks carry no doclen stream — scoring joins the
+    # warehouse doclens table back in, candidate-scoped (blocks.py module
+    # docstring; the glass separate-doclen-postlist layout)
+    v2 = "payload_v" in blocked.columns
+    if v2 and doclens is None:
+        raise ValueError("payload v2 blocked table requires doclens")
+    dl = doclens.select("docid", "doclen") if v2 else None
     tws = {}
     for t in terms:
         ts = tstats.get(t)
@@ -106,6 +114,8 @@ def wand_topk(
     qlen = sum(wqf.get(t, 1) for t in terms)
     t_star = max(live, key=lambda t: maxparts[t])
     star = unpack_blocks(qblocks.where(F.col("term") == t_star))
+    if v2:
+        star = star.join(dl, "docid")
     star_lb = (
         tws[t_star].sumpart_expr(F.col("wdf"), F.col("doclen"))
         + weight.sumextra_expr(F.col("doclen"), qlen, stats)
@@ -153,6 +163,15 @@ def wand_topk(
         # unbounded.  Decode the query's blocks once and shuffle-semi-join
         # on docid equality (hash-partitionable at any scale).
         post = unpack_blocks(qblocks).join(cands, "docid", "left_semi")
+    if v2:
+        # v2 doclen attach, candidate-scoped: a small candidate set
+        # broadcasts its (docid, doclen) slice; a big one falls back to a
+        # shuffled equality join (same gating as the fetch above)
+        if n_cands <= max_broadcast_candidates:
+            cand_dl = dl.join(F.broadcast(cands), "docid", "left_semi")
+            post = post.join(F.broadcast(cand_dl), "docid")
+        else:
+            post = post.join(dl, "docid")
 
     sumpart = None
     for t in live:
@@ -192,6 +211,7 @@ def brute_topk(
     k: int,
     weight: Weight,
     wqf: dict[str, int] | None = None,
+    doclens: DataFrame | None = None,
 ) -> DataFrame:
     """No-pruning twin of wand_topk (equivalence oracle for safety tests)."""
     wqf = wqf or {}
@@ -209,6 +229,10 @@ def brute_topk(
         )
     live = sorted(tws)
     post = unpack_blocks(blocked.where(F.col("term").isin(live)))
+    if "payload_v" in blocked.columns:
+        if doclens is None:
+            raise ValueError("payload v2 blocked table requires doclens")
+        post = post.join(doclens.select("docid", "doclen"), "docid")
     sumpart = None
     for t in live:
         part_expr = tws[t].sumpart_expr(F.col("wdf"), F.col("doclen"))
@@ -234,6 +258,7 @@ def batch_wand_topk(
     weight: Weight,
     max_broadcast_candidates: int = 500_000,
     postings: DataFrame | None = None,
+    doclens: DataFrame | None = None,
 ) -> DataFrame:
     """Threshold-aware BATCH serving over blocked postings: exact per-query
     BM25 top-k for many weighted-OR queries in one plan.
@@ -300,6 +325,12 @@ def batch_wand_topk(
     empty = spark.createDataFrame(
         [], "query string, rank int, docid long, score double"
     )
+    # payload v2: no doclen stream in blocks — scoring joins the doclens
+    # table back in, candidate-scoped (see wand_topk / blocks.py)
+    v2 = "payload_v" in blocked.columns
+    if v2 and doclens is None:
+        raise ValueError("payload v2 blocked table requires doclens")
+    dl = doclens.select("docid", "doclen") if v2 else None
     dl_lb = stats.doclen_lower_bound
 
     shape = None          # shared k1/b/len_factor/min_normlen constants
@@ -374,6 +405,8 @@ def batch_wand_topk(
         star_posts = unpack_blocks(
             blocked.where(F.col("term").isin(star_terms))
         )
+        if v2:
+            star_posts = star_posts.join(dl, "docid")
     wq = Window.partitionBy("term", "tw").orderBy(F.desc("s"))
     _diag = bool(os.environ.get("WAND_DIAG"))  # phase timing for perf work
     _t0 = time.perf_counter()
@@ -452,12 +485,28 @@ def batch_wand_topk(
     posts = unpack_blocks_keyed(
         blocked.join(sel_blocks, ["term", "first_docid"], "left_semi")
     )
-    if non_rows:
-        # posts feeds both the per-query scoring join and the candidate
-        # docset — cache the (small, selective-by-design) decoded essential
-        # postings rather than their |queries|-times-larger scored join
+    if non_rows or v2:
+        # posts feeds the per-query scoring join plus the candidate
+        # docset (and, for v2, the doclen attach) — cache the (small,
+        # selective-by-design) decoded essential postings rather than
+        # their |queries|-times-larger scored join
         posts = posts.persist()
-    ess_scored = posts.join(surviving, ["term", "first_docid"]).select(
+    docset = (
+        posts.select("docid").distinct() if (non_rows or v2) else None
+    )
+    cand_dl = None
+    if v2:
+        # v2 doclen attach for the candidate docset only: the driver-side
+        # bound est_cands gates broadcast vs shuffled equality join —
+        # never an unbounded broadcast
+        if est_cands <= max_broadcast_candidates:
+            cand_dl = dl.join(F.broadcast(docset), "docid", "left_semi")
+            sposts = posts.join(F.broadcast(cand_dl), "docid")
+        else:
+            sposts = posts.join(dl, "docid")
+    else:
+        sposts = posts
+    ess_scored = sposts.join(surviving, ["term", "first_docid"]).select(
         "query", "docid",
         _sumpart(F.col("tw"), F.col("wdf"), F.col("doclen")).alias("part"),
     )
@@ -473,7 +522,6 @@ def batch_wand_topk(
         # non-essential prefix sum < T_q, so it ranks strictly below every
         # true top-k member (there are >= k docs scoring >= T_q whenever
         # T_q > 0, and T_q = 0 puts every term in the essential set).
-        docset = posts.select("docid").distinct()
         qt_non = spark.createDataFrame(
             non_rows, "query string, term string, tw double"
         )
@@ -499,6 +547,13 @@ def batch_wand_topk(
             non_posts = unpack_blocks(non_blocked).join(
                 docset, "docid", "left_semi"
             )
+        if v2:
+            # every non_posts docid is in docset (semi-joined above), so
+            # the candidate-scoped doclen slice covers it
+            if cand_dl is not None:
+                non_posts = non_posts.join(F.broadcast(cand_dl), "docid")
+            else:
+                non_posts = non_posts.join(dl, "docid")
         # candidate postings x the tiny (query, term, tw) broadcast:
         # aggregate input is proportional to |candidate docs| x query
         # terms, never postings x queries
@@ -509,8 +564,6 @@ def batch_wand_topk(
             ),
         )
         scored_parts.append(non_scored)
-    else:
-        docset = None
 
     scored = (
         scored_parts[0] if len(scored_parts) == 1
@@ -532,6 +585,6 @@ def batch_wand_topk(
     if _diag:
         print("\nDIAG main_job_sec", round(time.perf_counter() - _t0, 2))
     surviving.unpersist()
-    if docset is not None:
+    if non_rows or v2:
         posts.unpersist()
     return out
