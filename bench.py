@@ -170,9 +170,13 @@ def run_ann(spark, sf_dir, k: int = 10, n_queries: int = 32):
     brute-force cosine top-k on the same embeddings table.  Quality is a
     first-class bench output — an ANN path that is fast but blind is not
     'done'."""
+    import shutil
+    import tempfile
+
     from xapian_spark.ops.similarity import (
+        build_ivf_index,
         cosine_topk,
-        ivf_cosine_topk,
+        ivf_search,
         lsh_cosine_topk,
     )
 
@@ -193,19 +197,35 @@ def run_ann(spark, sf_dir, k: int = 10, n_queries: int = 32):
     results = {"n_vectors": n_vecs, "n_queries": n_queries, "k": k,
                "exact_sec": round(exact_sec, 3),
                "recall_floor": recall_floor,
-               "note": ("ivf sec includes k-means training (a real deployment "
-                        "trains once and persists cell assignments); lsh uses "
-                        "corpus-adaptive plane count + multiprobe radius")}
-    # ivf: nprobe=8/16 cells is the recall>=floor operating point on this
-    # corpus (recall@10 0.75/0.85/0.91 at nprobe 4/6/8); at real scale
-    # n_cells grows ~sqrt(N) and the probed FRACTION shrinks accordingly
+               "note": ("ivf is the deployment shape: build_ivf_index "
+                        "trains + persists ONCE (build_sec, paid once per "
+                        "corpus revision), ivf_search serves from the "
+                        "partitioned layout (sec = per-batch serving "
+                        "cost); lsh uses corpus-adaptive plane count + "
+                        "multiprobe radius")}
+    # ivf deployment shape: train + persist once (build_ivf_index), then
+    # bench ivf_search alone — the cost a serving deployment pays per
+    # query batch (the persisted partitionBy(cell) layout prunes the scan
+    # to nprobe/n_cells of the files).  nprobe=8/16 cells is the
+    # recall>=floor operating point on this corpus (recall@10
+    # 0.75/0.85/0.91 at nprobe 4/6/8); at real scale n_cells grows
+    # ~sqrt(N) and the probed FRACTION shrinks accordingly.
+    ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_")
+    t0 = time.perf_counter()
+    build_ivf_index(vecs, ivf_dir, n_cells=16)
+    ivf_build_sec = time.perf_counter() - t0
     for name, fn in (
-        ("ivf", lambda: ivf_cosine_topk(vecs, queries, k=k, nprobe=8)),
+        ("ivf", lambda: ivf_search(spark, ivf_dir, queries, k=k, nprobe=8)),
         ("lsh", lambda: lsh_cosine_topk(vecs, queries, k=k)),
     ):
-        t0 = time.perf_counter()
-        approx = topk_sets(fn())
-        sec = time.perf_counter() - t0
+        # two passes, min — steady-state serving discipline (first pass
+        # pays file listing / JIT warm-up)
+        sec, approx = None, None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            approx = topk_sets(fn())
+            sec = min(s for s in (sec, time.perf_counter() - t0)
+                      if s is not None)
         recalls = [
             len(approx.get(q, set()) & nb) / len(nb)
             for q, nb in exact.items()
@@ -216,6 +236,8 @@ def run_ann(spark, sf_dir, k: int = 10, n_queries: int = 32):
             "recall_at_k": recall,
             "floor_met": recall >= recall_floor,
         }
+    results["ivf"]["build_sec"] = round(ivf_build_sec, 3)
+    shutil.rmtree(ivf_dir, ignore_errors=True)
     vecs.unpersist()
     return results
 
