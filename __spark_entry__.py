@@ -47,7 +47,12 @@ it (multidb_search: the reference's interleaved docid remap over two
 independently-built shards with exactly-combined stats), and put the
 multi-source Compactor under it (compact_search: two shard warehouses
 compacted with contiguous renumbering must serve byte-identically to a
-direct build — the plain prelude is the oracle).  Every
+direct build — the plain prelude is the oracle).  Positions 93-94 are
+round-5 additions: multiword_synonym_search (FLAG_AUTO_MULTIWORD_SYNONYMS
+parser walk feeding the OP_SYNONYM pseudo-term scorer) and
+pipeline_compose (dedup_exact -> decontaminate -> quality_filter ->
+stratified_sample -> mix_report chained as DataFrame stages, the oracle
+replaying the chain as one CTE pipeline).  Every
 entry carries a value-hash oracle; the only implemented operator
 intentionally absent is diversify_rerank (iterative GLS with unbounded
 hill-climb rounds — no faithful SQL replay exists; pytest-covered in

@@ -113,8 +113,9 @@ def run_batch_wand(idx, n_queries: int = 500):
     win shows (selective anchor -> high thresholds -> most (query, block)
     pairs pruned before payload decode).  Also times use_wand="auto"
     (measured adaptive routing — the serving default) cold (with probe)
-    and steady-state (cached winner).  Returns (n, wand_sec, row_sec,
-    auto_cold_sec, auto_steady_sec, chosen_path).
+    and steady-state (cached winner), plus the same WAND workload over a
+    payload-v2 blocked table.  Returns (n, wand_sec, row_sec,
+    auto_cold_sec, auto_steady_sec, chosen_path, wand_v2_sec).
     """
     import random
 
@@ -149,6 +150,21 @@ def run_batch_wand(idx, n_queries: int = 500):
 
     wand_sec = timed(use_wand=True)
     row_sec = timed()
+    # same WAND workload over blocked payload v2 (no doclen stream;
+    # candidate-scoped doclen join at scoring) — evidence the ~1/3
+    # pack/decode byte cut does not regress the serving path
+    import dataclasses
+
+    blocked2 = pack_blocks(idx.postings, payload_v=2).persist()
+    blocked2.count()
+    pl_v2 = Planner(dataclasses.replace(idx, blocked=blocked2))
+    secs2 = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        pl_v2.search_batch_or(qs, k=10, use_wand=True).count()
+        secs2.append(time.perf_counter() - t0)
+    wand_v2_sec = min(secs2)
+    blocked2.unpersist()
     # the production setting: measured adaptive routing.  First call
     # probes both paths (cold), later batches ride the cached winner —
     # auto_steady_sec is the steady-state serving rate (== the winner's),
@@ -161,7 +177,7 @@ def run_batch_wand(idx, n_queries: int = 500):
     auto_steady_sec = timed(use_wand="auto")
     chosen = pl._auto_decision["path"]
     return (n_queries, wand_sec, row_sec, auto_cold_sec, auto_steady_sec,
-            chosen)
+            chosen, wand_v2_sec)
 
 
 def run_ann(spark, sf_dir, k: int = 10, n_queries: int = 32):
@@ -481,10 +497,11 @@ def main():
     # set (at the raw 5k-doc SF the comparison only measures fixed job
     # costs, which the simpler row plan always wins)
     (n_w, wand_sec, row_sec, auto_cold, auto_steady,
-     auto_chosen) = run_batch_wand(aidx)
+     auto_chosen, wand_v2_sec) = run_batch_wand(aidx)
     result["batch_wand"] = {
         "queries": n_w,
         "wand_qps": round(n_w / wand_sec, 1),
+        "wand_v2_qps": round(n_w / wand_v2_sec, 1),
         "row_postings_qps": round(n_w / row_sec, 1),
         # the serving default: measured adaptive routing (probe both
         # paths once, cache the winner) — steady == the winner's rate in

@@ -424,11 +424,23 @@ def pack_blocks_arrow(block_size: int = DEFAULT_BLOCK, payload_v: int = 1):
             for rb in batches:
                 cols = {name: rb.column(i) for i, name in
                         enumerate(rb.schema.names)}
+                wdfs = _np_int(cols["wdf"].to_numpy(zero_copy_only=False))
+                if payload_v == 2:
+                    # v2 never encodes doclens: don't even require (or
+                    # convert) the column — the caller's projection can
+                    # prune it from the parquet scan.  The wdf array
+                    # stands in as a zero-cost placeholder for the
+                    # 4-tuple slicing helpers; _pack_region ignores it.
+                    lens = wdfs
+                else:
+                    lens = _np_int(
+                        cols["doclen"].to_numpy(zero_copy_only=False)
+                    )
                 yield (
                     cols["term"],  # stays Arrow: no per-posting PyObjects
                     _np_int(cols["docid"].to_numpy(zero_copy_only=False)),
-                    _np_int(cols["wdf"].to_numpy(zero_copy_only=False)),
-                    _np_int(cols["doclen"].to_numpy(zero_copy_only=False)),
+                    wdfs,
+                    lens,
                 )
 
         for tpb, first, last, nb, wmax, stream, offs in _pack_stream(
@@ -506,8 +518,9 @@ def pack_blocks(
     parts = num_ranges or postings.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
     )
+    cols = ["term", "docid", "wdf"] + (["doclen"] if payload_v == 1 else [])
     return (
-        postings.select("term", "docid", "wdf", "doclen")
+        postings.select(*cols)
         .repartitionByRange(int(parts), "term", "docid")
         .sortWithinPartitions("term", "docid")
         .mapInArrow(

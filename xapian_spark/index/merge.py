@@ -401,9 +401,13 @@ def _stages_1_to_3(
         # sortWithinPartitions is a partition-LOCAL sort (no exchange) —
         # insurance against Spark's size-ordered file bin-packing
         # concatenating two sorted files out of term order.
-        part = runs.where(F.col("range_id") == i).select(
-            "term", "docid", "wdf", "doclen"
+        # v2 payloads never encode doclen: prune it from the range scan
+        # (8 fewer bytes/posting read + no Arrow conversion on the exact
+        # stage the DRAM ceiling pins)
+        pack_cols = ["term", "docid", "wdf"] + (
+            ["doclen"] if payload_v == 1 else []
         )
+        part = runs.where(F.col("range_id") == i).select(*pack_cols)
         # range stats ride the WRITE job as an Observation instead of a
         # second full read of the blocked output — per range that halves
         # the blocked-parquet I/O and removes a whole job barrier (the
