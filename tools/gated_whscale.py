@@ -30,6 +30,13 @@ LOG = os.environ.get("GATED_WH_LOG", "/tmp/whscale_gated.jsonl")
 MAX_ATTEMPTS = int(os.environ.get("GATED_WH_ATTEMPTS", "4"))
 MIN_SPEEDUP = float(os.environ.get("GATED_WH_MIN_SPEEDUP", "27"))
 MAX_STEAL = float(os.environ.get("GATED_WH_MAX_STEAL", "2.5"))
+# ABSOLUTE single-thread throughput floor: round-5 attempt 2 ran inside a
+# window where the solo spinner hit 6072 iters/6s (clean history:
+# ~10.8-11.6k) while RELATIVE speedup and steal both looked clean — the
+# whole host was running ~45% slow (throttle/neighbor pattern invisible
+# to the steal counter), and the 32c level measured slower than 8c.
+# Gate on the absolute number too, pre AND post.
+MIN_SOLO = float(os.environ.get("GATED_WH_MIN_SOLO", "10000"))
 TARGET_EFF = float(os.environ.get("GATED_WH_TARGET_EFF", "0.6"))
 PROBE_RETRY_SEC = int(os.environ.get("GATED_WH_PROBE_RETRY", "180"))
 
@@ -55,6 +62,7 @@ def window_clean(p: dict) -> bool:
     return (
         p.get("speedup_32way", 0) >= MIN_SPEEDUP
         and p.get("steal_pct_of_capacity", 100) <= MAX_STEAL
+        and p.get("solo_iters_6s", 0) >= MIN_SOLO
     )
 
 
