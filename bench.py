@@ -115,7 +115,7 @@ def run_batch_wand(idx, n_queries: int = 500):
     (measured adaptive routing — the serving default) cold (with probe)
     and steady-state (cached winner), plus the same WAND workload over a
     payload-v2 blocked table.  Returns (n, wand_sec, row_sec,
-    auto_cold_sec, auto_steady_sec, chosen_path, wand_v2_sec).
+    auto_explore_secs, auto_steady_sec, chosen_path, wand_v2_sec).
     """
     import random
 
@@ -165,18 +165,22 @@ def run_batch_wand(idx, n_queries: int = 500):
         secs2.append(time.perf_counter() - t0)
     wand_v2_sec = min(secs2)
     blocked2.unpersist()
-    # the production setting: measured adaptive routing.  First call
-    # probes both paths (cold), later batches ride the cached winner —
-    # auto_steady_sec is the steady-state serving rate (== the winner's),
-    # auto_cold_sec includes the probe-on-loser overhead paid once per
-    # reprobe interval.
+    # the production setting: measured adaptive routing
+    # (explore-then-commit across batches).  Batch 1 serves via WAND,
+    # batch 2 via row — both timed at full scale — then every later
+    # batch rides the measured winner; auto_steady_sec is that
+    # steady-state rate (== the winner's rate in THIS window), and the
+    # exploration cost is one full batch on the loser per reprobe
+    # interval.
     pl._auto_decision = None
-    t0 = time.perf_counter()
-    pl.search_batch_or(qs, k=10, use_wand="auto").count()
-    auto_cold_sec = time.perf_counter() - t0
+    explore = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        pl.search_batch_or(qs, k=10, use_wand="auto").count()
+        explore.append(time.perf_counter() - t0)
     auto_steady_sec = timed(use_wand="auto")
     chosen = pl._auto_decision["path"]
-    return (n_queries, wand_sec, row_sec, auto_cold_sec, auto_steady_sec,
+    return (n_queries, wand_sec, row_sec, explore, auto_steady_sec,
             chosen, wand_v2_sec)
 
 
@@ -496,7 +500,7 @@ def main():
     # decode-volume win needs an index meaningfully bigger than the matched
     # set (at the raw 5k-doc SF the comparison only measures fixed job
     # costs, which the simpler row plan always wins)
-    (n_w, wand_sec, row_sec, auto_cold, auto_steady,
+    (n_w, wand_sec, row_sec, auto_explore, auto_steady,
      auto_chosen, wand_v2_sec) = run_batch_wand(aidx)
     result["batch_wand"] = {
         "queries": n_w,
@@ -508,7 +512,7 @@ def main():
         # THIS window, cold pays the probe-on-loser overhead once per
         # reprobe interval
         "auto_qps_steady": round(n_w / auto_steady, 1),
-        "auto_qps_cold": round(n_w / auto_cold, 1),
+        "auto_explore_secs": [round(s, 3) for s in auto_explore],
         "auto_chosen": auto_chosen,
         "workload": "selective (rare-term anchor per query), 500-query "
                     f"batch over the {n_amp}-doc amplified index",

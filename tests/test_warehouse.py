@@ -399,24 +399,32 @@ def test_batch_auto_path_selection_matches_row_path(spark, wh):
         for r in pl.search_batch_or(queries, k=10)
         .orderBy("query", "rank").collect()
     ]
-    # cold: probes both paths (batch of 12 -> probe p = 3 per path)
-    got_cold = [
+    # exploration batch 1: whole batch via WAND
+    got_p1 = [
         (r["query"], r["rank"], r["docid"], round(r["score"], 9))
         for r in pl.search_batch_or(queries, k=10, use_wand="auto")
         .orderBy("query", "rank").collect()
     ]
-    assert got_cold == want
+    assert got_p1 == want
+    assert pl._auto_decision["path"] is None  # mid-exploration marker
+    # exploration batch 2: whole batch via row; decision commits
+    got_p2 = [
+        (r["query"], r["rank"], r["docid"], round(r["score"], 9))
+        for r in pl.search_batch_or(queries, k=10, use_wand="auto")
+        .orderBy("query", "rank").collect()
+    ]
+    assert got_p2 == want
     dec = pl._auto_decision
-    assert dec["path"] in ("wand", "row") and dec["probe"] == 3
-    # warm: cached decision routes the full batch through one path
-    got_warm = [
+    assert dec["path"] in ("wand", "row")
+    assert dec["wand_sec_per_q"] > 0 and dec["row_sec_per_q"] > 0
+    # committed: later batches (any size) ride the winner
+    got_p3 = [
         (r["query"], r["rank"], r["docid"], round(r["score"], 9))
         for r in pl.search_batch_or(queries, k=10, use_wand="auto")
         .orderBy("query", "rank").collect()
     ]
-    assert got_warm == want
+    assert got_p3 == want
     assert pl._auto_decision["age"] == 1
-    # a later tiny batch rides the cached decision too (no re-probe)
     small = {"s1": ["dup"], "s2": ["key"], "s3": ["line"]}
     pl.search_batch_or(small, k=5, use_wand="auto").collect()
     assert pl._auto_decision["age"] == 2

@@ -887,65 +887,66 @@ class Planner:
             .select("query", "rank", "docid", "score")
         )
 
-    # probe slice size for use_wand="auto" (per path); bounded below by
-    # batch size so tiny batches still split sanely
-    AUTO_PROBE = 48
     # cached decisions expire after this many routed batches, so a
-    # long-lived server re-probes as the host window drifts
+    # long-lived server re-explores as the host window drifts
     AUTO_REPROBE_EVERY = 64
 
     def _batch_or_auto(
         self, queries: dict[str, list[str]], k: int,
         tstats: dict[str, "TermStats"],
     ) -> DataFrame:
-        """Measured WAND/row path selection (see search_batch_or).  Probe
-        queries are REAL work — their results are returned as part of the
-        batch — so vs an oracle that knew the winner in advance the only
-        overhead is the probe slice on the losing path, paid once per
-        AUTO_REPROBE_EVERY batches."""
+        """Measured WAND/row path selection (see search_batch_or):
+        explore-then-commit ACROSS batches.  The first batch after (re)
+        start serves entirely via WAND, the second entirely via the
+        row-postings path — both timed at full scale, both returning real
+        results — and every subsequent batch rides the measured winner's
+        per-query rate until AUTO_REPROBE_EVERY batches pass, when the
+        two-batch exploration repeats.
+
+        Why whole batches and not a within-batch probe: both paths carry
+        multi-second FIXED job costs and WAND's cost is CONCAVE in batch
+        size (queries share anchor terms, so per-term work saturates), so
+        sub-batch slices of any size measure mostly fixed cost and cannot
+        identify the winner (measured: 250-query halves of a 500-query
+        batch cost ~5 s via EITHER path, while the full batch cost 5.0 s
+        via WAND and 8.2 s via row — the divergence only exists at full
+        scale).  Cross-batch full-scale measurement is the identifying
+        experiment, and its cost vs an oracle that knew the winner is one
+        full batch on the losing path per reprobe interval — steady-state
+        throughput is exactly the winner's."""
         import time
 
         dec = getattr(self, "_auto_decision", None)
-        if dec is not None and dec["age"] < self.AUTO_REPROBE_EVERY:
-            dec["age"] += 1
-            if dec["path"] == "wand":
-                return self._batch_wand(queries, k, tstats)
-            return self._batch_or_rows(queries, k, tstats)
+        if dec is not None and dec.get("path") is not None:
+            if dec["age"] < self.AUTO_REPROBE_EVERY:
+                dec["age"] += 1
+                if dec["path"] == "wand":
+                    return self._batch_wand(queries, k, tstats)
+                return self._batch_or_rows(queries, k, tstats)
+            dec = None  # expired: re-explore
 
-        names = list(queries)
-        p = min(self.AUTO_PROBE, len(names) // 4)
-        if p < 1:
-            # batch too small to probe meaningfully: fixed job cost
-            # dominates either way; take the single-join row plan and
-            # leave any cached decision untouched
-            return self._batch_or_rows(queries, k, tstats)
-        # interleaved slices: names[0,2,4..] vs names[1,3,5..] so an
-        # ordered batch (e.g. grouped by selectivity) can't bias one probe
-        wand_q = {n: queries[n] for n in names[0:2 * p:2]}
-        row_q = {n: queries[n] for n in names[1:2 * p:2]}
-        rest_q = {n: queries[n] for n in names[2 * p:]}
-
+        n = max(len(queries), 1)
+        if dec is None:
+            # exploration phase 1: this whole batch via WAND
+            t0 = time.perf_counter()
+            out = self._batch_wand(queries, k, tstats)  # eager (checkpointed)
+            self._auto_decision = {
+                "path": None, "age": 0,
+                "wand_sec_per_q": (time.perf_counter() - t0) / n,
+            }
+            return out
+        # exploration phase 2: this whole batch via the row path; commit
         t0 = time.perf_counter()
-        wand_out = self._batch_wand(wand_q, k, tstats)  # eager (checkpointed)
-        wand_sec = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        row_out = self._batch_or_rows(row_q, k, tstats).localCheckpoint(
+        out = self._batch_or_rows(queries, k, tstats).localCheckpoint(
             eager=True
         )
-        row_sec = time.perf_counter() - t0
-
-        path = "wand" if wand_sec <= row_sec else "row"
+        row_rate = (time.perf_counter() - t0) / n
+        wand_rate = dec["wand_sec_per_q"]
         self._auto_decision = {
-            "path": path, "age": 0, "probe": p,
-            "wand_sec": round(wand_sec, 4), "row_sec": round(row_sec, 4),
+            "path": "wand" if wand_rate <= row_rate else "row", "age": 0,
+            "wand_sec_per_q": round(wand_rate, 6),
+            "row_sec_per_q": round(row_rate, 6),
         }
-        out = wand_out.unionByName(row_out)
-        if rest_q:
-            rest = (
-                self._batch_wand(rest_q, k, tstats) if path == "wand"
-                else self._batch_or_rows(rest_q, k, tstats)
-            )
-            out = out.unionByName(rest)
         return out
 
     @staticmethod
