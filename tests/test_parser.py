@@ -644,3 +644,17 @@ def test_no_positions_positionless_build(spark, simple_index):
     assert QueryParser().parse_query(
         '"search engines"'
     ).describe() == "(search@1 PHRASE 2 engines@2)"
+
+
+def test_synonym_unstemmed_key_not_from_dropped_stopword():
+    """The unstemmed-key synonym lookup must use the raw word only when
+    the token IS a single word — a stopword-dropped compound ("the-dog"
+    -> terms [dog]) must not look up synonyms under 'the'."""
+    qp = QueryParser(
+        synonyms={"the": ("wrong",), "dog": ("canine",)},
+        stopwords=frozenset({"the"}),
+        auto_synonyms=True,
+    )
+    assert (
+        qp.parse_query("the-dog").describe() == "(dog@2 SYNONYM canine)"
+    )

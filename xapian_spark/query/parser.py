@@ -604,7 +604,14 @@ class QueryParser:
                 or self.auto_synonyms
                 or self.auto_multiword_synonyms
             ):
-                return self._synonym_node(terms[0], raw=prefix + raw_terms[0])
+                # unstemmed-key lookup only when the single surviving term
+                # unambiguously IS the single raw word — a stopword-dropped
+                # compound ("the-dog" -> terms [dog]) must not look up the
+                # dropped word's name
+                raw = (
+                    prefix + raw_terms[0] if len(raw_terms) == 1 else None
+                )
+                return self._synonym_node(terms[0], raw=raw)
             return terms[0]
         # phrased compound: window = number of terms (:2455-2468)
         return self._opwindow(ast.Phrase, tuple(terms), len(terms))
