@@ -527,3 +527,29 @@ def test_v2_integrity_check(spark, corpus, wh2):
         spark, wh2, corpus, content_col="text", docid_col="docid"
     )
     assert all(v == 0 for v in out.values()), out
+
+
+def test_resume_payload_v_mismatch_raises(spark, corpus, tmp_path):
+    """An explicit payload_v that conflicts with a resumed build's
+    committed version must raise (silent substitution would make an
+    operator's v2 A/B measure the wrong format); payload_v=None defers
+    to the committed version."""
+    path = str(tmp_path / "wh_vmismatch")
+    merge.build_warehouse(
+        spark, corpus, path, content_col="text", docid_col="docid",
+        n_ranges=4, block_size=16, payload_v=2, stop_after_range=1,
+    )
+    with pytest.raises(ValueError, match="payload_v mismatch"):
+        merge.build_warehouse(
+            spark, corpus, path, content_col="text", docid_col="docid",
+            n_ranges=4, block_size=16, payload_v=1,
+        )
+    # None resumes with the committed v2 and completes
+    merge.build_warehouse(
+        spark, corpus, path, content_col="text", docid_col="docid",
+        n_ranges=4, block_size=16,
+    )
+    assert merge.warehouse_complete(path)
+    blocked = spark.read.parquet(os.path.join(path, "blocked"))
+    assert "payload_v" in blocked.columns
+    shutil.rmtree(path)

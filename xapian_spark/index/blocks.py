@@ -590,6 +590,14 @@ def unpack_blocks_udf(with_doclen: bool = True):
             if batch.empty:
                 continue
             cols = _decode_block_batch(batch)
+            if with_doclen and "doclen" not in cols:
+                # clear executor-side diagnosis instead of a bare KeyError:
+                # the caller asked for doclen from a v2 payload that never
+                # stored one (use unpack_blocks(), which version-sniffs)
+                raise ValueError(
+                    "with_doclen=True over a payload-v2 blocked table: "
+                    "v2 payloads carry no doclen stream"
+                )
             yield pd.DataFrame({c: cols[c] for c in out_cols})
 
     return unpack

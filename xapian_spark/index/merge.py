@@ -92,7 +92,7 @@ def build_warehouse(
     docdata: str = "copy",
     docdata_source: str | None = None,
     docdata_source_docid_col: str | None = None,
-    payload_v: int = 1,
+    payload_v: int | None = None,
 ) -> None:
     """Build (or RESUME building) the on-disk index warehouse at `path`.
 
@@ -108,12 +108,15 @@ def build_warehouse(
 
     stop_after_range: test hook — abort after committing that many stage-2
     ranges, simulating a mid-build failure for resumability tests.
-    payload_v: blocked payload format — 1 (default) packs doclen into
-    every block; 2 omits the doclen stream (doclens live once in the
-    warehouse doclens table and scoring joins them back candidate-scoped,
-    blocks.py module docstring), cutting pack/decode/storage bytes on the
-    bandwidth-bound stage-2 pack.  Readers auto-detect the version from
-    the blocked table's payload_v column.
+    payload_v: blocked payload format — 1 packs doclen into every
+    block; 2 omits the doclen stream (doclens live once in the warehouse
+    doclens table and scoring joins them back candidate-scoped,
+    blocks.py module docstring), cutting pack/decode/storage bytes on
+    the bandwidth-bound stage-2 pack.  None (default) means "whatever a
+    resumed build committed, else 1"; an EXPLICIT version that conflicts
+    with a resumed build's committed one raises instead of silently
+    emitting the other format.  Readers auto-detect the version from the
+    blocked table's payload_v column.
     concurrent_ranges: how many independent range-merge jobs to keep in
     flight (see the stage-2 comment in _stages_1_to_3).  None (default)
     scales with the cluster — cores/4, floored at 4 — because a fixed
@@ -296,7 +299,7 @@ def _stages_1_to_3(
     block_size: int = DEFAULT_BLOCK,
     stop_after_range: int | None = None,
     concurrent_ranges: int | None = None,
-    payload_v: int = 1,
+    payload_v: int | None = None,
 ) -> None:
     """Stages 1-3 over an existing {path}/termlists table (used by the
     batch build and by streaming compaction, streaming/incremental.py)."""
@@ -332,7 +335,7 @@ def _stages_1_to_3(
         marks = _mass_boundaries(postings.select("term"), n_ranges)
         _commit(path, "ranges", {
             "stage": 1, "boundaries": marks, "n_ranges": len(marks) + 1,
-            "payload_v": payload_v,
+            "payload_v": payload_v if payload_v is not None else 1,
         })
 
     _rmeta = _read_meta(path, "ranges")
@@ -340,8 +343,18 @@ def _stages_1_to_3(
     n_eff = len(marks) + 1
     # a RESUMED build must pack with the version the first run committed —
     # mixing formats across ranges would corrupt reads (decoders detect
-    # the version per table, not per range)
-    payload_v = _rmeta.get("payload_v", 1)
+    # the version per table, not per range).  None defers to the
+    # committed version; an explicit conflicting version is an error, not
+    # a silent substitution.
+    committed_v = _rmeta.get("payload_v", 1)
+    if payload_v is not None and payload_v != committed_v:
+        raise ValueError(
+            f"resume payload_v mismatch: this warehouse committed "
+            f"payload_v={committed_v} but the caller asked for "
+            f"{payload_v}; resume with payload_v=None/{committed_v} or "
+            f"build into a fresh path"
+        )
+    payload_v = committed_v
 
     # -- stage 1b: sorted term-major runs, range-aligned layout --------------
     # The ONLY shuffle of the full posting table.  partitionBy(range_id)

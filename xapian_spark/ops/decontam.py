@@ -69,10 +69,11 @@ def decontaminate(
     table — one row per CONTAMINATED doc — which is correct when
     contamination is rare (the normal web-corpus case: the clean bulk is
     then never shuffled).  On a benchmark-heavy or adversarial corpus
-    where a large fraction of docs overlap the benchmark set, the hit
-    table is unbounded and a forced broadcast can exceed executor memory
-    — pass broadcast_hits=False there to use a plain shuffled left join
-    (hash-partitionable at any scale)."""
+    where a large fraction of docs overlap the benchmark set (or where
+    the benchmark set itself is huge), the hit table and the
+    benchmark-gram table are unbounded and a forced broadcast can exceed
+    executor memory — pass broadcast_hits=False there to use plain
+    shuffled joins for both (hash-partitionable at any scale)."""
     grams = _grams(_toks(text_col), n)
     base = docs.select(
         F.col(id_col).alias("id"),
@@ -80,9 +81,13 @@ def decontaminate(
         F.size(grams).cast("int").alias("n_ngrams"),
     )
     bg = benchmark_ngrams(bench, bench_text_col, n)
+    # broadcast_hits=False is the benchmark-heavy escape hatch: it must
+    # de-broadcast BOTH small-side joins — the benchmark-gram table
+    # scales with the benchmark set (not with hit rarity), so forcing it
+    # into every executor is exactly what a huge benchmark set breaks
     hits = (
         base.select("id", F.explode("grams").alias("gram"))
-        .join(F.broadcast(bg), "gram")
+        .join(F.broadcast(bg) if broadcast_hits else bg, "gram")
         .groupBy("id")
         .agg(F.count("*").cast("int").alias("n_contaminated"))
     )

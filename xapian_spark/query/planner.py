@@ -913,7 +913,16 @@ class Planner:
         scale).  Cross-batch full-scale measurement is the identifying
         experiment, and its cost vs an oracle that knew the winner is one
         full batch on the losing path per reprobe interval — steady-state
-        throughput is exactly the winner's."""
+        throughput is exactly the winner's.
+
+        Two comparability guards on the commit: (a) the two exploration
+        batches' sizes must be within 4x of each other (and the second
+        large enough to amortize fixed cost against the first) — per-query
+        rates from a 500-query batch and a 3-query batch are not
+        comparable, so a mismatched pair restarts the exploration instead
+        of committing a garbage decision; (b) the exploration ORDER flips
+        every reprobe cycle, so one-time session warm-up (JVM C2, Arrow
+        workers) is not systematically charged to the same path."""
         import time
 
         dec = getattr(self, "_auto_decision", None)
@@ -923,29 +932,53 @@ class Planner:
                 if dec["path"] == "wand":
                     return self._batch_wand(queries, k, tstats)
                 return self._batch_or_rows(queries, k, tstats)
-            dec = None  # expired: re-explore
+            # expired: re-explore, first path alternated vs last cycle
+            dec = {"path": None, "first": "row" if dec.get("first", "wand") == "wand" else "wand"}
+            dec["_restart"] = True
 
         n = max(len(queries), 1)
-        if dec is None:
-            # exploration phase 1: this whole batch via WAND
+        if dec is None or dec.get("_restart") or "sec_per_q" not in dec:
+            # exploration phase 1: this whole batch via the cycle's first
+            # path
+            first = (dec or {}).get("first", "wand")
             t0 = time.perf_counter()
-            out = self._batch_wand(queries, k, tstats)  # eager (checkpointed)
+            if first == "wand":
+                out = self._batch_wand(queries, k, tstats)  # eager
+            else:
+                out = self._batch_or_rows(queries, k, tstats).localCheckpoint(
+                    eager=True
+                )
             self._auto_decision = {
-                "path": None, "age": 0,
-                "wand_sec_per_q": (time.perf_counter() - t0) / n,
+                "path": None, "age": 0, "first": first, "n": n,
+                "sec_per_q": (time.perf_counter() - t0) / n,
             }
             return out
-        # exploration phase 2: this whole batch via the row path; commit
+        # exploration phase 2: this whole batch via the OTHER path
+        second = "row" if dec["first"] == "wand" else "wand"
         t0 = time.perf_counter()
-        out = self._batch_or_rows(queries, k, tstats).localCheckpoint(
-            eager=True
-        )
-        row_rate = (time.perf_counter() - t0) / n
-        wand_rate = dec["wand_sec_per_q"]
+        if second == "wand":
+            out = self._batch_wand(queries, k, tstats)
+        else:
+            out = self._batch_or_rows(queries, k, tstats).localCheckpoint(
+                eager=True
+            )
+        second_rate = (time.perf_counter() - t0) / n
+        n1 = dec["n"]
+        if max(n1, n) > 4 * min(n1, n):
+            # incomparable batch sizes: per-query rates don't transfer
+            # (fixed cost dominates the smaller batch) — restart the
+            # exploration with this batch as the new phase-1 sample
+            self._auto_decision = {
+                "path": None, "age": 0, "first": second, "n": n,
+                "sec_per_q": second_rate,
+            }
+            return out
+        rates = {dec["first"]: dec["sec_per_q"], second: second_rate}
         self._auto_decision = {
-            "path": "wand" if wand_rate <= row_rate else "row", "age": 0,
-            "wand_sec_per_q": round(wand_rate, 6),
-            "row_sec_per_q": round(row_rate, 6),
+            "path": "wand" if rates["wand"] <= rates["row"] else "row",
+            "age": 0, "first": dec["first"],
+            "wand_sec_per_q": round(rates["wand"], 6),
+            "row_sec_per_q": round(rates["row"], 6),
         }
         return out
 

@@ -115,7 +115,16 @@ def wand_topk(
     t_star = max(live, key=lambda t: maxparts[t])
     star = unpack_blocks(qblocks.where(F.col("term") == t_star))
     if v2:
-        star = star.join(dl, "docid")
+        # candidate-scope the doclen attach like pass 2: the star term's
+        # posting count is known driver-side, so a selective star
+        # broadcasts its docids into a semi-join on the corpus-sized
+        # doclens table instead of shuffling all of it
+        if tstats[t_star].tf <= max_broadcast_candidates:
+            star_ids = star.select("docid")
+            star_dl = dl.join(F.broadcast(star_ids), "docid", "left_semi")
+            star = star.join(F.broadcast(star_dl), "docid")
+        else:
+            star = star.join(dl, "docid")
     star_lb = (
         tws[t_star].sumpart_expr(F.col("wdf"), F.col("doclen"))
         + weight.sumextra_expr(F.col("doclen"), qlen, stats)
